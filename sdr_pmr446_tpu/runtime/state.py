@@ -1,0 +1,86 @@
+"""Carried-state pytree of the scanner chain.
+
+This is the complete streaming state of SURVEY.md §2c: everything the
+reference keeps inside liquid objects (FIR histories, IIR states, NCO phase,
+freqdem previous sample, Goertzel accumulators, FSM scalars) made explicit as
+one NamedTuple of arrays.  It doubles as the checkpoint format: serializing
+(block_index, ScannerState) is a complete resume point (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdr_pmr446_tpu import config as C
+
+
+class ScannerState(NamedTuple):
+    # front-end (input rate)
+    dc_x: jax.Array            # c64 []     IQ DC blocker x[-1]
+    dc_y: jax.Array            # c64 []     IQ DC blocker y[-1]
+    resamp_hist: jax.Array     # c64 [P-1]  resampler input history
+    # band rate (200 kHz)
+    pfb_hist: jax.Array        # c64 [400]  channelizer history
+    frame_parity: jax.Array    # i32 []     global PFB frame count mod 2
+    # channel rate (12.5 kHz), per channel
+    demod_prev: jax.Array      # c64 [16]   freqdem previous sample
+    hp_hist: jax.Array         # f32 [16, 376]
+    delay_hist: jax.Array      # f32 [16, 188]
+    lp_dc_x: jax.Array         # f32 [16]   CTCSS-branch DC blocker
+    lp_dc_y: jax.Array         # f32 [16]
+    deemph_hist: jax.Array     # f32 [16, deemph_taps-1]
+    audio_lp_hist: jax.Array   # f32 [16, 102]
+    # control (squelch FSM, src/sdr_pmr446.c:827-874)
+    fsm_state: jax.Array       # i32 []     0=scanning 1=tuned
+    active_chan: jax.Array     # i32 []     -1..15
+    rssi: jax.Array            # f32 []     last relative RSSI
+    # CTCSS detector (src/sdr_pmr446.c:338-418 reformulated)
+    ct_count: jax.Array        # i32 []     samples into current 2441-window
+    ct_carry: jax.Array        # c64 [38]   partial windowed-DFT sums
+    ct_detected: jax.Array     # bool []
+    ct_max_idx: jax.Array      # i32 []
+    ct_freq: jax.Array         # f32 []     displayed CTCSS frequency
+
+
+def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
+                       deemph_hist_len: int) -> ScannerState:
+    nch = C.NUM_CHANNELS
+    return ScannerState(
+        dc_x=jnp.zeros((), jnp.complex64),
+        dc_y=jnp.zeros((), jnp.complex64),
+        resamp_hist=jnp.zeros((resamp_hist_len,), jnp.complex64),
+        pfb_hist=jnp.zeros((pfb_hist_len,), jnp.complex64),
+        frame_parity=jnp.zeros((), jnp.int32),
+        demod_prev=jnp.zeros((nch,), jnp.complex64),
+        hp_hist=jnp.zeros((nch, C.HP_AUDIO_FILT_TAPS - 1), jnp.float32),
+        delay_hist=jnp.zeros((nch, C.CTCSS_DELAY), jnp.float32),
+        lp_dc_x=jnp.zeros((nch,), jnp.float32),
+        lp_dc_y=jnp.zeros((nch,), jnp.float32),
+        deemph_hist=jnp.zeros((nch, deemph_hist_len), jnp.float32),
+        audio_lp_hist=jnp.zeros((nch, C.LP_AUDIO_FILT_TAPS - 1), jnp.float32),
+        fsm_state=jnp.zeros((), jnp.int32),
+        active_chan=jnp.full((), -1, jnp.int32),
+        rssi=jnp.zeros((), jnp.float32),
+        ct_count=jnp.zeros((), jnp.int32),
+        ct_carry=jnp.zeros((C.CTCSS_NUM_FREQS,), jnp.complex64),
+        ct_detected=jnp.zeros((), jnp.bool_),
+        ct_max_idx=jnp.zeros((), jnp.int32),
+        ct_freq=jnp.full((), -1.0, jnp.float32),
+    )
+
+
+def save_state(path: str, block_index: int, state: ScannerState) -> None:
+    """Checkpoint = (block index, full carried-state pytree) -> .npz."""
+    arrs = {f"s{i}": np.asarray(v) for i, v in enumerate(state)}
+    np.savez(path, block_index=np.int64(block_index), **arrs)
+
+
+def load_state(path: str) -> tuple[int, ScannerState]:
+    z = np.load(path)
+    n = len(ScannerState._fields)
+    vals = [jnp.asarray(z[f"s{i}"]) for i in range(n)]
+    return int(z["block_index"]), ScannerState(*vals)

@@ -1,0 +1,170 @@
+"""Squelch FSM + CTCSS detector as a lax.scan over sub-chunk summaries.
+
+The reference's per-chunk control flow (src/sdr_pmr446.c:827-874 state
+machine, :605-628 ctcss_execute, :668-700 find_max_rssi_channel) is
+inherently sequential in time — but only at sub-chunk granularity (one scalar
+decision per ~98 ms).  Here it runs as a lax.scan whose per-step work is a
+handful of vector ops over [16] RSSI values and [38, ns] tone phasors, while
+all heavy per-sample math stays outside in batched ops.
+
+The Goertzel bank is reformulated exactly: for a zero-initialized Goertzel
+over one N-sample window, the power u0^2 + u1^2 - coef*u0*u1 equals
+|sum_k x[k] e^{-j w k}|^2 (textbook identity), so per sub-chunk the detector
+needs only two masked reductions of x * E against a static phasor table —
+no per-sample recurrence.  The carried state is the partial window sum and
+the in-window count, matching ctcss_detector_t's (u0, u1, samp_processed)
+information content (include/sdr_pmr446.h:42-52).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdr_pmr446_tpu import config as C
+
+
+class FsmCarry(NamedTuple):
+    fsm_state: jax.Array     # i32
+    active_chan: jax.Array   # i32
+    rssi: jax.Array          # f32
+    ct_count: jax.Array      # i32
+    ct_carry: jax.Array      # c64 [38]
+    ct_detected: jax.Array   # bool
+    ct_max_idx: jax.Array    # i32
+    ct_freq: jax.Array       # f32
+
+
+class FsmOutputs(NamedTuple):
+    """Per-sub-chunk outputs (leading axis K after the scan)."""
+    active_chan: jax.Array   # i32 [K]  channel gating this sub-chunk's audio
+    rel_rssi: jax.Array      # f32 [K]
+    ev_tuned: jax.Array      # bool [K]
+    ev_detuned: jax.Array    # bool [K]
+    ev_changed: jax.Array    # bool [K]
+    ev_prev_chan: jax.Array  # i32 [K]  previous channel for 'changed'
+    ct_detected: jax.Array   # bool [K]
+    ct_max_idx: jax.Array    # i32 [K]
+    ct_freq: jax.Array       # f32 [K]
+    ev_ct_acquired: jax.Array  # bool [K]
+    ev_ct_changed: jax.Array   # bool [K]
+    ev_ct_lost: jax.Array      # bool [K]
+
+
+@functools.lru_cache(maxsize=None)
+def _phasor_table(ns: int) -> np.ndarray:
+    """E0[t, i] = exp(-j * w_t * i), static [38, ns] table."""
+    w = 2.0 * np.pi * np.asarray(C.CTCSS_FREQS) / C.AUDIO_SAMPLERATE
+    i = np.arange(ns)
+    return np.exp(-1j * np.outer(w, i)).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _count_phasor_table() -> np.ndarray:
+    """U[t, c] = exp(-j * w_t * c) for c in [0, CTCSS_BLOCK_SIZE).
+
+    Gathered at the carried in-window count so the window phase reference is
+    host-float64-accurate (w*c reaches ~300 rad; f32 phase accumulation would
+    drift).
+    """
+    w = 2.0 * np.pi * np.asarray(C.CTCSS_FREQS) / C.AUDIO_SAMPLERATE
+    c = np.arange(C.CTCSS_BLOCK_SIZE)
+    return np.exp(-1j * np.outer(w, c)).astype(np.complex64)
+
+
+def fsm_ctcss_scan(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
+                   mask: jax.Array, squelch: jax.Array, lock_max: jax.Array):
+    """Run the FSM+CTCSS scan over K sub-chunks.
+
+    rssi_k: [K, 16] per-sub-chunk per-channel RSSI (dB)
+    lp:     [K, 16, ns] DC-blocked CTCSS low-band branch, all channels
+    mask:   [16] bool enabled channels; squelch: f32 dB; lock_max: bool
+    Returns (carry_out, FsmOutputs with leading K axis).
+    """
+    K, nch, ns = lp.shape
+    n_win = C.CTCSS_BLOCK_SIZE
+    freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
+    omegas = jnp.asarray(
+        2.0 * np.pi * np.asarray(C.CTCSS_FREQS) / C.AUDIO_SAMPLERATE,
+        dtype=jnp.float32)
+    e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
+    u_table = jnp.asarray(_count_phasor_table())           # [38, 2441]
+    # wrap factor applied to post-boundary samples: e^{+j w N}
+    # (built in float64 on host — w*N is ~300 rad, keep phase accurate)
+    wrap = jnp.asarray(np.exp(
+        1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)
+        / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))   # [38]
+    idx_i = jnp.arange(ns, dtype=jnp.int32)
+
+    nch_en = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+
+    def step(carry: FsmCarry, inp):
+        rssi_c, lp_c = inp                                  # [16], [16, ns]
+        st, act, _, cnt, cc, det, tidx, tfreq = carry
+
+        # --- find_max_rssi_channel (src/sdr_pmr446.c:668-700) ---
+        rm = jnp.where(mask, rssi_c, -jnp.inf)
+        max_ch = jnp.argmax(rm).astype(jnp.int32)
+        avg = jnp.sum(jnp.where(mask, rssi_c, 0.0)) / nch_en.astype(jnp.float32)
+        rel = rm[max_ch] - avg
+
+        # --- squelch FSM (src/sdr_pmr446.c:827-874) ---
+        scanning = st == 0
+        tune = scanning & (rel > squelch)
+        in_tuned = jnp.logical_not(scanning)
+        do_change = in_tuned & lock_max & (act != max_ch)
+        prev_chan = act
+        act1 = jnp.where(tune | do_change, max_ch, act)
+        detune = in_tuned & (rel < squelch - C.SQUELCH_HYSTERESIS_DB)
+        act2 = jnp.where(detune, -1, act1)
+        st2 = jnp.where(tune, 1, jnp.where(detune, 0, st)).astype(jnp.int32)
+
+        # detune resets the detector (ctcss_detector_reset + freq=0)
+        cnt = jnp.where(detune, 0, cnt)
+        cc = jnp.where(detune, 0.0 + 0.0j, cc)
+        det_r = jnp.where(detune, False, det)
+        tidx_r = jnp.where(detune, 0, tidx)
+        tfreq = jnp.where(detune, 0.0, tfreq)
+
+        # --- CTCSS analyze on the active channel (ctcss_execute) ---
+        is_active = act2 >= 0
+        x = lp_c[jnp.clip(act2, 0, nch - 1)]                # [ns]
+        u = u_table[:, cnt]                                 # [38] e^{-j w cnt}
+        z = e0 * x[None, :] * u[:, None]                    # [38, ns]
+        b = (n_win - 1) - cnt                               # boundary index
+        pre = (idx_i <= b)[None, :]
+        s_pre = jnp.sum(jnp.where(pre, z, 0.0), axis=-1)
+        s_suf = jnp.sum(jnp.where(pre, 0.0, z * wrap[:, None]), axis=-1)
+        has_b = b < ns
+
+        y = cc + s_pre
+        power = y.real ** 2 + y.imag ** 2                   # Goertzel powers
+        avgp = jnp.mean(power)
+        pidx = jnp.argmax(power).astype(jnp.int32)
+        maxp = power[pidx]
+        newdet = (avgp > C.CTCSS_AVG_POWER_THRESH) & (
+            maxp / jnp.maximum(avgp, 1e-30) > C.CTCSS_MAX_AVG_RATIO_THRESH)
+
+        upd = is_active & has_b
+        det2 = jnp.where(upd, newdet, det_r)
+        tidx2 = jnp.where(upd, pidx, tidx_r)
+        cc2 = jnp.where(is_active,
+                        jnp.where(has_b, s_suf, cc + s_pre), cc)
+        cnt2 = jnp.where(is_active, (cnt + ns) % n_win, cnt)
+        tfreq2 = jnp.where(is_active, freqs[tidx2], tfreq)
+
+        # CTCSS events compare pre/post per call (src/sdr_pmr446.c:607-626)
+        acq = is_active & det2 & jnp.logical_not(det_r)
+        chg = is_active & det2 & det_r & (tidx2 != tidx_r)
+        lost = is_active & jnp.logical_not(det2) & det_r
+
+        carry_out = FsmCarry(st2, act2, rel, cnt2, cc2, det2, tidx2, tfreq2)
+        out = FsmOutputs(act2, rel, tune, detune, do_change, prev_chan,
+                         det2, tidx2, tfreq2, acq, chg, lost)
+        return carry_out, out
+
+    return jax.lax.scan(step, carry_in, (rssi_k, lp))
