@@ -63,21 +63,16 @@ class DelayStream:
 
 
 class FirstOrderIIRStream:
-    """y[n] = b0 x[n] + b1 x[n-1] - a1 y[n-1] (per-sample)."""
+    """y[n] = b0 x[n] + b1 x[n-1] - a1 y[n-1], sequential (scipy lfilter+zi)."""
 
     def __init__(self, b0: float, b1: float, a1: float, dtype=np.float64):
-        self.b0, self.b1, self.a1 = b0, b1, a1
-        self.x1 = dtype(0)
-        self.y1 = dtype(0)
+        self.b = np.array([b0, b1], dtype=np.float64)
+        self.a = np.array([1.0, a1], dtype=np.float64)
+        self.zi = np.zeros(1, dtype=dtype)
 
     def process(self, x: np.ndarray) -> np.ndarray:
-        y = np.empty(len(x), dtype=np.asarray(x).dtype)
-        x1, y1 = self.x1, self.y1
-        for n in range(len(x)):
-            y1 = self.b0 * x[n] + self.b1 * x1 - self.a1 * y1
-            x1 = x[n]
-            y[n] = y1
-        self.x1, self.y1 = x1, y1
+        import scipy.signal as _sig
+        y, self.zi = _sig.lfilter(self.b, self.a, np.asarray(x), zi=self.zi)
         return y
 
 
@@ -110,11 +105,13 @@ class PolyResamplerStream:
         xe = np.concatenate([self.hist, x])          # index q -> xe[q + P-1]
         nout = T * self.L // self.M
         y = np.empty(nout, dtype=xe.dtype)
-        for j in range(nout):
-            q = (j * self.M) // self.L
-            r = (j * self.M) % self.L
-            lo = q  # xe window [q, q+P-1] == x[q-P+1 .. q]
-            y[j] = np.dot(xe[lo: lo + self.P], self.phases[r])
+        windows = np.lib.stride_tricks.sliding_window_view(xe, self.P)
+        j = np.arange(nout)
+        q = (j * self.M) // self.L
+        r = (j * self.M) % self.L
+        for rr in range(self.L):                     # vectorized per phase
+            sel = r == rr
+            y[sel] = windows[q[sel]] @ self.phases[rr]
         self.hist = xe[-(self.P - 1):]
         return y
 
@@ -148,16 +145,17 @@ class PFBChannelizerStream:
         xm = x * np.exp(1j * self.mix_omega * t)
         xe = np.concatenate([self.hist, xm])
         F = T // self.M
-        out = np.empty((self.M, F), dtype=np.complex128)
-        for f in range(F):
-            s_global = self.t0 + f * self.M + self.M - 1
-            # window xe[16f : 16f + n_taps], last sample = s_global
-            w = xe[f * self.M: f * self.M + self.n_taps]
-            # sum_m h[m] e^{j w_k m} x~[s-m]: x~[s-m] = w[n_taps-1-m]
-            acc = self.emk @ (self.h * w[::-1])
-            phase = np.exp(-1j * 2 * np.pi * np.arange(self.M) * s_global
-                           / self.M)
-            out[:, f] = phase * acc
+        # window f = xe[16f : 16f + n_taps]; sum_m h[m] e^{j w_k m} x~[s-m]
+        # with x~[s-m] = window[n_taps-1-m]; s = 16(f+n0)+15 -> the e^{-j w_k s}
+        # phase factor reduces to e^{-j w_k * 15} (k * 16 f is an integer
+        # number of turns).
+        windows = np.lib.stride_tricks.sliding_window_view(
+            xe, self.n_taps)[:: self.M][:F]                     # [F, n_taps]
+        kern = (self.h * self.emk)[:, ::-1]                     # [M, n_taps]
+        acc = windows @ kern.T                                  # [F, M]
+        phase = np.exp(-1j * 2 * np.pi * np.arange(self.M)
+                       * (self.M - 1) / self.M)
+        out = (acc * phase).T
         self.hist = xe[-(self.n_taps - self.M):]
         self.t0 += T
         return out
