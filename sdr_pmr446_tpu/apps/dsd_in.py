@@ -1,0 +1,60 @@
+"""dsd_in CLI — DSD signal pre-processor (file driven).
+
+Mirrors the reference app (src/dsd_in.c:40-48): -g/--gain, -f/--frequency,
+writing 48 kHz s16le mono to stdout (pipe into `dsd -i -` / `play` exactly as
+the reference README shows), or to a file with --output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.io import iq as iq_io
+from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dsd_in", description="dsd_feeder -- DSD signal pre-processor "
+                                   "(TPU-native)")
+    p.add_argument("-g", "--gain", type=float, default=25.0,
+                   help="SDR receiver gain in dB (unused for file sources)")
+    p.add_argument("-f", "--frequency", type=float, default=160.0e6,
+                   help="receive frequency (metadata for file sources)")
+    p.add_argument("--input", type=str, required=True,
+                   help="IQ capture file at 1.024 Msps")
+    p.add_argument("--input-format", type=str, default=None)
+    p.add_argument("--output", type=str, default="-",
+                   help="output path for 48 kHz s16le audio ('-' = stdout)")
+    p.add_argument("--subchunks-per-step", type=int, default=10)
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    ns = build_parser().parse_args(argv)
+    iq = iq_io.read_iq(ns.input, ns.input_format)
+    chain = DsdInChain(subchunks_per_step=ns.subchunks_per_step)
+    state = chain.init_state()
+    out = (sys.stdout.buffer if ns.output == "-"
+           else open(ns.output, "wb"))
+    try:
+        for blk in iq_io.block_stream(iq, chain.input_len):
+            state, o = chain.step(state, jnp.asarray(blk, jnp.complex64))
+            out.write(np.asarray(o.pcm).astype("<i2").tobytes())
+            out.flush()
+    finally:
+        if out is not sys.stdout.buffer:
+            out.close()
+    logging.info("Exiting")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""sdr_pmr446 CLI — PMR446 band scanner/receiver (file/synthetic driven).
+
+Mirrors the reference app's flags (src/sdr_pmr446.c:161-328): -g/--gain,
+-s/--squelch, -w/--waterfall, -l/--lowpass, -m/--mask, -a/--audio-gain,
+-b/--audio-api (accepted for CLI parity; file output replaces live audio),
+-p/--lock-mode; plus file-driven source/sink options replacing the SoapySDR
+hardware source (TPU hosts have no USB SDR; SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.io import iq as iq_io
+from sdr_pmr446_tpu.io import synth, wav
+from sdr_pmr446_tpu.runtime.driver import ScannerDriver
+from sdr_pmr446_tpu.ui import waterfall as wf_ui
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sdr_pmr446",
+        description="sdr_pmr446 -- a PMR446 band scanner/receiver "
+                    "(TPU-native)")
+    p.add_argument("-g", "--gain", type=float, default=C.SDR_DEFAULT_GAIN,
+                   help="SDR receiver gain in dB (unused for file sources; "
+                        f"default: {C.SDR_DEFAULT_GAIN})")
+    p.add_argument("-s", "--squelch", type=float,
+                   default=C.SDR_DEFAULT_SQUELCH_LEVEL,
+                   help="relative squelch level in dB "
+                        f"(default: {C.SDR_DEFAULT_SQUELCH_LEVEL})")
+    p.add_argument("-w", "--waterfall", type=int, default=0,
+                   help="print an ASCII waterfall of this width")
+    p.add_argument("-l", "--lowpass", action="store_true",
+                   help="turn on 4.5kHz lowpass audio filter")
+    p.add_argument("-m", "--mask", type=str, default="",
+                   help="channel mask e.g. 1,2,8-16 (listed channels are "
+                        "disabled — matches the reference code's semantics)")
+    p.add_argument("-a", "--audio-gain", type=float,
+                   default=C.SDR_DEFAULT_AUDIO_GAIN,
+                   help=f"audio gain (default: {C.SDR_DEFAULT_AUDIO_GAIN})")
+    p.add_argument("-b", "--audio-api", type=str, default="unspecified",
+                   help="audio API name (CLI parity; audio goes to --output)")
+    p.add_argument("-p", "--lock-mode", choices=["start", "max"],
+                   default="start", help="channel lock mode")
+    p.add_argument("--input", type=str, default=None,
+                   help="IQ capture file (cf32/cs16/cu8; 1.024 Msps at "
+                        "446.1 MHz); default: synthetic demo signal")
+    p.add_argument("--input-format", type=str, default=None,
+                   choices=list("cf32 fc32 cs16 sc16 cs8 cu8 rtlsdr".split()))
+    p.add_argument("--output", type=str, default="audio.wav",
+                   help="output WAV for the demodulated audio")
+    p.add_argument("--seconds", type=float, default=5.0,
+                   help="synthetic source duration")
+    p.add_argument("--subchunks-per-step", type=int, default=10)
+    p.add_argument("--fir-deemph", action="store_true",
+                   help="use the FIR de-emphasis variant (APP_FIR_DEEMPH)")
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s %(name)s] %(message)s",
+                        stream=sys.stderr)
+    ns = build_parser().parse_args(argv)
+    mask = C.parse_channel_mask(ns.mask) if ns.mask else (1 << C.MAX_CHANNELS) - 1
+    if mask == 0:
+        logging.error("No channels enabled in channel mask !")
+        return 1
+    args = C.ScannerArgs(
+        gain=ns.gain, audio_gain=ns.audio_gain, squelch_level=ns.squelch,
+        waterfall=ns.waterfall, lowpass=ns.lowpass, channel_mask=mask,
+        lock_mode=ns.lock_mode, fir_deemph=ns.fir_deemph)
+    log = logging.getLogger("sdr_pmr446")
+    log.info("gain: %5.2f dB, audio_gain: %5.2f, relative squelch level: "
+             "%5.2f dB, waterfall: %d", args.gain, args.audio_gain,
+             args.squelch_level, args.waterfall)
+    log.info("audio lowpass: %s, channel mask: 0x%04X",
+             "enabled" if args.lowpass else "disabled", args.channel_mask)
+
+    if ns.input:
+        iq = iq_io.read_iq(ns.input, ns.input_format)
+        log.info("read %d IQ samples (%.2f s) from %s", len(iq),
+                 len(iq) / C.SDR_SAMPLERATE, ns.input)
+    else:
+        n = int(ns.seconds * C.SDR_SAMPLERATE)
+        n -= n % (ns.subchunks_per_step * C.SUBCHUNK_IN)
+        iq = synth.make_scanner_iq(n, channel=5, ctcss_code=12)
+        log.info("using synthetic NBFM demo signal on channel 5, CTCSS 12")
+
+    driver = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step)
+
+    if args.waterfall > 0:
+        def on_subchunk(sub, o):
+            print(wf_ui.render_waterfall_line(o["waterfall"],
+                                              float(o["rel_rssi"])))
+            footer = wf_ui.render_footer(
+                args.waterfall, args.channel_mask, int(o["active_chan"]),
+                bool(o["ct_detected"]), int(o["ct_max_idx"]) + 1,
+                float(o["ct_freq"]))
+            print(footer, end="\r")
+            sys.stdout.flush()
+        driver.on_subchunk = on_subchunk
+
+    result = driver.run(iq_io.block_stream(iq, driver.block_len))
+    wav.write_wav(ns.output, result.audio, C.AUDIO_SAMPLERATE)
+    log.info("wrote %d audio samples (%.2f s) to %s", len(result.audio),
+             len(result.audio) / C.AUDIO_SAMPLERATE, ns.output)
+    log.info("Exiting")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

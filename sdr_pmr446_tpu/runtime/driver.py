@@ -1,0 +1,125 @@
+"""Host-side streaming driver: blocks in, audio/events out.
+
+Plays the role of the reference's main loop plumbing (ring buffers, logging,
+signal handling; src/sdr_pmr446.c:788-931) around the jitted block step:
+feeds fixed-size IQ blocks, drains per-sub-chunk outputs, renders reference-
+format log lines for tune/detune/change/CTCSS events (src/sdr_pmr446.c:
+838-862,614-626), and accumulates the active-channel audio stream.
+
+Block-streaming resume: the driver can checkpoint (block_index, state) and
+continue — the failure-recovery design of SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Callable, Iterable, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.scanner.chain import (ScannerChain, StepOutputs,
+                                          make_runtime_params)
+
+log = logging.getLogger("sdr_pmr446")
+
+
+@dataclasses.dataclass
+class ScanResult:
+    audio: np.ndarray            # concatenated active-channel audio @12.5 kHz
+    audio_subchunks: np.ndarray  # sub-chunk index of each audio block
+    active_trace: np.ndarray     # [n_subchunks] active channel per sub-chunk
+    rssi_trace: np.ndarray       # [n_subchunks, 16]
+    rel_rssi: np.ndarray         # [n_subchunks]
+    events: List[str]            # formatted log lines
+    waterfall: Optional[np.ndarray]  # [n_subchunks, W] dB rows or None
+
+
+class ScannerDriver:
+    def __init__(self, args: Optional[C.ScannerArgs] = None,
+                 subchunks_per_step: int = 10,
+                 on_subchunk: Optional[Callable] = None):
+        self.args = args or C.ScannerArgs()
+        self.chain = ScannerChain(
+            C.BlockConfig(subchunks_per_step),
+            lowpass=self.args.lowpass, fir_deemph=self.args.fir_deemph,
+            waterfall=self.args.waterfall)
+        self.params = make_runtime_params(self.args)
+        self.state = self.chain.init_state()
+        self.block_index = 0
+        self.subchunk = 0
+        self.on_subchunk = on_subchunk
+
+    @property
+    def block_len(self) -> int:
+        return self.chain.block.input_len
+
+    def run(self, blocks: Iterable[np.ndarray]) -> ScanResult:
+        audio, audio_sub = [], []
+        active, rssi, rel, events = [], [], [], []
+        wf_rows = [] if self.args.waterfall > 0 else None
+        for blk in blocks:
+            self.state, out = self.chain.step(
+                self.state, jnp.asarray(blk, jnp.complex64), self.params)
+            self._drain(out, audio, audio_sub, active, rssi, rel, events,
+                        wf_rows)
+            self.block_index += 1
+        return ScanResult(
+            audio=(np.concatenate(audio) if audio
+                   else np.zeros(0, np.float32)),
+            audio_subchunks=np.asarray(audio_sub, np.int64),
+            active_trace=np.concatenate(active) if active else np.zeros(0, int),
+            rssi_trace=(np.concatenate(rssi) if rssi
+                        else np.zeros((0, C.NUM_CHANNELS))),
+            rel_rssi=np.concatenate(rel) if rel else np.zeros(0),
+            events=events,
+            waterfall=(np.concatenate(wf_rows) if wf_rows else None),
+        )
+
+    # ------------------------------------------------------------------
+    def _drain(self, out: StepOutputs, audio, audio_sub, active, rssi, rel,
+               events, wf_rows) -> None:
+        o = {f: np.asarray(getattr(out, f)) for f in out._fields}
+        k = len(o["active_chan"])
+        for i in range(k):
+            sub = self.subchunk + i
+            msgs = self._event_lines(o, i)
+            for m in msgs:
+                events.append(m)
+                if self.args.waterfall == 0:
+                    log.info(m)
+            if o["audio_valid"][i]:
+                audio.append(o["audio"][i])
+                audio_sub.append(sub)
+            if self.on_subchunk is not None:
+                self.on_subchunk(sub, {f: o[f][i] for f in o})
+        active.append(o["active_chan"])
+        rssi.append(o["rssi_db"])
+        rel.append(o["rel_rssi"])
+        if wf_rows is not None:
+            wf_rows.append(o["waterfall"])
+        self.subchunk += k
+
+    def _event_lines(self, o, i) -> List[str]:
+        """Reference-format log lines (src/sdr_pmr446.c:838-862,614-626)."""
+        msgs = []
+        if o["ev_changed"][i]:
+            msgs.append(f"Changed active channel from "
+                        f"{o['ev_prev_chan'][i] + 1} to "
+                        f"{o['active_chan'][i] + 1}")
+        if o["ev_tuned"][i]:
+            msgs.append(f"Tuned to channel {o['active_chan'][i] + 1} "
+                        f"(RSSI: {o['rel_rssi'][i]:4.2f}dB)")
+        if o["ev_detuned"][i]:
+            msgs.append(f"Detuned from channel {o['ev_prev_chan'][i] + 1}")
+        if o["ev_ct_acquired"][i]:
+            msgs.append(f"Acquired CTCSS code: {o['ct_max_idx'][i] + 1} "
+                        f"(frequency: {o['ct_freq'][i]:3.2f}Hz)")
+        if o["ev_ct_changed"][i]:
+            msgs.append(f"CTCSS code change: {o['ct_max_idx'][i] + 1} "
+                        f"(frequency: {o['ct_freq'][i]:3.2f}Hz)")
+        if o["ev_ct_lost"][i]:
+            msgs.append("Lost CTCSS code")
+        return msgs

@@ -1,0 +1,109 @@
+"""Driver, IO, waterfall-UI and CLI-app tests."""
+
+import os
+import tempfile
+
+import numpy as np
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.io import iq as iq_io
+from sdr_pmr446_tpu.io import synth, wav
+from sdr_pmr446_tpu.runtime.driver import ScannerDriver
+from sdr_pmr446_tpu.ui import waterfall as wf_ui
+
+
+def _demo_iq(seconds=2.0, **kw):
+    n = int(seconds * C.SDR_SAMPLERATE)
+    n -= n % (5 * C.SUBCHUNK_IN)
+    return synth.make_scanner_iq(n, channel=5, ctcss_code=12, **kw)
+
+
+def test_driver_events_reference_format():
+    iq = _demo_iq()
+    drv = ScannerDriver(subchunks_per_step=5)
+    res = drv.run(iq_io.block_stream(iq, drv.block_len))
+    assert any(e.startswith("Tuned to channel 5") for e in res.events)
+    assert any(e.startswith("Acquired CTCSS code: 12") for e in res.events)
+    assert len(res.audio) > 0
+    assert res.active_trace[-1] == 4
+
+
+def test_driver_waterfall_rows():
+    iq = _demo_iq()
+    args = C.ScannerArgs(waterfall=64)
+    drv = ScannerDriver(args, subchunks_per_step=5)
+    res = drv.run(iq_io.block_stream(iq, drv.block_len))
+    assert res.waterfall is not None
+    assert res.waterfall.shape[1] == 64
+    line = wf_ui.render_waterfall_line(res.waterfall[-1],
+                                       float(res.rel_rssi[-1]))
+    assert line.startswith(" > ") and "max SNR:" in line
+    # channel 5 is at -50 kHz = bin width*? — peak should be left of center
+    pk = int(np.argmax(res.waterfall[-1]))
+    assert pk < 32
+
+
+def test_footer_rendering():
+    full = (1 << C.MAX_CHANNELS) - 1
+    f = wf_ui.render_footer(64, full, -1, False, 0, 0.0)
+    assert "446.100 MHz" in f and "01" in f and "16" in f
+    masked = C.parse_channel_mask("3")
+    f2 = wf_ui.render_footer(64, masked, 4, True, 12, 94.8)
+    assert "--" in f2 and "^^" in f2
+    assert "[CTCSS:  12 (94.80Hz)]" in f2 and "[5]" in f2
+
+
+def test_iq_file_roundtrip():
+    # scale to 0.9 so int formats don't clip the synthetic |x|~1.0 peaks
+    iq = 0.9 * _demo_iq(seconds=0.5)[:10000]
+    with tempfile.TemporaryDirectory() as d:
+        for fmt, tol in [("cf32", 1e-7), ("cs16", 1e-4), ("cu8", 1e-2)]:
+            p = os.path.join(d, f"x.{fmt}")
+            iq_io.write_iq(p, iq, fmt)
+            back = iq_io.read_iq(p)
+            assert back.shape == iq.shape
+            np.testing.assert_allclose(back, iq, rtol=0, atol=tol * 5)
+
+
+def test_wav_roundtrip():
+    x = np.sin(np.linspace(0, 100, 12500)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        for dtype, tol in [("float32", 1e-7), ("int16", 1e-4)]:
+            p = os.path.join(d, f"a_{dtype}.wav")
+            wav.write_wav(p, x, 12500, dtype=dtype)
+            y, rate = wav.read_wav(p)
+            assert rate == 12500
+            np.testing.assert_allclose(y, x, atol=tol)
+
+
+def test_scanner_app_cli(tmp_path):
+    from sdr_pmr446_tpu.apps import sdr_pmr446 as app
+    iqp = str(tmp_path / "cap.cf32")
+    iq_io.write_iq(iqp, _demo_iq(seconds=1.5))
+    outp = str(tmp_path / "out.wav")
+    rc = app.main(["--input", iqp, "--output", outp,
+                   "--subchunks-per-step", "5", "-s", "18", "-p", "max"])
+    assert rc == 0
+    audio, rate = wav.read_wav(outp)
+    assert rate == C.AUDIO_SAMPLERATE
+    assert len(audio) > 0
+    snr = synth.tone_snr_db(audio[2 * 1225:], 1000.0)
+    assert snr > 25.0
+
+
+def test_dsd_app_cli(tmp_path):
+    from sdr_pmr446_tpu.apps import dsd_in as app
+    n = 10 * C.SUBCHUNK_IN
+    t = np.arange(n) / C.SDR_SAMPLERATE
+    msg = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    iq = np.exp(1j * 2 * np.pi * (2000 * np.cumsum(msg) + 2500 * np.arange(n))
+                / C.SDR_SAMPLERATE)
+    iqp = str(tmp_path / "cap.cf32")
+    iq_io.write_iq(iqp, iq)
+    outp = str(tmp_path / "out.raw")
+    rc = app.main(["--input", iqp, "--output", outp,
+                   "--subchunks-per-step", "5"])
+    assert rc == 0
+    pcm = np.fromfile(outp, dtype="<i2")
+    assert len(pcm) == n * 3 // 64
+    assert np.abs(pcm).max() > 1000
