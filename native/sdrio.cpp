@@ -1,0 +1,251 @@
+// sdrio: native host-side IO engine for the TPU SDR framework.
+//
+// TPU-native equivalent of the reference's native runtime plumbing —
+// liquid's cbuffercf/cbufferf ring buffers (src/sdr_pmr446.c:467-471,
+// 797-816, 903-906), the SoapySDR CF32 sample plane (src/shared.c), and the
+// RtAudio handoff (src/sdr_pmr446.c:520-544) — rebuilt as a small C++
+// library with a plain C ABI consumed from Python via ctypes:
+//
+//   * lock-free SPSC ring buffer (producer: file/SDR thread, consumer:
+//     block-assembly for the device step), float32 elements (interleave IQ
+//     as 2 floats per sample);
+//   * IQ format converters (cu8/cs8/cs16 -> cf32) as tight vectorizable
+//     loops — the hot path when feeding the TPU from rtl_sdr captures;
+//   * a chunked capture reader that yields fixed-size blocks with remainder
+//     carry (the cbuffercf role for file sources);
+//   * streaming s16/f32 WAV writer (the file-side RtAudio replacement).
+//
+// Build: make -C native  (produces libsdrio.so)
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// SPSC ring buffer (float elements)
+// ---------------------------------------------------------------------------
+
+struct SdrRing {
+  float* data;
+  size_t capacity;              // in floats
+  std::atomic<size_t> head;     // write index
+  std::atomic<size_t> tail;     // read index
+};
+
+SdrRing* sdrio_ring_create(size_t capacity) {
+  auto* r = new SdrRing();
+  r->data = static_cast<float*>(malloc(capacity * sizeof(float)));
+  if (!r->data) { delete r; return nullptr; }
+  r->capacity = capacity;
+  r->head.store(0);
+  r->tail.store(0);
+  return r;
+}
+
+void sdrio_ring_destroy(SdrRing* r) {
+  if (!r) return;
+  free(r->data);
+  delete r;
+}
+
+size_t sdrio_ring_size(const SdrRing* r) {
+  size_t h = r->head.load(std::memory_order_acquire);
+  size_t t = r->tail.load(std::memory_order_acquire);
+  return h - t;
+}
+
+size_t sdrio_ring_space(const SdrRing* r) {
+  return r->capacity - sdrio_ring_size(r);
+}
+
+// Returns number of floats written (may be < n if full).
+size_t sdrio_ring_write(SdrRing* r, const float* src, size_t n) {
+  size_t h = r->head.load(std::memory_order_relaxed);
+  size_t t = r->tail.load(std::memory_order_acquire);
+  size_t space = r->capacity - (h - t);
+  if (n > space) n = space;
+  size_t pos = h % r->capacity;
+  size_t first = r->capacity - pos;
+  if (first > n) first = n;
+  memcpy(r->data + pos, src, first * sizeof(float));
+  memcpy(r->data, src + first, (n - first) * sizeof(float));
+  r->head.store(h + n, std::memory_order_release);
+  return n;
+}
+
+// Returns number of floats read; zero-fills the shortfall if zero_fill
+// (the audio-callback underrun behavior, src/sdr_pmr446.c:529-538).
+size_t sdrio_ring_read(SdrRing* r, float* dst, size_t n, int zero_fill) {
+  size_t t = r->tail.load(std::memory_order_relaxed);
+  size_t h = r->head.load(std::memory_order_acquire);
+  size_t avail = h - t;
+  size_t take = n < avail ? n : avail;
+  size_t pos = t % r->capacity;
+  size_t first = r->capacity - pos;
+  if (first > take) first = take;
+  memcpy(dst, r->data + pos, first * sizeof(float));
+  memcpy(dst + first, r->data, (take - first) * sizeof(float));
+  r->tail.store(t + take, std::memory_order_release);
+  if (zero_fill && take < n)
+    memset(dst + take, 0, (n - take) * sizeof(float));
+  return take;
+}
+
+// ---------------------------------------------------------------------------
+// IQ format conversion (interleaved I/Q in, interleaved float32 out)
+// ---------------------------------------------------------------------------
+
+void sdrio_convert_cu8(const uint8_t* src, float* dst, size_t n_floats) {
+  constexpr float kScale = 1.0f / 127.5f;
+  for (size_t i = 0; i < n_floats; ++i)
+    dst[i] = (static_cast<float>(src[i]) - 127.5f) * kScale;
+}
+
+void sdrio_convert_cs8(const int8_t* src, float* dst, size_t n_floats) {
+  constexpr float kScale = 1.0f / 128.0f;
+  for (size_t i = 0; i < n_floats; ++i)
+    dst[i] = static_cast<float>(src[i]) * kScale;
+}
+
+void sdrio_convert_cs16(const int16_t* src, float* dst, size_t n_floats) {
+  constexpr float kScale = 1.0f / 32768.0f;
+  for (size_t i = 0; i < n_floats; ++i)
+    dst[i] = static_cast<float>(src[i]) * kScale;
+}
+
+void sdrio_convert_f32_to_s16(const float* src, int16_t* dst,
+                              size_t n, float gain) {
+  for (size_t i = 0; i < n; ++i) {
+    float v = src[i] * gain;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    dst[i] = static_cast<int16_t>(v);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Chunked capture reader: fixed-size cf32 blocks with remainder carry
+// ---------------------------------------------------------------------------
+
+struct SdrReader {
+  FILE* f;
+  int fmt;            // 0=cf32 1=cs16 2=cu8 3=cs8
+  uint8_t* raw;       // staging buffer
+  size_t raw_cap;
+};
+
+SdrReader* sdrio_reader_open(const char* path, int fmt) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* rd = new SdrReader();
+  rd->f = f;
+  rd->fmt = fmt;
+  rd->raw = nullptr;
+  rd->raw_cap = 0;
+  return rd;
+}
+
+// Reads exactly n_samples complex samples into dst (2*n_samples floats).
+// Returns samples produced; short count at EOF (tail zero-filled).
+size_t sdrio_reader_read(SdrReader* rd, float* dst, size_t n_samples) {
+  size_t n_floats = 2 * n_samples;
+  size_t elem = rd->fmt == 0 ? 4 : (rd->fmt == 1 ? 2 : 1);
+  size_t want_bytes = n_floats * elem;
+  if (rd->raw_cap < want_bytes) {
+    rd->raw = static_cast<uint8_t*>(realloc(rd->raw, want_bytes));
+    rd->raw_cap = want_bytes;
+  }
+  size_t got = fread(rd->raw, 1, want_bytes, rd->f);
+  size_t got_floats = got / elem;
+  switch (rd->fmt) {
+    case 0: memcpy(dst, rd->raw, got_floats * sizeof(float)); break;
+    case 1: sdrio_convert_cs16(reinterpret_cast<int16_t*>(rd->raw), dst,
+                               got_floats); break;
+    case 2: sdrio_convert_cu8(rd->raw, dst, got_floats); break;
+    case 3: sdrio_convert_cs8(reinterpret_cast<int8_t*>(rd->raw), dst,
+                              got_floats); break;
+  }
+  if (got_floats < n_floats)
+    memset(dst + got_floats, 0, (n_floats - got_floats) * sizeof(float));
+  return got_floats / 2;
+}
+
+void sdrio_reader_close(SdrReader* rd) {
+  if (!rd) return;
+  fclose(rd->f);
+  free(rd->raw);
+  delete rd;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming WAV writer
+// ---------------------------------------------------------------------------
+
+struct SdrWav {
+  FILE* f;
+  uint32_t data_bytes;
+  uint32_t sample_rate;
+  int s16;            // 1 = int16 PCM, 0 = float32
+};
+
+static void wav_write_header(SdrWav* w) {
+  uint32_t sampwidth = w->s16 ? 2 : 4;
+  uint16_t fmt_tag = w->s16 ? 1 : 3;
+  uint32_t byte_rate = w->sample_rate * sampwidth;
+  uint32_t riff_len = 36 + w->data_bytes;
+  uint16_t block = static_cast<uint16_t>(sampwidth);
+  uint16_t bits = static_cast<uint16_t>(8 * sampwidth);
+  uint32_t fmt_len = 16;
+  fseek(w->f, 0, SEEK_SET);
+  fwrite("RIFF", 1, 4, w->f);
+  fwrite(&riff_len, 4, 1, w->f);
+  fwrite("WAVEfmt ", 1, 8, w->f);
+  fwrite(&fmt_len, 4, 1, w->f);
+  fwrite(&fmt_tag, 2, 1, w->f);
+  uint16_t channels = 1;
+  fwrite(&channels, 2, 1, w->f);
+  fwrite(&w->sample_rate, 4, 1, w->f);
+  fwrite(&byte_rate, 4, 1, w->f);
+  fwrite(&block, 2, 1, w->f);
+  fwrite(&bits, 2, 1, w->f);
+  fwrite("data", 1, 4, w->f);
+  fwrite(&w->data_bytes, 4, 1, w->f);
+}
+
+SdrWav* sdrio_wav_open(const char* path, uint32_t sample_rate, int s16) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return nullptr;
+  auto* w = new SdrWav{f, 0, sample_rate, s16};
+  wav_write_header(w);
+  return w;
+}
+
+void sdrio_wav_write(SdrWav* w, const float* samples, size_t n) {
+  if (w->s16) {
+    int16_t buf[4096];
+    size_t done = 0;
+    while (done < n) {
+      size_t chunk = n - done < 4096 ? n - done : 4096;
+      sdrio_convert_f32_to_s16(samples + done, buf, chunk, 32767.0f);
+      fwrite(buf, 2, chunk, w->f);
+      done += chunk;
+      w->data_bytes += static_cast<uint32_t>(2 * chunk);
+    }
+  } else {
+    fwrite(samples, 4, n, w->f);
+    w->data_bytes += static_cast<uint32_t>(4 * n);
+  }
+}
+
+void sdrio_wav_close(SdrWav* w) {
+  if (!w) return;
+  wav_write_header(w);      // patch sizes
+  fclose(w->f);
+  delete w;
+}
+
+}  // extern "C"

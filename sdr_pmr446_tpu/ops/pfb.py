@@ -66,7 +66,7 @@ class PFBChannelizer:
             rhs[2 * kk, 1] = -ck[:, kk].imag
             rhs[2 * kk + 1, 0] = ck[:, kk].imag
             rhs[2 * kk + 1, 1] = ck[:, kk].real
-        self.rhs = jnp.asarray(rhs)
+        self.rhs = rhs  # NumPy: safe as a jit trace constant
 
     def init(self):
         return (jnp.zeros((self.hist_len,), jnp.complex64),

@@ -56,8 +56,10 @@ class PolyResampler:
         self.M = M
         taps = np.asarray(taps, dtype=np.float64)
         self.P = taps.shape[0] // L
-        self.kernel = jnp.asarray(
-            _kernel_matrix(tuple(taps.tolist()), L, M), dtype=jnp.float32)
+        # keep as NumPy: trace-time constants must not be device arrays
+        # (avoids a device->host read when jit embeds them into the program)
+        self.kernel = _kernel_matrix(tuple(taps.tolist()), L, M).astype(
+            np.float32)
         self.W = self.kernel.shape[1]
         self.hist_len = self.P - 1
 

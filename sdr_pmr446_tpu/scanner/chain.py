@@ -91,12 +91,12 @@ class ScannerChain:
         self.resampler = PolyResampler(D.resampler_taps(), C.RESAMP_L,
                                        C.RESAMP_M)
         self.pfb = PFBChannelizer(D.pfb_prototype())
-        self.hp_taps = jnp.asarray(D.ctcss_hp_taps(), jnp.float32)
-        self.lp_taps = jnp.asarray(D.audio_lp_taps(), jnp.float32)
+        self.hp_taps = D.ctcss_hp_taps().astype(np.float32)
+        self.lp_taps = D.audio_lp_taps().astype(np.float32)
         if fir_deemph:
-            self.deemph_taps = jnp.asarray(D.deemph_fir_taps(), jnp.float32)
+            self.deemph_taps = D.deemph_fir_taps().astype(np.float32)
         else:
-            self.deemph_taps = jnp.asarray(D.deemph_fir_equiv(), jnp.float32)
+            self.deemph_taps = D.deemph_fir_equiv().astype(np.float32)
         self.deemph_hist_len = self.deemph_taps.shape[0] - 1
 
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))

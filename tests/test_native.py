@@ -1,0 +1,92 @@
+"""Native IO engine tests (run against libsdrio.so when built, and against
+the NumPy fallbacks otherwise — both paths are exercised via monkeypatch)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sdr_pmr446_tpu.io import native
+
+
+@pytest.fixture(params=["native", "fallback"])
+def io_mode(request, monkeypatch):
+    if request.param == "native":
+        if not native.have_native():
+            if not native.build_native():
+                pytest.skip("native build unavailable")
+    else:
+        monkeypatch.setattr(native, "_lib", None)
+    return request.param
+
+
+def test_ring_buffer_basic(io_mode):
+    r = native.RingBuffer(16)
+    assert r.size() == 0
+    assert r.write(np.arange(10, dtype=np.float32)) == 10
+    assert r.size() == 10
+    out = r.read(6)
+    np.testing.assert_array_equal(out, np.arange(6, dtype=np.float32))
+    # wraparound
+    assert r.write(np.arange(10, 20, dtype=np.float32)) == 10
+    out = r.read(14)
+    np.testing.assert_array_equal(out, np.arange(6, 20, dtype=np.float32))
+
+
+def test_ring_buffer_overflow_underflow(io_mode):
+    r = native.RingBuffer(8)
+    assert r.write(np.ones(12, np.float32)) == 8   # truncates at capacity
+    out = r.read(10, zero_fill=True)               # underrun zero-fills
+    np.testing.assert_array_equal(out[:8], np.ones(8, np.float32))
+    np.testing.assert_array_equal(out[8:], np.zeros(2, np.float32))
+
+
+@pytest.mark.parametrize("fmt,dtype", [("cs16", np.int16), ("cu8", np.uint8),
+                                       ("cs8", np.int8)])
+def test_convert_iq(io_mode, fmt, dtype):
+    rng = np.random.default_rng(0)
+    if fmt == "cu8":
+        raw = rng.integers(0, 256, 2048, dtype=dtype)
+    else:
+        info = np.iinfo(dtype)
+        raw = rng.integers(info.min, info.max, 2048, dtype=dtype)
+    x = native.convert_iq(raw, fmt)
+    assert x.dtype == np.complex64 and len(x) == 1024
+    scale = {"cs16": 32768.0, "cu8": None, "cs8": 128.0}[fmt]
+    f = raw.astype(np.float64)
+    ref = ((f - 127.5) / 127.5 if scale is None else f / scale)
+    np.testing.assert_allclose(x.real, ref[0::2], atol=1e-6)
+    np.testing.assert_allclose(x.imag, ref[1::2], atol=1e-6)
+
+
+def test_capture_reader_blocks(io_mode, tmp_path):
+    from sdr_pmr446_tpu.io import iq as iq_io
+    # 0.2 scale keeps all samples inside the cs16 range (no clipping)
+    iq = (np.random.default_rng(1).standard_normal(2500)
+          + 1j * np.random.default_rng(2).standard_normal(2500)
+          ).astype(np.complex64) * 0.2
+    p = str(tmp_path / "cap.cs16")
+    iq_io.write_iq(p, iq, "cs16")
+    rd = native.CaptureReader(p, "cs16")
+    b1, n1 = rd.read_block(1000)
+    b2, n2 = rd.read_block(1000)
+    b3, n3 = rd.read_block(1000)
+    rd.close()
+    assert (n1, n2, n3) == (1000, 1000, 500)
+    got = np.concatenate([b1, b2, b3[:500]])
+    np.testing.assert_allclose(got, iq, atol=2e-4)
+    np.testing.assert_array_equal(b3[500:], 0)
+
+
+def test_wav_writer_streaming(io_mode, tmp_path):
+    from sdr_pmr446_tpu.io import wav as wav_io
+    x = np.sin(np.linspace(0, 30, 5000)).astype(np.float32) * 0.8
+    for s16 in (False, True):
+        p = str(tmp_path / f"out_{s16}.wav")
+        w = native.WavWriter(p, 12500, s16=s16)
+        w.write(x[:2000])
+        w.write(x[2000:])
+        w.close()
+        y, rate = wav_io.read_wav(p)
+        assert rate == 12500
+        np.testing.assert_allclose(y, x, atol=1e-4 if s16 else 1e-7)
