@@ -1,0 +1,46 @@
+"""Profiling utils, PLL design exploration, graft entry points."""
+
+import numpy as np
+
+
+def test_throughput_meter():
+    from sdr_pmr446_tpu.utils.profiling import ThroughputMeter
+    m = ThroughputMeter(samples_per_block=1000)
+    for _ in range(3):
+        m.start()
+        m.stop()
+    r = m.report()
+    assert r["blocks"] == 3 and r["samples_per_sec"] > 0
+
+
+def test_pll_locks_on_tone():
+    from sdr_pmr446_tpu.taps.pll_des import evaluate_on_tone
+    res = evaluate_on_tone(code=12, amp=0.15, noise=0.02, seconds=1.0)
+    assert res.locked_fraction > 0.9
+    # tracks the tone frequency
+    from sdr_pmr446_tpu import config as C
+    f0 = C.CTCSS_FREQS[11]
+    tail = res.freq_track[-2000:]
+    assert abs(np.mean(tail) - f0) < 2.0
+
+
+def test_pll_no_lock_on_noise():
+    from sdr_pmr446_tpu.taps.pll_des import CtcssPLL
+    rng = np.random.default_rng(0)
+    x = 0.15 * rng.standard_normal(12500)
+    res = CtcssPLL(94.8).run(x)
+    assert res.locked_fraction < 0.5
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as g
+    import jax
+    fn, args = g.entry()
+    state, out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.asarray(out.active_chan).shape[0] == 2
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(4)
