@@ -27,6 +27,13 @@ def main() -> int:
     args = p.parse_args()
 
     import jax
+    # persistent compile cache: the TPU toolchain here compiles remotely and
+    # slowly; caching makes repeat bench runs start in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from sdr_pmr446_tpu import config as C
     from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params

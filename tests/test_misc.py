@@ -44,3 +44,33 @@ def test_graft_entry_single():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(4)
+
+
+def test_record_app(tmp_path):
+    from sdr_pmr446_tpu.apps import record as app
+    from sdr_pmr446_tpu.io import iq as iq_io, synth, wav
+    from sdr_pmr446_tpu import config as C
+    # signal for first half only -> one tuned segment
+    n = 10 * C.SUBCHUNK_IN
+    sig1 = synth.make_scanner_iq(n, channel=5, ctcss_code=None)
+    rng = np.random.default_rng(0)
+    noise = 1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    iqp = str(tmp_path / "cap.cf32")
+    iq_io.write_iq(iqp, np.concatenate([sig1, noise]))
+    rc = app.main(["--input", iqp, "--outdir", str(tmp_path),
+                   "--subchunks-per-step", "5"])
+    assert rc == 0
+    wavs = sorted(tmp_path.glob("pmr446_*.wav"))
+    assert len(wavs) == 1
+    audio, rate = wav.read_wav(str(wavs[0]))
+    assert rate == C.AUDIO_SAMPLERATE and len(audio) > 0
+
+
+def test_filter_des_app(tmp_path):
+    from sdr_pmr446_tpu.apps import filter_des as app
+    rc = app.main(["--outdir", str(tmp_path / "d")])
+    assert rc == 0
+    import os
+    files = os.listdir(tmp_path / "d")
+    assert "ctcss_hp_response.csv" in files
+    assert "deemph_iir_taps.csv" in files
