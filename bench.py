@@ -1,12 +1,23 @@
-"""Benchmark: IQ Msamples/s/chip through the full 16-channel scanner chain.
+"""Benchmark: IQ Msamples/s/chip through the TPU scanner chains.
 
-Prints ONE JSON line:
+Default config ("scanner") prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
 
 vs_baseline is the real-time multiple over the reference's sustained input
-rate (1.024 Msps, the implicit baseline of BASELINE.md — the C app is a live
-receiver, so 1x real time is what it provably achieves).  The north-star
-target is >=1000x per chip (BASELINE.json).
+rate (1.024 Msps — the implicit baseline of BASELINE.md: the C app is a live
+receiver, so 1x real time is what it provably achieves).  North-star target
+is >=1000x per chip (BASELINE.json).
+
+--config selects the BASELINE.json bench configs:
+  scanner    full 16-ch PFB + NBFM + CTCSS + audio chain   (config 2)
+  single     single-channel NBFM monitor chain             (config 1)
+  dsd        dsd_in wideband-FM front-end to 48 kHz s16    (config 3)
+  waterfall  scanner with the spectrogram tap enabled      (config 4)
+
+Throughput is measured with input resident on device and state donated —
+the steady-state streaming regime (host IO runs concurrently through the
+native engine in deployment; the dev-environment TPU tunnel's transfer
+bandwidth is not the subject of the benchmark).
 """
 
 import argparse
@@ -14,16 +25,30 @@ import json
 import sys
 import time
 
-import numpy as np
+
+def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs):
+    import jax
+    for _ in range(warmup):
+        state, out = step(state, *inputs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    done = 0
+    while done < iters and time.perf_counter() - t0 < secs:
+        state, out = step(state, *inputs)
+        done += 1
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return n_samples_per_step * done / dt / 1e6
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default="scanner",
+                   choices=["scanner", "single", "dsd", "waterfall"])
     p.add_argument("--subchunks-per-step", type=int, default=40)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--secs", type=float, default=20.0,
-                   help="max wall time for the measured loop")
+    p.add_argument("--secs", type=float, default=20.0)
     args = p.parse_args()
 
     import jax
@@ -36,37 +61,53 @@ def main() -> int:
         pass
     import jax.numpy as jnp
     from sdr_pmr446_tpu import config as C
-    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
     from sdr_pmr446_tpu.io import synth
 
-    chain = ScannerChain(C.BlockConfig(args.subchunks_per_step))
-    params = make_runtime_params(C.ScannerArgs())
-    state = chain.init_state()
-    n = chain.block.input_len
-    iq = jnp.asarray(synth.make_scanner_iq(n, channel=5, ctcss_code=12),
-                     jnp.complex64)
+    k = args.subchunks_per_step
+    if args.config in ("scanner", "waterfall"):
+        from sdr_pmr446_tpu.scanner.chain import (ScannerChain,
+                                                  make_runtime_params)
+        chain = ScannerChain(
+            C.BlockConfig(k),
+            waterfall=80 if args.config == "waterfall" else 0)
+        state = chain.init_state()
+        n = chain.block.input_len
+        iq = jnp.asarray(synth.make_scanner_iq(n, channel=5, ctcss_code=12),
+                         jnp.complex64)
+        inputs = (iq, make_runtime_params(C.ScannerArgs()))
+        step = chain.step
+        metric = ("16ch PMR446 scanner chain input throughput per chip"
+                  if args.config == "scanner" else
+                  "scanner+waterfall chain input throughput per chip")
+    elif args.config == "single":
+        from sdr_pmr446_tpu.scanner.single import SingleChannelChain
+        chain = SingleChannelChain(channel=5, subchunks_per_step=k)
+        state = chain.init_state()
+        n = chain.input_len
+        iq = jnp.asarray(synth.make_scanner_iq(n, channel=5),
+                         jnp.complex64)
+        inputs = (iq,)
+        step = chain.step
+        metric = "single-channel NBFM chain input throughput per chip"
+    else:
+        from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
+        chain = DsdInChain(subchunks_per_step=k)
+        state = chain.init_state()
+        n = chain.input_len
+        iq = jnp.asarray(synth.make_scanner_iq(n, channel=8),
+                         jnp.complex64)
+        inputs = (iq,)
+        step = chain.step
+        metric = "dsd_in chain input throughput per chip"
 
-    # compile + warmup
-    for _ in range(args.warmup):
-        state, out = chain.step(state, iq, params)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    iters = 0
-    while iters < args.iters and time.perf_counter() - t0 < args.secs:
-        state, out = chain.step(state, iq, params)
-        iters += 1
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    msps = n * iters / dt / 1e6
-    result = {
-        "metric": "16ch PMR446 scanner chain input throughput per chip",
+    msps = _measure(step, state, inputs, n, args.iters, args.warmup,
+                    args.secs)
+    print(json.dumps({
+        "metric": metric,
         "value": round(msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / (C.SDR_SAMPLERATE / 1e6), 1),
-    }
-    print(json.dumps(result))
+    }))
     return 0
 
 

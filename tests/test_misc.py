@@ -74,3 +74,23 @@ def test_filter_des_app(tmp_path):
     files = os.listdir(tmp_path / "d")
     assert "ctcss_hp_response.csv" in files
     assert "deemph_iir_taps.csv" in files
+
+
+def test_single_channel_chain():
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu import config as C
+    from sdr_pmr446_tpu.io import synth
+    from sdr_pmr446_tpu.scanner.single import SingleChannelChain
+    chain = SingleChannelChain(channel=5, subchunks_per_step=5)
+    n = 2 * chain.input_len
+    iq = synth.make_scanner_iq(n, channel=5, ctcss_code=None)
+    st = chain.init_state()
+    parts = []
+    for i in range(2):
+        st, audio = chain.step(st, jnp.asarray(
+            iq[i * chain.input_len:(i + 1) * chain.input_len], jnp.complex64))
+        parts.append(np.asarray(audio))
+    audio = np.concatenate(parts)
+    assert len(audio) == n * 25 // 2048
+    snr = synth.tone_snr_db(audio[4000:], 1000.0)
+    assert snr > 35.0, f"single-channel tone SNR {snr:.1f}"
