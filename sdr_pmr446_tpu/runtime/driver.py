@@ -81,7 +81,8 @@ class ScannerDriver:
     # ------------------------------------------------------------------
     def _drain(self, out: StepOutputs, audio, audio_sub, active, rssi, rel,
                events, wf_rows) -> None:
-        o = {f: np.asarray(getattr(out, f)) for f in out._fields}
+        from sdr_pmr446_tpu.runtime.transfer import fetch
+        o = dict(zip(out._fields, fetch(list(out))))
         k = len(o["active_chan"])
         for i in range(k):
             sub = self.subchunk + i

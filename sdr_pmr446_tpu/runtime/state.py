@@ -75,7 +75,9 @@ def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
 
 def save_state(path: str, block_index: int, state: ScannerState) -> None:
     """Checkpoint = (block index, full carried-state pytree) -> .npz."""
-    arrs = {f"s{i}": np.asarray(v) for i, v in enumerate(state)}
+    from sdr_pmr446_tpu.runtime.transfer import fetch
+    host = fetch(list(state))
+    arrs = {f"s{i}": v for i, v in enumerate(host)}
     np.savez(path, block_index=np.int64(block_index), **arrs)
 
 

@@ -94,3 +94,18 @@ def test_single_channel_chain():
     assert len(audio) == n * 25 // 2048
     snr = synth.tone_snr_db(audio[4000:], 1000.0)
     assert snr > 35.0, f"single-channel tone SNR {snr:.1f}"
+
+
+def test_transfer_fetch_roundtrip():
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.runtime.transfer import fetch
+    tree = {"a": jnp.arange(5, dtype=jnp.int32),
+            "b": jnp.ones(3, jnp.complex64) * (1 + 2j),
+            "c": jnp.asarray(True),
+            "d": jnp.linspace(0, 1, 4)}
+    out = fetch(tree)
+    assert out["a"].dtype == np.int32
+    np.testing.assert_array_equal(out["a"], np.arange(5))
+    assert out["b"].dtype == np.complex64
+    np.testing.assert_allclose(out["b"], (1 + 2j) * np.ones(3))
+    assert out["c"].dtype == np.bool_ and bool(out["c"])
