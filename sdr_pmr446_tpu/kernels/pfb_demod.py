@@ -1,0 +1,192 @@
+"""Pallas TPU kernel: fused PFB channelizer + NBFM discriminator.
+
+The "metric kernel" of SURVEY.md §7 step 5: one pass over the 200 kHz band
+computes, per 16-sample frame,
+
+  1. the 16-channel critically-sampled PFB analysis (prototype FIR x DFT16 x
+     NCO mixer folded into one static [416, 32] real kernel — same math as
+     ops/pfb.py),
+  2. the (-1)^frame mixer parity,
+  3. the NBFM quadrature discriminator against the previous frame,
+  4. the channel magnitudes (squelch/RSSI input),
+
+without materializing the complex channel matrix in HBM.  Per grid step a
+[2, 16*TILE_F + 400] band slice is DMA'd from HBM into VMEM scratch
+(overlapping windows can't be expressed as BlockSpec tiles), the window
+matrix [TILE_F, 416] is assembled with 26 aligned row-block copies, and one
+MXU matmul against the fused [416, 32] kernel produces Re/Im of all 16
+channels.  The previous frame's outputs persist in VMEM scratch across the
+(sequential) TPU grid, so the discriminator adds no HBM traffic.
+
+Sign bookkeeping: y_true[f] = (-1)^(n0+f) * conv_f with n0 the carried global
+frame parity.  The caller folds (-1)^(n0) into the input (linearity); the
+kernel applies (-1)^(local f); outputs are therefore already in true space,
+and the carried prev sample needs no adjustment.
+
+A pure-JAX reference path (reference_impl) defines the exact semantics;
+tests compare both (kernel in interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.ops.pfb import make_pfb_kernel
+
+NCH = C.NUM_CHANNELS                  # 16
+NTAPS = 2 * NCH * C.PFB_SEMILENGTH    # 416
+HIST = NTAPS - NCH                    # 400
+SUB = NTAPS // NCH                    # 26 row-blocks per window
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_kernel_matrix() -> np.ndarray:
+    """CK split into Re/Im planes: [2, 416, 16] f32."""
+    from sdr_pmr446_tpu.taps import design as D
+    ck = make_pfb_kernel(D.pfb_prototype())      # [416, 16] complex
+    return np.stack([ck.real, ck.imag]).astype(np.float32)
+
+
+def _body(x_hbm, kr_ref, ki_ref, prev_ref,
+          demod_out, mag_out, prev_out,
+          x_vmem, win_r, win_i, prev_scratch, sem):
+    tile_f = demod_out.shape[1]
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    slice_len = tile_f * NCH + HIST
+
+    # stage the (overlapping) band slice: x_hbm[:, step*tile*16 : ... +400]
+    dma = pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(step * tile_f * NCH, slice_len)],
+        x_vmem, sem)
+    dma.start()
+
+    @pl.when(step == 0)
+    def _():
+        prev_scratch[:, :] = prev_ref[:, :]
+
+    dma.wait()
+
+    xr_frames = x_vmem[0, :].reshape(tile_f + SUB - 1, NCH)
+    xi_frames = x_vmem[1, :].reshape(tile_f + SUB - 1, NCH)
+    for i in range(SUB):
+        win_r[:, i * NCH:(i + 1) * NCH] = xr_frames[i:i + tile_f, :]
+        win_i[:, i * NCH:(i + 1) * NCH] = xi_frames[i:i + tile_f, :]
+
+    kr = kr_ref[:]
+    ki = ki_ref[:]
+    wr = win_r[:]
+    wi = win_i[:]
+    yr = (jnp.dot(wr, kr, preferred_element_type=jnp.float32)
+          - jnp.dot(wi, ki, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(wr, ki, preferred_element_type=jnp.float32)
+          + jnp.dot(wi, kr, preferred_element_type=jnp.float32))
+
+    # (-1)^(local frame index); tile_f is even so step offsets don't matter,
+    # but include them for generality
+    f_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_f, NCH), 0)
+    sign = jnp.where(((f_idx + step * tile_f) % 2) == 0, 1.0, -1.0
+                     ).astype(jnp.float32)
+    yr = yr * sign
+    yi = yi * sign
+
+    # discriminator vs previous frame
+    pr = jnp.concatenate([prev_scratch[0:1, :], yr[:-1, :]], axis=0)
+    pi = jnp.concatenate([prev_scratch[1:2, :], yi[:-1, :]], axis=0)
+    dr = yr * pr + yi * pi
+    di = yi * pr - yr * pi
+    demod = jnp.arctan2(di, dr) * (1.0 / (2.0 * math.pi * C.FM_KF))
+
+    demod_out[:, :] = demod.T
+    mag_out[:, :] = jnp.sqrt(yr * yr + yi * yi).T
+    prev_scratch[0, :] = yr[-1, :]
+    prev_scratch[1, :] = yi[-1, :]
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        prev_out[:, :] = prev_scratch[:, :]
+
+
+class PallasPfbDemod:
+    """Fused replacement for pfb.apply + fm.fm_demod + |y| (RSSI input)."""
+
+    def __init__(self, tile_f: int = 512, interpret: bool = False):
+        self.tile_f = tile_f
+        self.interpret = interpret
+        self.kmat = _fused_kernel_matrix()       # [2, 416, 16] numpy
+
+    def __call__(self, band: jax.Array, hist: jax.Array, parity: jax.Array,
+                 prev: jax.Array):
+        """band [T_r] c64, hist [400] c64, parity i32 scalar, prev [16] c64.
+
+        Returns (demod [16,F] f32, mag [16,F] f32, new_hist [400] c64,
+        new_parity i32, new_prev [16] c64).
+        """
+        t = band.shape[-1]
+        f_total = t // NCH
+        tile = self.tile_f
+        assert f_total % tile == 0, (f_total, tile)
+        xe = jnp.concatenate([hist, band])
+        psign = (1.0 - 2.0 * (parity % 2)).astype(jnp.float32)
+        x2 = jnp.stack([jnp.real(xe), jnp.imag(xe)]
+                       ).astype(jnp.float32) * psign
+        prev_ri = jnp.stack([jnp.real(prev), jnp.imag(prev)]
+                            ).astype(jnp.float32)
+
+        grid = (f_total // tile,)
+        slice_len = tile * NCH + HIST
+        demod, mag, prev_ri_out = pl.pallas_call(
+            _body,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),      # x2 stays in HBM
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # kr
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # ki
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # prev
+            ],
+            out_specs=[
+                pl.BlockSpec((NCH, tile), lambda s: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NCH, tile), lambda s: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NCH, f_total), jnp.float32),
+                jax.ShapeDtypeStruct((NCH, f_total), jnp.float32),
+                jax.ShapeDtypeStruct((2, NCH), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, slice_len), jnp.float32),
+                pltpu.VMEM((tile, NTAPS), jnp.float32),
+                pltpu.VMEM((tile, NTAPS), jnp.float32),
+                pltpu.VMEM((2, NCH), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=self.interpret,
+        )(x2, jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]), prev_ri)
+
+        new_hist = xe[t:]
+        new_parity = (parity + f_total) % 2
+        new_prev = jax.lax.complex(prev_ri_out[0], prev_ri_out[1]
+                                   ).astype(jnp.complex64)
+        return demod, mag, new_hist, new_parity, new_prev
+
+
+def reference_impl(band, hist, parity, prev):
+    """Pure-JAX semantics: ops/pfb + ops/fm + magnitude."""
+    from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
+    from sdr_pmr446_tpu.ops import fm
+    from sdr_pmr446_tpu.taps import design as D
+    pfb = PFBChannelizer(D.pfb_prototype())
+    (new_hist, new_parity), chan = pfb.apply((hist, parity), band)
+    new_prev, demod = fm.fm_demod(prev, chan)
+    return demod, jnp.abs(chan), new_hist, new_parity, new_prev

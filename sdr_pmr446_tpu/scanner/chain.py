@@ -82,11 +82,18 @@ class ScannerChain:
 
     def __init__(self, block: C.BlockConfig | None = None,
                  lowpass: bool = False, fir_deemph: bool = False,
-                 waterfall: int = 0):
+                 waterfall: int = 0, use_pallas: bool = False,
+                 pallas_interpret: bool = False):
         self.block = block or C.BlockConfig()
         self.lowpass = lowpass
         self.fir_deemph = fir_deemph
         self.waterfall = waterfall
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
+            # one sub-chunk of channel frames per grid step
+            self.pallas_pfb = PallasPfbDemod(tile_f=C.SUBCHUNK_AUDIO,
+                                             interpret=pallas_interpret)
 
         self.resampler = PolyResampler(D.resampler_taps(), C.RESAMP_L,
                                        C.RESAMP_M)
@@ -124,15 +131,21 @@ class ScannerChain:
         # 2. 25/128 polyphase resampler to 200 kHz (:425-428,796)
         resamp_hist, band = self.resampler.apply(state.resamp_hist, x)
 
-        # 3. fused NCO + PFB channelizer -> [16, T_a] baseband channels
-        (pfb_hist, parity), chan = self.pfb.apply(
-            (state.pfb_hist, state.frame_parity), band)
-
-        # 4. per-sub-chunk per-channel RSSI (:330-336)
-        rssi_db = rssi_op.subchunk_rssi(chan, K)          # [K, 16]
-
-        # 5. NBFM discriminator, all channels (:440,881)
-        demod_prev, demod = fm.fm_demod(state.demod_prev, chan)
+        # 3-5. NCO + PFB channelizer + RSSI + NBFM discriminator
+        if self.use_pallas:
+            # fused Pallas kernel (kernels/pfb_demod.py): demod + |y| in one
+            # VMEM-resident pass, no channel matrix in HBM
+            demod, mag, pfb_hist, parity, demod_prev = self.pallas_pfb(
+                band, state.pfb_hist, state.frame_parity, state.demod_prev)
+            blocks = mag.reshape(C.NUM_CHANNELS, K, C.SUBCHUNK_AUDIO)
+            rssi_db = jnp.moveaxis(
+                20.0 * jnp.log10(jnp.maximum(jnp.mean(blocks, axis=-1),
+                                             1e-30)), 0, 1)
+        else:
+            (pfb_hist, parity), chan = self.pfb.apply(
+                (state.pfb_hist, state.frame_parity), band)
+            rssi_db = rssi_op.subchunk_rssi(chan, K)      # [K, 16]
+            demod_prev, demod = fm.fm_demod(state.demod_prev, chan)
 
         # 6. audio path, all channels:
         #    HP (CTCSS removal), complementary LP branch = delay - HP (:882-891)

@@ -1,0 +1,93 @@
+"""Pallas kernel correctness: interpret mode vs pure-JAX reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod, reference_impl
+
+
+@pytest.mark.parametrize("parity", [0, 1])
+def test_pfb_demod_kernel_matches_reference(parity):
+    rng = np.random.default_rng(0)
+    t = 4 * 128 * C.NUM_CHANNELS            # F = 512 frames, one tile
+    band = (rng.standard_normal(t) + 1j * rng.standard_normal(t)
+            ).astype(np.complex64)
+    hist = (rng.standard_normal(400) + 1j * rng.standard_normal(400)
+            ).astype(np.complex64)
+    prev = (rng.standard_normal(16) + 1j * rng.standard_normal(16)
+            ).astype(np.complex64)
+
+    k = PallasPfbDemod(tile_f=128, interpret=True)
+    d1, m1, h1, p1, pr1 = k(jnp.asarray(band), jnp.asarray(hist),
+                            jnp.asarray(parity, jnp.int32),
+                            jnp.asarray(prev))
+    d2, m2, h2, p2, pr2 = reference_impl(jnp.asarray(band),
+                                         jnp.asarray(hist),
+                                         jnp.asarray(parity, jnp.int32),
+                                         jnp.asarray(prev))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=0)
+    assert int(p1) == int(p2)
+    np.testing.assert_allclose(np.asarray(pr1), np.asarray(pr2),
+                               rtol=0, atol=2e-4)
+
+
+def test_pfb_demod_kernel_multi_tile_streaming():
+    # multiple grid steps + cross-call state carry must equal the reference
+    rng = np.random.default_rng(3)
+    tile = 64
+    t_blk = 4 * tile * C.NUM_CHANNELS
+    k = PallasPfbDemod(tile_f=tile, interpret=True)
+
+    hist = jnp.zeros(400, jnp.complex64)
+    parity = jnp.asarray(0, jnp.int32)
+    prev = jnp.zeros(16, jnp.complex64)
+    rhist, rparity, rprev = hist, parity, prev
+    for _ in range(3):
+        band = jnp.asarray((rng.standard_normal(t_blk)
+                            + 1j * rng.standard_normal(t_blk)
+                            ).astype(np.complex64))
+        d1, m1, hist, parity, prev = k(band, hist, parity, prev)
+        d2, m2, rhist, rparity, rprev = reference_impl(band, rhist, rparity,
+                                                       rprev)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=0, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   rtol=0, atol=2e-4)
+
+
+def test_scanner_chain_with_pallas_kernel_matches():
+    """Full scanner with the fused kernel == standard chain (interpret)."""
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+    from sdr_pmr446_tpu.io import synth
+
+    iq = synth.make_scanner_iq(2 * 3 * C.SUBCHUNK_IN, channel=5,
+                               ctcss_code=12)
+    params = make_runtime_params(C.ScannerArgs())
+    outs = {}
+    for mode in ["std", "pallas"]:
+        chain = ScannerChain(C.BlockConfig(3), use_pallas=(mode == "pallas"),
+                             pallas_interpret=True)
+        st = chain.init_state()
+        step = chain.block.input_len
+        res = []
+        for i in range(2):
+            st, o = chain.step(st, jnp.asarray(
+                iq[i * step:(i + 1) * step], jnp.complex64), params)
+            res.append(o)
+        outs[mode] = res
+    for o1, o2 in zip(outs["std"], outs["pallas"]):
+        np.testing.assert_array_equal(np.asarray(o1.active_chan),
+                                      np.asarray(o2.active_chan))
+        np.testing.assert_allclose(np.asarray(o1.rssi_db),
+                                   np.asarray(o2.rssi_db), rtol=0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(o1.audio),
+                                   np.asarray(o2.audio), rtol=0, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(o1.ct_detected),
+                                      np.asarray(o2.ct_detected))
