@@ -44,7 +44,8 @@ def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs):
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="scanner",
-                   choices=["scanner", "single", "dsd", "waterfall"])
+                   choices=["scanner", "scanner-pallas", "single", "dsd",
+                            "waterfall"])
     p.add_argument("--subchunks-per-step", type=int, default=40)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
@@ -64,21 +65,26 @@ def main() -> int:
     from sdr_pmr446_tpu.io import synth
 
     k = args.subchunks_per_step
-    if args.config in ("scanner", "waterfall"):
+    if args.config in ("scanner", "scanner-pallas", "waterfall"):
         from sdr_pmr446_tpu.scanner.chain import (ScannerChain,
                                                   make_runtime_params)
         chain = ScannerChain(
             C.BlockConfig(k),
-            waterfall=80 if args.config == "waterfall" else 0)
+            waterfall=80 if args.config == "waterfall" else 0,
+            use_pallas=args.config == "scanner-pallas")
         state = chain.init_state()
         n = chain.block.input_len
         iq = jnp.asarray(synth.make_scanner_iq(n, channel=5, ctcss_code=12),
                          jnp.complex64)
         inputs = (iq, make_runtime_params(C.ScannerArgs()))
         step = chain.step
-        metric = ("16ch PMR446 scanner chain input throughput per chip"
-                  if args.config == "scanner" else
-                  "scanner+waterfall chain input throughput per chip")
+        metric = {
+            "scanner": "16ch PMR446 scanner chain input throughput per chip",
+            "scanner-pallas":
+                "16ch scanner chain (fused Pallas PFB+demod) per chip",
+            "waterfall":
+                "scanner+waterfall chain input throughput per chip",
+        }[args.config]
     elif args.config == "single":
         from sdr_pmr446_tpu.scanner.single import SingleChannelChain
         chain = SingleChannelChain(channel=5, subchunks_per_step=k)

@@ -21,21 +21,23 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=1)
 def _needs_encoding() -> bool:
-    dev = jax.devices()[0]
-    if dev.platform == "cpu":
-        return False
-    try:
-        np.asarray(jnp.zeros((1,), jnp.int32))
-        return False
-    except Exception:
-        return True
+    # Probing with an actual int32 transfer can HANG (not just fail) on the
+    # tunnel, so decide from the platform alone.  The f32 encode pass is
+    # harmless (one fused cast kernel) on backends with full transfer
+    # support, so default to encoding on every accelerator.
+    return jax.devices()[0].platform != "cpu"
 
 
 def _encode_leaf(x):
     if jnp.iscomplexobj(x):
-        return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(
+        out = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(
             jnp.float32)
-    return x.astype(jnp.float32)
+    else:
+        out = x.astype(jnp.float32)
+    # scalars and 0-d arrays transfer unreliably on the tunnel: ship as (1,)
+    if out.ndim == 0:
+        out = out.reshape((1,))
+    return out
 
 
 @functools.lru_cache(maxsize=32)
@@ -52,12 +54,15 @@ def fetch(tree):
         return jax.tree.map(np.asarray, tree)
     flat, treedef = jax.tree.flatten(tree)
     dtypes = [np.dtype(l.dtype) for l in flat]
+    shapes = [tuple(l.shape) for l in flat]
     enc = _encoder(treedef)(flat)
-    host = [np.asarray(e) for e in enc]
+    host = [np.asarray(e) if e.size else np.zeros(e.shape, np.float32)
+            for e in enc]
     out = []
-    for h, dt in zip(host, dtypes):
+    for h, dt, shp in zip(host, dtypes, shapes):
         if dt.kind == "c":
-            out.append((h[..., 0] + 1j * h[..., 1]).astype(dt))
+            v = (h[..., 0] + 1j * h[..., 1]).astype(dt)
         else:
-            out.append(h.astype(dt))
+            v = h.astype(dt)
+        out.append(v.reshape(shp))
     return jax.tree.unflatten(treedef, out)

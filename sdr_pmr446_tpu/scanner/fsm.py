@@ -88,9 +88,6 @@ def fsm_ctcss_scan(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
     K, nch, ns = lp.shape
     n_win = C.CTCSS_BLOCK_SIZE
     freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
-    omegas = jnp.asarray(
-        2.0 * np.pi * np.asarray(C.CTCSS_FREQS) / C.AUDIO_SAMPLERATE,
-        dtype=jnp.float32)
     e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
     u_table = jnp.asarray(_count_phasor_table())           # [38, 2441]
     # wrap factor applied to post-boundary samples: e^{+j w N}
