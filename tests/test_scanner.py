@@ -201,3 +201,35 @@ class TestScannerE2E:
             [np.asarray(o.audio) for o in outs1 + outs2])
         np.testing.assert_allclose(audio_resumed, outs_full["audio"],
                                    rtol=0, atol=1e-6)
+
+
+class TestVariants:
+    def _iq(self, seconds=2.0):
+        n = int(seconds * C.SDR_SAMPLERATE)
+        n -= n % (5 * C.SUBCHUNK_IN)
+        return synth.make_scanner_iq(n, channel=5, ctcss_code=12)
+
+    def _compare(self, args):
+        iq = self._iq()
+        ora = ScannerOracle(args)
+        ora.process(iq)
+        _, outs, _ = run_chain(iq, args=args)
+        np.testing.assert_array_equal(outs["active_chan"],
+                                      np.asarray(ora.active_trace))
+        j = outs["audio"][outs["audio_valid"]][2:].ravel()
+        o = np.stack(ora.audio)[2:].ravel()
+        snr = 10 * np.log10(np.mean(o ** 2)
+                            / max(np.mean((j - o) ** 2), 1e-30))
+        return snr
+
+    def test_lowpass_variant(self):
+        snr = self._compare(C.ScannerArgs(lowpass=True))
+        assert snr > 40.0, f"lowpass variant SNR {snr:.1f}"
+
+    def test_fir_deemph_variant(self):
+        snr = self._compare(C.ScannerArgs(fir_deemph=True))
+        assert snr > 40.0, f"fir-deemph variant SNR {snr:.1f}"
+
+    def test_audio_gain_and_squelch(self):
+        snr = self._compare(C.ScannerArgs(audio_gain=2.5, squelch_level=12.0))
+        assert snr > 40.0
