@@ -12,16 +12,21 @@ computes, per 16-sample frame,
 
 without materializing the complex channel matrix in HBM.  Per grid step a
 [2, 16*TILE_F + 400] band slice is DMA'd from HBM into VMEM scratch
-(overlapping windows can't be expressed as BlockSpec tiles), the window
+(overlapping windows can't be expressed as BlockSpec tiles), the windows
 matrix [TILE_F, 416] is assembled with 26 aligned row-block copies, and one
 MXU matmul against the fused [416, 32] kernel produces Re/Im of all 16
 channels.  The previous frame's outputs persist in VMEM scratch across the
 (sequential) TPU grid, so the discriminator adds no HBM traffic.
 
+Mosaic tiling requires 128-divisible frame tiles while the scanner's frame
+count per block (K*1225) has no factor of two, so the band is zero-padded up
+to a whole number of tiles and the surplus frames are sliced off on the
+host; the carried previous-sample state is reconstructed exactly from the
+true last frame with a single 416-tap dot outside the kernel.
+
 Sign bookkeeping: y_true[f] = (-1)^(n0+f) * conv_f with n0 the carried global
 frame parity.  The caller folds (-1)^(n0) into the input (linearity); the
-kernel applies (-1)^(local f); outputs are therefore already in true space,
-and the carried prev sample needs no adjustment.
+kernel applies (-1)^(local f); outputs are therefore already in true space.
 
 A pure-JAX reference path (reference_impl) defines the exact semantics;
 tests compare both (kernel in interpret mode on CPU, compiled on TPU).
@@ -56,14 +61,13 @@ def _fused_kernel_matrix() -> np.ndarray:
 
 
 def _body(x_hbm, kr_ref, ki_ref, prev_ref,
-          demod_out, mag_out, prev_out,
+          demod_out, mag_out,
           x_vmem, win_r, win_i, prev_scratch, sem):
-    tile_f = demod_out.shape[1]
+    tile_f = demod_out.shape[0]
     step = pl.program_id(0)
-    nsteps = pl.num_programs(0)
     slice_len = tile_f * NCH + HIST
 
-    # stage the (overlapping) band slice: x_hbm[:, step*tile*16 : ... +400]
+    # stage the (overlapping) band slice
     dma = pltpu.make_async_copy(
         x_hbm.at[:, pl.ds(step * tile_f * NCH, slice_len)],
         x_vmem, sem)
@@ -90,11 +94,9 @@ def _body(x_hbm, kr_ref, ki_ref, prev_ref,
     yi = (jnp.dot(wr, ki, preferred_element_type=jnp.float32)
           + jnp.dot(wi, kr, preferred_element_type=jnp.float32))
 
-    # (-1)^(local frame index); tile_f is even so step offsets don't matter,
-    # but include them for generality
+    # (-1)^(local frame index); tile_f is even so the step offset is even too
     f_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_f, NCH), 0)
-    sign = jnp.where(((f_idx + step * tile_f) % 2) == 0, 1.0, -1.0
-                     ).astype(jnp.float32)
+    sign = jnp.where((f_idx % 2) == 0, 1.0, -1.0).astype(jnp.float32)
     yr = yr * sign
     yi = yi * sign
 
@@ -103,22 +105,17 @@ def _body(x_hbm, kr_ref, ki_ref, prev_ref,
     pi = jnp.concatenate([prev_scratch[1:2, :], yi[:-1, :]], axis=0)
     dr = yr * pr + yi * pi
     di = yi * pr - yr * pi
-    demod = jnp.arctan2(di, dr) * (1.0 / (2.0 * math.pi * C.FM_KF))
-
-    demod_out[:, :] = demod.T
-    mag_out[:, :] = jnp.sqrt(yr * yr + yi * yi).T
+    demod_out[:, :] = jnp.arctan2(di, dr) * (1.0 / (2.0 * math.pi * C.FM_KF))
+    mag_out[:, :] = jnp.sqrt(yr * yr + yi * yi)
     prev_scratch[0, :] = yr[-1, :]
     prev_scratch[1, :] = yi[-1, :]
-
-    @pl.when(step == nsteps - 1)
-    def _():
-        prev_out[:, :] = prev_scratch[:, :]
 
 
 class PallasPfbDemod:
     """Fused replacement for pfb.apply + fm.fm_demod + |y| (RSSI input)."""
 
     def __init__(self, tile_f: int = 512, interpret: bool = False):
+        assert tile_f % 8 == 0 and tile_f % 2 == 0
         self.tile_f = tile_f
         self.interpret = interpret
         self.kmat = _fused_kernel_matrix()       # [2, 416, 16] numpy
@@ -133,36 +130,36 @@ class PallasPfbDemod:
         t = band.shape[-1]
         f_total = t // NCH
         tile = self.tile_f
-        assert f_total % tile == 0, (f_total, tile)
+        n_tiles = -(-f_total // tile)
+        f_pad = n_tiles * tile
         xe = jnp.concatenate([hist, band])
         psign = (1.0 - 2.0 * (parity % 2)).astype(jnp.float32)
         x2 = jnp.stack([jnp.real(xe), jnp.imag(xe)]
                        ).astype(jnp.float32) * psign
+        if f_pad != f_total:
+            x2 = jnp.pad(x2, ((0, 0), (0, (f_pad - f_total) * NCH)))
         prev_ri = jnp.stack([jnp.real(prev), jnp.imag(prev)]
                             ).astype(jnp.float32)
 
-        grid = (f_total // tile,)
         slice_len = tile * NCH + HIST
-        demod, mag, prev_ri_out = pl.pallas_call(
+        demod_p, mag_p = pl.pallas_call(
             _body,
-            grid=grid,
+            grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),      # x2 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),         # x2 stays in HBM
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # kr
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # ki
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # prev
             ],
             out_specs=[
-                pl.BlockSpec((NCH, tile), lambda s: (0, s),
+                pl.BlockSpec((tile, NCH), lambda s: (s, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((NCH, tile), lambda s: (0, s),
+                pl.BlockSpec((tile, NCH), lambda s: (s, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((NCH, f_total), jnp.float32),
-                jax.ShapeDtypeStruct((NCH, f_total), jnp.float32),
-                jax.ShapeDtypeStruct((2, NCH), jnp.float32),
+                jax.ShapeDtypeStruct((f_pad, NCH), jnp.float32),
+                jax.ShapeDtypeStruct((f_pad, NCH), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, slice_len), jnp.float32),
@@ -174,10 +171,20 @@ class PallasPfbDemod:
             interpret=self.interpret,
         )(x2, jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]), prev_ri)
 
+        demod = demod_p[:f_total].T
+        mag = mag_p[:f_total].T
+
         new_hist = xe[t:]
         new_parity = (parity + f_total) % 2
-        new_prev = jax.lax.complex(prev_ri_out[0], prev_ri_out[1]
-                                   ).astype(jnp.complex64)
+        # exact previous-sample carry: recompute the true last frame with one
+        # 416-tap dot (the kernel's own last frame may be a padded one)
+        ck = jax.lax.complex(jnp.asarray(self.kmat[0]),
+                             jnp.asarray(self.kmat[1]))   # [416, 16]
+        last_win = jax.lax.dynamic_slice_in_dim(
+            xe, xe.shape[-1] - NTAPS, NTAPS)
+        last_sign = psign * (1.0 - 2.0 * ((f_total - 1) % 2))
+        new_prev = (jnp.sum(last_win[:, None] * ck, axis=0)
+                    * last_sign).astype(jnp.complex64)
         return demod, mag, new_hist, new_parity, new_prev
 
 

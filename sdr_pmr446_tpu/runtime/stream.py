@@ -1,0 +1,82 @@
+"""Threaded streaming pipeline: capture file -> ring buffer -> block steps.
+
+The production data-loader shape of the framework: a reader thread converts
+raw IQ (via the native engine when built — sdrio's converters hold no GIL in
+the hot loop) into the SPSC ring while the main thread assembles fixed-size
+blocks and drives the jitted step.  This is the TPU-era equivalent of the
+reference's SoapySDR-read -> cbuffercf -> process loop
+(src/sdr_pmr446.c:788-816), with the ring absorbing reader/compute jitter
+exactly as the reference's ring absorbs resampler-yield jitter.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from sdr_pmr446_tpu.io import native
+
+
+class StreamingSource:
+    """Background-threaded block source over an IQ capture file."""
+
+    def __init__(self, path: str, block_len: int, fmt: str = "cf32",
+                 ring_blocks: int = 4, read_chunk: int = 1 << 16):
+        self.block_len = block_len
+        self.read_chunk = read_chunk
+        self.reader = native.CaptureReader(path, fmt)
+        # ring holds interleaved I/Q floats
+        self.ring = native.RingBuffer(2 * block_len * ring_blocks)
+        self._eof = threading.Event()
+        self._stop = threading.Event()
+        self._space = threading.Condition()
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._started = False
+
+    def _pump(self):
+        while not self._stop.is_set():
+            block, got = self.reader.read_block(self.read_chunk)
+            if got == 0:
+                self._eof.set()
+                return
+            inter = np.empty(2 * got, np.float32)
+            inter[0::2] = block.real[:got]
+            inter[1::2] = block.imag[:got]
+            written = 0
+            while written < inter.size and not self._stop.is_set():
+                w = self.ring.write(inter[written:])
+                written += w
+                if w == 0:
+                    # ring full: wait for the consumer
+                    self._stop.wait(0.001)
+            if got < self.read_chunk:
+                self._eof.set()
+                return
+
+    def blocks(self) -> Iterator[np.ndarray]:
+        """Yield complex64 blocks of block_len (zero-padded final block)."""
+        if not self._started:
+            self._thread.start()
+            self._started = True
+        need = 2 * self.block_len
+        while True:
+            if self.ring.size() >= need:
+                raw = self.ring.read(need)
+                yield (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+            elif self._eof.is_set():
+                rem = self.ring.size()
+                if rem == 0:
+                    return
+                raw = self.ring.read(need)      # zero-fills shortfall
+                yield (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+                return
+            else:
+                self._eof.wait(0.001)
+
+    def close(self):
+        self._stop.set()
+        if self._started:
+            self._thread.join(timeout=1.0)
+        self.reader.close()

@@ -91,8 +91,7 @@ class ScannerChain:
         self.use_pallas = use_pallas
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
-            # one sub-chunk of channel frames per grid step
-            self.pallas_pfb = PallasPfbDemod(tile_f=C.SUBCHUNK_AUDIO,
+            self.pallas_pfb = PallasPfbDemod(tile_f=512,
                                              interpret=pallas_interpret)
 
         self.resampler = PolyResampler(D.resampler_taps(), C.RESAMP_L,

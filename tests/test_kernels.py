@@ -42,7 +42,8 @@ def test_pfb_demod_kernel_multi_tile_streaming():
     # multiple grid steps + cross-call state carry must equal the reference
     rng = np.random.default_rng(3)
     tile = 64
-    t_blk = 4 * tile * C.NUM_CHANNELS
+    # frame count NOT a multiple of the tile: exercises end padding
+    t_blk = (3 * tile + 40) * C.NUM_CHANNELS
     k = PallasPfbDemod(tile_f=tile, interpret=True)
 
     hist = jnp.zeros(400, jnp.complex64)

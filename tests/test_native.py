@@ -90,3 +90,36 @@ def test_wav_writer_streaming(io_mode, tmp_path):
         y, rate = wav_io.read_wav(p)
         assert rate == 12500
         np.testing.assert_allclose(y, x, atol=1e-4 if s16 else 1e-7)
+
+
+def test_streaming_source_threads(io_mode, tmp_path):
+    from sdr_pmr446_tpu.io import iq as iq_io
+    from sdr_pmr446_tpu.runtime.stream import StreamingSource
+    n = 25000
+    iq = (0.1 * (np.random.default_rng(5).standard_normal(n)
+                 + 1j * np.random.default_rng(6).standard_normal(n))
+          ).astype(np.complex64)
+    p = str(tmp_path / "cap.cf32")
+    iq_io.write_iq(p, iq)
+    src = StreamingSource(p, block_len=8192, read_chunk=1000)
+    blocks = list(src.blocks())
+    src.close()
+    got = np.concatenate(blocks)
+    assert len(got) % 8192 == 0 and len(got) >= n
+    np.testing.assert_allclose(got[:n], iq, atol=1e-6)
+    np.testing.assert_array_equal(got[n:], 0)
+
+
+def test_streaming_source_drives_scanner(io_mode, tmp_path):
+    from sdr_pmr446_tpu.io import iq as iq_io, synth
+    from sdr_pmr446_tpu.runtime.stream import StreamingSource
+    from sdr_pmr446_tpu.runtime.driver import ScannerDriver
+    from sdr_pmr446_tpu import config as C
+    iq = synth.make_scanner_iq(10 * C.SUBCHUNK_IN, channel=5, ctcss_code=12)
+    p = str(tmp_path / "cap.cs16")
+    iq_io.write_iq(p, 0.5 * iq, "cs16")
+    drv = ScannerDriver(subchunks_per_step=5)
+    src = StreamingSource(p, block_len=drv.block_len, fmt="cs16")
+    res = drv.run(src.blocks())
+    src.close()
+    assert any(e.startswith("Tuned to channel 5") for e in res.events)
