@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.ops.pfb import make_pfb_kernel
+from sdr_pmr446_tpu.kernels import kmath
 
 NCH = C.NUM_CHANNELS                  # 16
 NTAPS = 2 * NCH * C.PFB_SEMILENGTH    # 416
@@ -105,7 +106,7 @@ def _body(x_hbm, kr_ref, ki_ref, prev_ref,
     pi = jnp.concatenate([prev_scratch[1:2, :], yi[:-1, :]], axis=0)
     dr = yr * pr + yi * pi
     di = yi * pr - yr * pi
-    demod_out[:, :] = jnp.arctan2(di, dr) * (1.0 / (2.0 * math.pi * C.FM_KF))
+    demod_out[:, :] = kmath.atan2(di, dr) * (1.0 / (2.0 * math.pi * C.FM_KF))
     mag_out[:, :] = jnp.sqrt(yr * yr + yi * yi)
     prev_scratch[0, :] = yr[-1, :]
     prev_scratch[1, :] = yi[-1, :]

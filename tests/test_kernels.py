@@ -9,6 +9,16 @@ from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod, reference_impl
 
 
+
+
+def _assert_demod_close(d1, d2, atol):
+    """Compare discriminator outputs modulo the +-pi branch cut (demod units
+    are phase/pi, so wrap at +-1): random-noise fixtures legitimately produce
+    phase steps at exactly +-pi where both signs are the same angle."""
+    e = (np.asarray(d1) - np.asarray(d2) + 1.0) % 2.0 - 1.0
+    assert np.max(np.abs(e)) < atol, np.max(np.abs(e))
+
+
 @pytest.mark.parametrize("parity", [0, 1])
 def test_pfb_demod_kernel_matches_reference(parity):
     rng = np.random.default_rng(0)
@@ -30,8 +40,7 @@ def test_pfb_demod_kernel_matches_reference(parity):
                                          jnp.asarray(prev))
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
                                rtol=0, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
-                               rtol=0, atol=2e-3)
+    _assert_demod_close(d1, d2, 2e-3)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=0)
     assert int(p1) == int(p2)
     np.testing.assert_allclose(np.asarray(pr1), np.asarray(pr2),
@@ -48,7 +57,10 @@ def test_pfb_demod_kernel_multi_tile_streaming():
 
     hist = jnp.zeros(400, jnp.complex64)
     parity = jnp.asarray(0, jnp.int32)
-    prev = jnp.zeros(16, jnp.complex64)
+    # nonzero prev: with prev exactly 0 the first discriminator output is
+    # atan2(+-0, +-0), where signed-zero conventions differ between numpy and
+    # the in-kernel polynomial (both give a startup don't-care sample)
+    prev = jnp.full(16, 0.1 + 0.0j, jnp.complex64)
     rhist, rparity, rprev = hist, parity, prev
     for _ in range(3):
         band = jnp.asarray((rng.standard_normal(t_blk)
@@ -57,8 +69,7 @@ def test_pfb_demod_kernel_multi_tile_streaming():
         d1, m1, hist, parity, prev = k(band, hist, parity, prev)
         d2, m2, rhist, rparity, rprev = reference_impl(band, rhist, rparity,
                                                        rprev)
-        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
-                                   rtol=0, atol=2e-3)
+        _assert_demod_close(d1, d2, 2e-3)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
                                    rtol=0, atol=2e-4)
 
@@ -92,3 +103,13 @@ def test_scanner_chain_with_pallas_kernel_matches():
                                    np.asarray(o2.audio), rtol=0, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(o1.ct_detected),
                                       np.asarray(o2.ct_detected))
+
+
+def test_kmath_atan2_accuracy():
+    from sdr_pmr446_tpu.kernels import kmath
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(20000).astype(np.float32)
+    x = rng.standard_normal(20000).astype(np.float32)
+    got = np.asarray(kmath.atan2(jnp.asarray(y), jnp.asarray(x)))
+    ref = np.arctan2(y, x)
+    assert np.max(np.abs(got - ref)) < 3e-5
