@@ -14,7 +14,6 @@ import sys
 import numpy as np
 import jax.numpy as jnp
 
-from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.io import iq as iq_io
 from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
 

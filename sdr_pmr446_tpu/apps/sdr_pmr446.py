@@ -13,8 +13,6 @@ import argparse
 import logging
 import sys
 
-import numpy as np
-
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.io import iq as iq_io
 from sdr_pmr446_tpu.io import synth, wav

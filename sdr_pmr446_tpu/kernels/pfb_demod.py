@@ -61,27 +61,31 @@ def _fused_kernel_matrix() -> np.ndarray:
     return np.stack([ck.real, ck.imag]).astype(np.float32)
 
 
-def _body(x_hbm, kr_ref, ki_ref, prev_ref,
+def _body(xr_hbm, xi_hbm, kr_ref, ki_ref, prev_ref,
           demod_out, mag_out,
-          x_vmem, win_r, win_i, prev_scratch, sem):
+          xr_vmem, xi_vmem, win_r, win_i, prev_scratch, sems):
     tile_f = demod_out.shape[0]
     step = pl.program_id(0)
     slice_len = tile_f * NCH + HIST
 
-    # stage the (overlapping) band slice
-    dma = pltpu.make_async_copy(
-        x_hbm.at[:, pl.ds(step * tile_f * NCH, slice_len)],
-        x_vmem, sem)
-    dma.start()
+    # stage the (overlapping) band slice, one 1-D DMA per re/im plane
+    start = step * tile_f * NCH
+    dma_r = pltpu.make_async_copy(xr_hbm.at[pl.ds(start, slice_len)],
+                                  xr_vmem, sems.at[0])
+    dma_i = pltpu.make_async_copy(xi_hbm.at[pl.ds(start, slice_len)],
+                                  xi_vmem, sems.at[1])
+    dma_r.start()
+    dma_i.start()
 
     @pl.when(step == 0)
     def _():
         prev_scratch[:, :] = prev_ref[:, :]
 
-    dma.wait()
+    dma_r.wait()
+    dma_i.wait()
 
-    xr_frames = x_vmem[0, :].reshape(tile_f + SUB - 1, NCH)
-    xi_frames = x_vmem[1, :].reshape(tile_f + SUB - 1, NCH)
+    xr_frames = xr_vmem[:].reshape(tile_f + SUB - 1, NCH)
+    xi_frames = xi_vmem[:].reshape(tile_f + SUB - 1, NCH)
     for i in range(SUB):
         win_r[:, i * NCH:(i + 1) * NCH] = xr_frames[i:i + tile_f, :]
         win_i[:, i * NCH:(i + 1) * NCH] = xi_frames[i:i + tile_f, :]
@@ -135,10 +139,11 @@ class PallasPfbDemod:
         f_pad = n_tiles * tile
         xe = jnp.concatenate([hist, band])
         psign = (1.0 - 2.0 * (parity % 2)).astype(jnp.float32)
-        x2 = jnp.stack([jnp.real(xe), jnp.imag(xe)]
-                       ).astype(jnp.float32) * psign
-        if f_pad != f_total:
-            x2 = jnp.pad(x2, ((0, 0), (0, (f_pad - f_total) * NCH)))
+        pad_n = (f_pad - f_total) * NCH
+        xr_p = jnp.pad(jnp.real(xe).astype(jnp.float32) * psign,
+                       (0, pad_n))
+        xi_p = jnp.pad(jnp.imag(xe).astype(jnp.float32) * psign,
+                       (0, pad_n))
         prev_ri = jnp.stack([jnp.real(prev), jnp.imag(prev)]
                             ).astype(jnp.float32)
 
@@ -147,7 +152,8 @@ class PallasPfbDemod:
             _body,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),         # x2 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),         # xr stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),         # xi stays in HBM
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # kr
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # ki
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # prev
@@ -163,14 +169,16 @@ class PallasPfbDemod:
                 jax.ShapeDtypeStruct((f_pad, NCH), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, slice_len), jnp.float32),
+                pltpu.VMEM((slice_len,), jnp.float32),
+                pltpu.VMEM((slice_len,), jnp.float32),
                 pltpu.VMEM((tile, NTAPS), jnp.float32),
                 pltpu.VMEM((tile, NTAPS), jnp.float32),
                 pltpu.VMEM((2, NCH), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=self.interpret,
-        )(x2, jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]), prev_ri)
+        )(xr_p, xi_p, jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]),
+          prev_ri)
 
         demod = demod_p[:f_total].T
         mag = mag_p[:f_total].T

@@ -17,8 +17,6 @@ Total ~2 passes over the data instead of T sequential steps.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

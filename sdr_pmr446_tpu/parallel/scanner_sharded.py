@@ -19,7 +19,6 @@ ScannerChain (test: tests/test_sharding.py, sharded == unsharded).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -28,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.taps import design as D
-from sdr_pmr446_tpu.ops import fir, iir, fm, rssi as rssi_op
+from sdr_pmr446_tpu.ops import fir, fm, rssi as rssi_op
 from sdr_pmr446_tpu.ops.resample import PolyResampler
 from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
 from sdr_pmr446_tpu.runtime.state import ScannerState, init_scanner_state
@@ -189,6 +188,7 @@ class ShardedScannerChain:
             rssi_db=rssi_local,
             ev_tuned=loc(fo.ev_tuned), ev_detuned=loc(fo.ev_detuned),
             ev_changed=loc(fo.ev_changed), ev_prev_chan=loc(fo.ev_prev_chan),
+            ev_new_chan=loc(fo.ev_new_chan),
             ct_detected=loc(fo.ct_detected), ct_max_idx=loc(fo.ct_max_idx),
             ct_freq=loc(fo.ct_freq),
             ev_ct_acquired=loc(fo.ev_ct_acquired),

@@ -109,12 +109,12 @@ class ScannerDriver:
         if o["ev_changed"][i]:
             msgs.append(f"Changed active channel from "
                         f"{o['ev_prev_chan'][i] + 1} to "
-                        f"{o['active_chan'][i] + 1}")
+                        f"{o['ev_new_chan'][i] + 1}")
         if o["ev_tuned"][i]:
             msgs.append(f"Tuned to channel {o['active_chan'][i] + 1} "
                         f"(RSSI: {o['rel_rssi'][i]:4.2f}dB)")
         if o["ev_detuned"][i]:
-            msgs.append(f"Detuned from channel {o['ev_prev_chan'][i] + 1}")
+            msgs.append(f"Detuned from channel {o['ev_new_chan'][i] + 1}")
         if o["ev_ct_acquired"][i]:
             msgs.append(f"Acquired CTCSS code: {o['ct_max_idx'][i] + 1} "
                         f"(frequency: {o['ct_freq'][i]:3.2f}Hz)")

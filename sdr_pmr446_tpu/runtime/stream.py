@@ -12,7 +12,7 @@ exactly as the reference's ring absorbs resampler-yield jitter.
 from __future__ import annotations
 
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -23,7 +23,6 @@ output is equivalent):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -68,6 +67,7 @@ class StepOutputs(NamedTuple):
     ev_detuned: jax.Array     # bool [K]
     ev_changed: jax.Array     # bool [K]
     ev_prev_chan: jax.Array   # i32 [K]
+    ev_new_chan: jax.Array    # i32 [K]
     ct_detected: jax.Array    # bool [K]
     ct_max_idx: jax.Array     # i32 [K]
     ct_freq: jax.Array        # f32 [K]
@@ -210,6 +210,7 @@ class ScannerChain:
             rssi_db=rssi_db,
             ev_tuned=fo.ev_tuned, ev_detuned=fo.ev_detuned,
             ev_changed=fo.ev_changed, ev_prev_chan=fo.ev_prev_chan,
+            ev_new_chan=fo.ev_new_chan,
             ct_detected=fo.ct_detected, ct_max_idx=fo.ct_max_idx,
             ct_freq=fo.ct_freq, ev_ct_acquired=fo.ev_ct_acquired,
             ev_ct_changed=fo.ev_ct_changed, ev_ct_lost=fo.ev_ct_lost,

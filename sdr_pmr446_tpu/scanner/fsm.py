@@ -46,7 +46,8 @@ class FsmOutputs(NamedTuple):
     ev_tuned: jax.Array      # bool [K]
     ev_detuned: jax.Array    # bool [K]
     ev_changed: jax.Array    # bool [K]
-    ev_prev_chan: jax.Array  # i32 [K]  previous channel for 'changed'
+    ev_prev_chan: jax.Array  # i32 [K]  previous channel for 'changed'/'detuned'
+    ev_new_chan: jax.Array   # i32 [K]  target channel for 'changed' (pre-detune)
     ct_detected: jax.Array   # bool [K]
     ct_max_idx: jax.Array    # i32 [K]
     ct_freq: jax.Array       # f32 [K]
@@ -160,7 +161,7 @@ def fsm_ctcss_scan(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
         lost = is_active & jnp.logical_not(det2) & det_r
 
         carry_out = FsmCarry(st2, act2, rel, cnt2, cc2, det2, tidx2, tfreq2)
-        out = FsmOutputs(act2, rel, tune, detune, do_change, prev_chan,
+        out = FsmOutputs(act2, rel, tune, detune, do_change, prev_chan, act1,
                          det2, tidx2, tfreq2, acq, chg, lost)
         return carry_out, out
 
