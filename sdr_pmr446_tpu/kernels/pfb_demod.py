@@ -10,13 +10,15 @@ computes, per 16-sample frame,
   3. the NBFM quadrature discriminator against the previous frame,
   4. the channel magnitudes (squelch/RSSI input),
 
-without materializing the complex channel matrix in HBM.  Per grid step a
-[2, 16*TILE_F + 400] band slice is DMA'd from HBM into VMEM scratch
-(overlapping windows can't be expressed as BlockSpec tiles), the windows
-matrix [TILE_F, 416] is assembled with 26 aligned row-block copies, and one
-MXU matmul against the fused [416, 32] kernel produces Re/Im of all 16
-channels.  The previous frame's outputs persist in VMEM scratch across the
-(sequential) TPU grid, so the discriminator adds no HBM traffic.
+without materializing the complex channel matrix in HBM.  Per grid step the
+tile's new frames plus a 400-sample history row arrive as ordinary
+non-overlapping BlockSpec tiles (the host pre-slices the 5%-duplicated
+history rows, so the pallas pipeline auto-DMAs and double-buffers
+everything; this Mosaic build has no dynamic-slice DMA).  The windows matrix
+[TILE_F, 416] is assembled with 26 aligned row-block copies and hit with one
+MXU matmul against the fused [416, 32] kernel for Re/Im of all 16 channels.
+The previous frame's outputs persist in VMEM scratch across the (sequential)
+TPU grid, so the discriminator adds no HBM traffic.
 
 Mosaic tiling requires 128-divisible frame tiles while the scanner's frame
 count per block (K*1225) has no factor of two, so the band is zero-padded up
@@ -61,31 +63,23 @@ def _fused_kernel_matrix() -> np.ndarray:
     return np.stack([ck.real, ck.imag]).astype(np.float32)
 
 
-def _body(xr_hbm, xi_hbm, kr_ref, ki_ref, prev_ref,
+def _body(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
           demod_out, mag_out,
-          xr_vmem, xi_vmem, win_r, win_i, prev_scratch, sems):
+          win_r, win_i, prev_scratch):
     tile_f = demod_out.shape[0]
     step = pl.program_id(0)
-    slice_len = tile_f * NCH + HIST
-
-    # stage the (overlapping) band slice, one 1-D DMA per re/im plane
-    start = step * tile_f * NCH
-    dma_r = pltpu.make_async_copy(xr_hbm.at[pl.ds(start, slice_len)],
-                                  xr_vmem, sems.at[0])
-    dma_i = pltpu.make_async_copy(xi_hbm.at[pl.ds(start, slice_len)],
-                                  xi_vmem, sems.at[1])
-    dma_r.start()
-    dma_i.start()
 
     @pl.when(step == 0)
     def _():
         prev_scratch[:, :] = prev_ref[:, :]
 
-    dma_r.wait()
-    dma_i.wait()
-
-    xr_frames = xr_vmem[:].reshape(tile_f + SUB - 1, NCH)
-    xi_frames = xi_vmem[:].reshape(tile_f + SUB - 1, NCH)
+    # this tile's band slice = 400-sample history row + tile_f*16 new samples
+    # (both arrive as ordinary non-overlapping BlockSpec tiles, auto-DMA'd
+    # and double-buffered by the pallas pipeline)
+    xr = jnp.concatenate([hr_ref[0, :], fr_ref[:]])
+    xi = jnp.concatenate([hi_ref[0, :], fi_ref[:]])
+    xr_frames = xr.reshape(tile_f + SUB - 1, NCH)
+    xi_frames = xi.reshape(tile_f + SUB - 1, NCH)
     for i in range(SUB):
         win_r[:, i * NCH:(i + 1) * NCH] = xr_frames[i:i + tile_f, :]
         win_i[:, i * NCH:(i + 1) * NCH] = xi_frames[i:i + tile_f, :]
@@ -147,13 +141,28 @@ class PallasPfbDemod:
         prev_ri = jnp.stack([jnp.real(prev), jnp.imag(prev)]
                             ).astype(jnp.float32)
 
-        slice_len = tile * NCH + HIST
+        # split into non-overlapping per-tile views: new frames [n_tiles,
+        # tile*16] and history rows [n_tiles, 400] (x[s*tile*16 : +400]) —
+        # 5% duplicated bytes buys BlockSpec-pipelined tiles instead of
+        # manual dynamic-slice DMA (unsupported on this Mosaic build)
+        frames_r = xr_p[HIST:].reshape(n_tiles, tile * NCH)
+        frames_i = xi_p[HIST:].reshape(n_tiles, tile * NCH)
+        idx = (jnp.arange(n_tiles)[:, None] * (tile * NCH)
+               + jnp.arange(HIST)[None, :])
+        hist_r = xr_p[idx]
+        hist_i = xi_p[idx]
         demod_p, mag_p = pl.pallas_call(
             _body,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),         # xr stays in HBM
-                pl.BlockSpec(memory_space=pl.ANY),         # xi stays in HBM
+                pl.BlockSpec((None, tile * NCH), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),     # frames re
+                pl.BlockSpec((None, tile * NCH), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),     # frames im
+                pl.BlockSpec((1, HIST), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),     # hist re
+                pl.BlockSpec((1, HIST), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),     # hist im
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # kr
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # ki
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # prev
@@ -169,16 +178,13 @@ class PallasPfbDemod:
                 jax.ShapeDtypeStruct((f_pad, NCH), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((slice_len,), jnp.float32),
-                pltpu.VMEM((slice_len,), jnp.float32),
                 pltpu.VMEM((tile, NTAPS), jnp.float32),
                 pltpu.VMEM((tile, NTAPS), jnp.float32),
                 pltpu.VMEM((2, NCH), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=self.interpret,
-        )(xr_p, xi_p, jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]),
-          prev_ri)
+        )(frames_r, frames_i, hist_r, hist_i,
+          jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]), prev_ri)
 
         demod = demod_p[:f_total].T
         mag = mag_p[:f_total].T
