@@ -73,13 +73,11 @@ def _body(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
     def _():
         prev_scratch[:, :] = prev_ref[:, :]
 
-    # this tile's band slice = 400-sample history row + tile_f*16 new samples
-    # (both arrive as ordinary non-overlapping BlockSpec tiles, auto-DMA'd
-    # and double-buffered by the pallas pipeline)
-    xr = jnp.concatenate([hr_ref[0, :], fr_ref[:]])
-    xi = jnp.concatenate([hi_ref[0, :], fi_ref[:]])
-    xr_frames = xr.reshape(tile_f + SUB - 1, NCH)
-    xi_frames = xi.reshape(tile_f + SUB - 1, NCH)
+    # this tile's band slice = 25 history frames + tile_f new frames, all in
+    # [*, 16] frame-matrix layout (non-overlapping BlockSpec tiles, auto-
+    # DMA'd and double-buffered by the pallas pipeline)
+    xr_frames = jnp.concatenate([hr_ref[:], fr_ref[:]], axis=0)
+    xi_frames = jnp.concatenate([hi_ref[:], fi_ref[:]], axis=0)
     for i in range(SUB):
         win_r[:, i * NCH:(i + 1) * NCH] = xr_frames[i:i + tile_f, :]
         win_i[:, i * NCH:(i + 1) * NCH] = xi_frames[i:i + tile_f, :]
@@ -141,27 +139,28 @@ class PallasPfbDemod:
         prev_ri = jnp.stack([jnp.real(prev), jnp.imag(prev)]
                             ).astype(jnp.float32)
 
-        # split into non-overlapping per-tile views: new frames [n_tiles,
-        # tile*16] and history rows [n_tiles, 400] (x[s*tile*16 : +400]) —
-        # 5% duplicated bytes buys BlockSpec-pipelined tiles instead of
-        # manual dynamic-slice DMA (unsupported on this Mosaic build)
-        frames_r = xr_p[HIST:].reshape(n_tiles, tile * NCH)
-        frames_i = xi_p[HIST:].reshape(n_tiles, tile * NCH)
+        # split into non-overlapping per-tile views in frame-matrix layout:
+        # new frames [F_pad, 16] and per-tile history frames
+        # [n_tiles, 25, 16] (x[s*tile*16 : +400]) — 5% duplicated bytes buys
+        # BlockSpec-pipelined tiles instead of manual dynamic-slice DMA
+        # (unsupported on this Mosaic build)
+        frames_r = xr_p[HIST:].reshape(f_pad, NCH)
+        frames_i = xi_p[HIST:].reshape(f_pad, NCH)
         idx = (jnp.arange(n_tiles)[:, None] * (tile * NCH)
                + jnp.arange(HIST)[None, :])
-        hist_r = xr_p[idx]
-        hist_i = xi_p[idx]
+        hist_r = xr_p[idx].reshape(n_tiles, SUB - 1, NCH)
+        hist_i = xi_p[idx].reshape(n_tiles, SUB - 1, NCH)
         demod_p, mag_p = pl.pallas_call(
             _body,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((None, tile * NCH), lambda s: (s, 0),
+                pl.BlockSpec((tile, NCH), lambda s: (s, 0),
                              memory_space=pltpu.VMEM),     # frames re
-                pl.BlockSpec((None, tile * NCH), lambda s: (s, 0),
+                pl.BlockSpec((tile, NCH), lambda s: (s, 0),
                              memory_space=pltpu.VMEM),     # frames im
-                pl.BlockSpec((1, HIST), lambda s: (s, 0),
+                pl.BlockSpec((None, SUB - 1, NCH), lambda s: (s, 0, 0),
                              memory_space=pltpu.VMEM),     # hist re
-                pl.BlockSpec((1, HIST), lambda s: (s, 0),
+                pl.BlockSpec((None, SUB - 1, NCH), lambda s: (s, 0, 0),
                              memory_space=pltpu.VMEM),     # hist im
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # kr
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # ki
