@@ -104,8 +104,10 @@ def _body(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
     di = yi * pr - yr * pi
     demod_out[:, :] = kmath.atan2(di, dr) * (1.0 / (2.0 * math.pi * C.FM_KF))
     mag_out[:, :] = jnp.sqrt(yr * yr + yi * yi)
-    prev_scratch[0, :] = yr[-1, :]
-    prev_scratch[1, :] = yi[-1, :]
+    # slice-syntax only: integer indexing lowers to dynamic_slice, which
+    # this Mosaic build does not implement
+    prev_scratch[0:1, :] = yr[tile_f - 1:tile_f, :]
+    prev_scratch[1:2, :] = yi[tile_f - 1:tile_f, :]
 
 
 class PallasPfbDemod:
