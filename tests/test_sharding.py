@@ -90,3 +90,36 @@ def test_sharded_state_carries_across_steps():
     assert int(np.asarray(st.active_chan)[0]) == 6
     assert bool(np.asarray(st.ct_detected)[0])
     assert int(np.asarray(st.ct_max_idx)[0]) == 19
+
+
+def test_sharded_dsd_equals_unsharded():
+    from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
+    from sdr_pmr446_tpu.parallel.dsd_sharded import ShardedDsdInChain
+
+    sub = 8
+    chain1 = DsdInChain(subchunks_per_step=sub)
+    n = 2 * chain1.input_len
+    t = np.arange(n) / C.SDR_SAMPLERATE
+    msg = 0.4 * np.sin(2 * np.pi * 900.0 * t)
+    iq = np.exp(1j * 2 * np.pi * (1500 * np.cumsum(msg) + 2000 * np.arange(n))
+                / C.SDR_SAMPLERATE).astype(np.complex64)
+
+    st1 = chain1.init_state()
+    ref = []
+    for i in range(2):
+        st1, o = chain1.step(st1, jnp.asarray(
+            iq[i * chain1.input_len:(i + 1) * chain1.input_len]))
+        ref.append(np.asarray(o.pcm))
+    ref = np.concatenate(ref)
+
+    mesh = make_mesh(1, 4)
+    chain2 = ShardedDsdInChain(mesh, subchunks_per_step=sub)
+    st2 = chain2.init_state(1)
+    got = []
+    for i in range(2):
+        st2, o = chain2.step(st2, jnp.asarray(
+            iq[None, i * chain2.input_len:(i + 1) * chain2.input_len]))
+        got.append(np.asarray(o.pcm)[0])
+    got = np.concatenate(got)
+    assert got.shape == ref.shape
+    assert np.mean(np.abs(got.astype(int) - ref.astype(int)) <= 1) > 0.999
