@@ -45,7 +45,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="scanner",
                    choices=["scanner", "scanner-pallas", "single", "dsd",
-                            "waterfall"])
+                            "waterfall", "batch8"])
     p.add_argument("--subchunks-per-step", type=int, default=40)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
@@ -95,6 +95,25 @@ def main() -> int:
         inputs = (iq,)
         step = chain.step
         metric = "single-channel NBFM chain input throughput per chip"
+    elif args.config == "batch8":
+        # aggregate throughput over 8 independent IQ streams on one chip
+        # (BASELINE config 5's data-parallel axis, single-device case)
+        import numpy as np
+        from sdr_pmr446_tpu.parallel.scanner_sharded import (
+            ShardedScannerChain, make_mesh)
+        from sdr_pmr446_tpu.scanner.chain import make_runtime_params
+        n_streams = 8
+        mesh = make_mesh(1, 1)
+        chain = ShardedScannerChain(mesh, C.BlockConfig(k))
+        state = chain.init_state(n_streams)
+        n = chain.block.input_len * n_streams
+        iq = jnp.asarray(np.stack([
+            synth.make_scanner_iq(chain.block.input_len, channel=2 + s,
+                                  ctcss_code=3 + s, seed=s)
+            for s in range(n_streams)]), jnp.complex64)
+        inputs = (iq, make_runtime_params(C.ScannerArgs()))
+        step = chain.step
+        metric = "16ch scanner chain, 8-stream batch, aggregate per chip"
     else:
         from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
         chain = DsdInChain(subchunks_per_step=k)
