@@ -87,10 +87,8 @@ def shard_biquad1(state, x_shard: jax.Array, b0: float, b1: float, a1: float,
     carry_in = (pT ** d.astype(jnp.float32)) * y_prev_c + jnp.sum(
         w * all_ye, axis=0)
 
-    pj = jnp.asarray(p, y_local.dtype) ** jnp.arange(
-        1, ts + 1, dtype=jnp.float32).astype(
-            jnp.float32 if not jnp.iscomplexobj(y_local) else jnp.float32)
-    pj = pj.astype(y_local.dtype)
+    pj = (jnp.asarray(p, y_local.dtype)
+          ** jnp.arange(1, ts + 1, dtype=jnp.float32)).astype(y_local.dtype)
     y = y_local + carry_in[..., None] * pj
 
     new_x_prev = jax.lax.psum(

@@ -40,7 +40,8 @@ class ScanResult:
 class ScannerDriver:
     def __init__(self, args: Optional[C.ScannerArgs] = None,
                  subchunks_per_step: int = 10,
-                 on_subchunk: Optional[Callable] = None):
+                 on_subchunk: Optional[Callable] = None,
+                 metrics_path: Optional[str] = None):
         self.args = args or C.ScannerArgs()
         self.chain = ScannerChain(
             C.BlockConfig(subchunks_per_step),
@@ -51,6 +52,7 @@ class ScannerDriver:
         self.block_index = 0
         self.subchunk = 0
         self.on_subchunk = on_subchunk
+        self.metrics_path = metrics_path
 
     @property
     def block_len(self) -> int:
@@ -94,6 +96,18 @@ class ScannerDriver:
             if o["audio_valid"][i]:
                 audio.append(o["audio"][i])
                 audio_sub.append(sub)
+            if self.metrics_path is not None:
+                from sdr_pmr446_tpu.utils.profiling import log_jsonl
+                log_jsonl(self.metrics_path, {
+                    "subchunk": sub,
+                    "active_chan": int(o["active_chan"][i]),
+                    "rel_rssi": float(o["rel_rssi"][i]),
+                    "rssi_db": [round(float(v), 2)
+                                for v in o["rssi_db"][i]],
+                    "ctcss_detected": bool(o["ct_detected"][i]),
+                    "ctcss_code": int(o["ct_max_idx"][i]) + 1,
+                    "events": msgs,
+                })
             if self.on_subchunk is not None:
                 self.on_subchunk(sub, {f: o[f][i] for f in o})
         active.append(o["active_chan"])

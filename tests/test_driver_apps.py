@@ -107,3 +107,16 @@ def test_dsd_app_cli(tmp_path):
     pcm = np.fromfile(outp, dtype="<i2")
     assert len(pcm) == n * 3 // 64
     assert np.abs(pcm).max() > 1000
+
+
+def test_driver_metrics_jsonl(tmp_path):
+    import json
+    p = str(tmp_path / "metrics.jsonl")
+    iq = _demo_iq(seconds=1.0)
+    drv = ScannerDriver(subchunks_per_step=5, metrics_path=p)
+    drv.run(iq_io.block_stream(iq, drv.block_len))
+    recs = [json.loads(l) for l in open(p)]
+    assert len(recs) == len(iq) // C.SUBCHUNK_IN
+    assert recs[-1]["active_chan"] == 4
+    assert recs[-1]["ctcss_detected"] and recs[-1]["ctcss_code"] == 12
+    assert any(r["events"] for r in recs)
