@@ -249,3 +249,68 @@ void sdrio_wav_close(SdrWav* w) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multi-stream batch reader: S captures -> one [S, 2*block] float buffer
+// (the host data-loader for data-parallel stream batches; worker threads
+// convert formats concurrently)
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+struct SdrBatchReader {
+  std::vector<SdrReader*> readers;
+  size_t n_streams;
+};
+
+SdrBatchReader* sdrio_batch_open(const char** paths, const int* fmts,
+                                 size_t n_streams) {
+  auto* b = new SdrBatchReader();
+  b->n_streams = n_streams;
+  for (size_t i = 0; i < n_streams; ++i) {
+    SdrReader* r = sdrio_reader_open(paths[i], fmts[i]);
+    if (!r) {
+      for (auto* rr : b->readers) sdrio_reader_close(rr);
+      delete b;
+      return nullptr;
+    }
+    b->readers.push_back(r);
+  }
+  return b;
+}
+
+// dst: [n_streams, 2*n_samples] floats. Returns the max sample count
+// produced across streams (0 = all at EOF); short streams zero-fill.
+size_t sdrio_batch_read(SdrBatchReader* b, float* dst, size_t n_samples) {
+  std::vector<size_t> got(b->n_streams, 0);
+  size_t stride = 2 * n_samples;
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t n_workers = b->n_streams < (hw ? hw : 1)
+                         ? b->n_streams : (hw ? hw : 1);
+  std::vector<std::thread> workers;
+  std::atomic<size_t> next{0};
+  for (size_t w = 0; w < n_workers; ++w) {
+    workers.emplace_back([&]() {
+      size_t i;
+      while ((i = next.fetch_add(1)) < b->n_streams) {
+        got[i] = sdrio_reader_read(b->readers[i], dst + i * stride,
+                                   n_samples);
+      }
+    });
+  }
+  for (auto& t : workers) t.join();
+  size_t mx = 0;
+  for (size_t v : got) mx = v > mx ? v : mx;
+  return mx;
+}
+
+void sdrio_batch_close(SdrBatchReader* b) {
+  if (!b) return;
+  for (auto* r : b->readers) sdrio_reader_close(r);
+  delete b;
+}
+
+}  // extern "C"

@@ -240,3 +240,66 @@ class WavWriter:
             wav_io.write_wav(self.path, audio, self.sample_rate,
                              dtype="int16" if self.s16 else "float32")
             self._buf = None
+
+
+class BatchReader:
+    """Multi-stream batch reader: S captures -> [S, block] complex64 blocks.
+
+    The host data-loader for data-parallel stream batches (BASELINE config
+    5): worker threads convert formats concurrently in the native engine.
+    Falls back to sequential CaptureReaders without the native build.
+    """
+
+    def __init__(self, paths, fmts=None):
+        n = len(paths)
+        fmts = fmts or ["cf32"] * n
+        self.n_streams = n
+        if _lib is not None and not hasattr(_lib, "_batch_checked"):
+            for name, res in (("sdrio_batch_open", ctypes.c_void_p),
+                              ("sdrio_batch_read", ctypes.c_size_t)):
+                fn = getattr(_lib, name, None)
+                if fn is not None:
+                    fn.restype = res
+            if hasattr(_lib, "sdrio_batch_open"):
+                _lib.sdrio_batch_open.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_int), ctypes.c_size_t]
+                _lib.sdrio_batch_read.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+                _lib.sdrio_batch_close.argtypes = [ctypes.c_void_p]
+            _lib._batch_checked = True
+        if _lib is not None and hasattr(_lib, "sdrio_batch_open"):
+            arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            farr = (ctypes.c_int * n)(*[_FMT_CODES[f] for f in fmts])
+            self._h = _lib.sdrio_batch_open(arr, farr, n)
+            if not self._h:
+                raise FileNotFoundError(str(paths))
+            self._readers = None
+        else:
+            self._h = None
+            self._readers = [CaptureReader(p, f) for p, f in zip(paths, fmts)]
+
+    def read_block(self, n_samples: int):
+        """Returns (blocks [S, n_samples] complex64, max_valid)."""
+        if self._h is not None:
+            buf = np.empty((self.n_streams, 2 * n_samples), np.float32)
+            got = _lib.sdrio_batch_read(
+                self._h, buf.ctypes.data_as(ctypes.c_void_p), n_samples)
+            blocks = (buf[:, 0::2] + 1j * buf[:, 1::2]).astype(np.complex64)
+            return blocks, got
+        out = np.zeros((self.n_streams, n_samples), np.complex64)
+        mx = 0
+        for i, r in enumerate(self._readers):
+            b, g = r.read_block(n_samples)
+            out[i] = b
+            mx = max(mx, g)
+        return out, mx
+
+    def close(self):
+        if self._h is not None and _lib is not None:
+            _lib.sdrio_batch_close(self._h)
+            self._h = None
+        if self._readers:
+            for r in self._readers:
+                r.close()
+            self._readers = None

@@ -123,3 +123,26 @@ def test_streaming_source_drives_scanner(io_mode, tmp_path):
     res = drv.run(src.blocks())
     src.close()
     assert any(e.startswith("Tuned to channel 5") for e in res.events)
+
+
+def test_batch_reader(io_mode, tmp_path):
+    from sdr_pmr446_tpu.io import iq as iq_io
+    rng = np.random.default_rng(11)
+    paths, data = [], []
+    for s in range(3):
+        x = (0.2 * (rng.standard_normal(5000) + 1j * rng.standard_normal(5000))
+             ).astype(np.complex64)
+        p = str(tmp_path / f"s{s}.cs16")
+        iq_io.write_iq(p, x, "cs16")
+        paths.append(p)
+        data.append(x)
+    br = native.BatchReader(paths, ["cs16"] * 3)
+    b1, g1 = br.read_block(3000)
+    b2, g2 = br.read_block(3000)
+    b3, g3 = br.read_block(3000)
+    br.close()
+    assert (g1, g2, g3) == (3000, 2000, 0)
+    for s in range(3):
+        got = np.concatenate([b1[s], b2[s][:2000]])
+        np.testing.assert_allclose(got, data[s], atol=2e-4)
+        np.testing.assert_array_equal(b2[s][2000:], 0)
