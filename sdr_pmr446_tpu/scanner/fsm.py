@@ -166,3 +166,118 @@ def fsm_ctcss_scan(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
         return carry_out, out
 
     return jax.lax.scan(step, carry_in, (rssi_k, lp))
+
+
+def fsm_ctcss_scan_v2(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
+                      mask: jax.Array, squelch: jax.Array,
+                      lock_max: jax.Array):
+    """Three-phase formulation of fsm_ctcss_scan (identical semantics).
+
+    The v1 scan does [38, ns] elementwise work inside each sequential step.
+    Key structural fact: the squelch FSM (and therefore the detector's
+    count/reset schedule) depends only on RSSI — never on the tone data — so
+    the heavy tone sums can be hoisted out of the recurrence:
+
+      A. scalar lax.scan over K: FSM transitions + per-sub-chunk detector
+         counts/boundaries (a handful of scalars per step);
+      B. batched tone sums for ALL sub-chunks: two [K, ns] x [ns, 38]
+         complex matmuls (MXU) with masks/phases from phase A;
+      C. tiny lax.scan over K carrying only the [38] partial sums and the
+         scalar detection state.
+
+    Verified equal to fsm_ctcss_scan by tests/test_fsm_unit.py.
+    """
+    K, nch, ns = lp.shape
+    n_win = C.CTCSS_BLOCK_SIZE
+    freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
+    e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
+    u_table = jnp.asarray(_count_phasor_table())           # [38, 2441]
+    wrap = jnp.asarray(np.exp(
+        1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)
+        / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))   # [38]
+    idx_i = jnp.arange(ns, dtype=jnp.int32)
+    nch_en = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+
+    # ---- phase A: scalar FSM + count schedule ----
+    def step_a(carry, rssi_c):
+        st, act, cnt = carry
+        rm = jnp.where(mask, rssi_c, -jnp.inf)
+        max_ch = jnp.argmax(rm).astype(jnp.int32)
+        avg = (jnp.sum(jnp.where(mask, rssi_c, 0.0))
+               / nch_en.astype(jnp.float32))
+        rel = rm[max_ch] - avg
+        scanning = st == 0
+        tune = scanning & (rel > squelch)
+        in_tuned = jnp.logical_not(scanning)
+        do_change = in_tuned & lock_max & (act != max_ch)
+        prev_chan = act
+        act1 = jnp.where(tune | do_change, max_ch, act)
+        detune = in_tuned & (rel < squelch - C.SQUELCH_HYSTERESIS_DB)
+        act2 = jnp.where(detune, -1, act1)
+        st2 = jnp.where(tune, 1, jnp.where(detune, 0, st)).astype(jnp.int32)
+        cnt_r = jnp.where(detune, 0, cnt)
+        is_active = act2 >= 0
+        b = (n_win - 1) - cnt_r
+        has_b = is_active & (b < ns)
+        cnt2 = jnp.where(is_active, (cnt_r + ns) % n_win, cnt_r)
+        out = (act2, rel, tune, detune, do_change, prev_chan, act1,
+               cnt_r, b, has_b, is_active)
+        return (st2, act2, cnt2), out
+
+    (st_f, act_f, cnt_f), a = jax.lax.scan(
+        step_a, (carry_in.fsm_state, carry_in.active_chan,
+                 carry_in.ct_count), rssi_k)
+    (act2, rel, tune, detune, do_change, prev_chan, act1,
+     cnt_r, b_arr, has_b, is_active) = a
+
+    # ---- phase B: batched tone sums (MXU) ----
+    sel = jnp.clip(act2, 0, nch - 1)
+    lp_sel = jnp.take_along_axis(lp, sel[:, None, None], axis=1)[:, 0, :]
+    pre = (idx_i[None, :] <= b_arr[:, None]).astype(jnp.float32)  # [K, ns]
+    xp = lp_sel * pre
+    xs = lp_sel * (1.0 - pre)
+    e0t = e0.T                                            # [ns, 38]
+    u = u_table.T[cnt_r]                                  # [K, 38]
+    s_pre = (xp.astype(jnp.complex64) @ e0t) * u
+    s_suf = (xs.astype(jnp.complex64) @ e0t) * (u * wrap[None, :])
+
+    # ---- phase C: tiny carry scan ([38] partial sums + scalar state) ----
+    thr_a = C.CTCSS_AVG_POWER_THRESH
+    thr_r = C.CTCSS_MAX_AVG_RATIO_THRESH
+
+    def step_c(carry, inp):
+        cc, det, tidx, tfreq = carry
+        sp, ss, dt, act_k, hb = inp
+        cc_in = jnp.where(dt, 0.0 + 0.0j, cc)
+        det_r = jnp.where(dt, False, det)
+        tidx_r = jnp.where(dt, 0, tidx)
+        tfreq_r = jnp.where(dt, 0.0, tfreq)
+        y = cc_in + sp
+        power = y.real ** 2 + y.imag ** 2
+        avgp = jnp.mean(power)
+        pidx = jnp.argmax(power).astype(jnp.int32)
+        maxp = power[pidx]
+        newdet = (avgp > thr_a) & (maxp / jnp.maximum(avgp, 1e-30) > thr_r)
+        upd = act_k & hb
+        det2 = jnp.where(upd, newdet, det_r)
+        tidx2 = jnp.where(upd, pidx, tidx_r)
+        cc2 = jnp.where(act_k, jnp.where(hb, ss, cc_in + sp), cc_in)
+        tfreq2 = jnp.where(act_k, freqs[tidx2], tfreq_r)
+        acq = act_k & det2 & jnp.logical_not(det_r)
+        chg = act_k & det2 & det_r & (tidx2 != tidx_r)
+        lost = act_k & jnp.logical_not(det2) & det_r
+        return ((cc2, det2, tidx2, tfreq2),
+                (det2, tidx2, tfreq2, acq, chg, lost))
+
+    (cc_f, det_f, tidx_f, tfreq_f), c = jax.lax.scan(
+        step_c, (carry_in.ct_carry, carry_in.ct_detected,
+                 carry_in.ct_max_idx, carry_in.ct_freq),
+        (s_pre, s_suf, detune, is_active, has_b))
+    det_o, tidx_o, tfreq_o, acq_o, chg_o, lost_o = c
+
+    last_rel = rel[-1] if K > 0 else carry_in.rssi
+    carry_out = FsmCarry(st_f, act_f, last_rel, cnt_f, cc_f, det_f,
+                         tidx_f, tfreq_f)
+    outs = FsmOutputs(act2, rel, tune, detune, do_change, prev_chan, act1,
+                      det_o, tidx_o, tfreq_o, acq_o, chg_o, lost_o)
+    return carry_out, outs

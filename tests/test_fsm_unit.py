@@ -115,3 +115,38 @@ def test_powers_match_oracle_exactly():
     _, outs = _run(sig, k=k)
     det_o, idx_o = _oracle_detector(sig.astype(np.float64), k)
     np.testing.assert_array_equal(np.asarray(outs.ct_max_idx), idx_o)
+
+
+def test_v2_scan_equals_v1():
+    """fsm_ctcss_scan_v2 must be output-identical to the v1 scan across a
+    busy scenario (tunes, detunes, tone changes, boundaries)."""
+    from sdr_pmr446_tpu.scanner.fsm import fsm_ctcss_scan_v2
+    rng = np.random.default_rng(9)
+    k = 40
+    t = np.arange(k * NS) / C.AUDIO_SAMPLERATE
+    sig = np.where(np.arange(k * NS) < k * NS // 2,
+                   0.3 * np.sin(2 * np.pi * C.CTCSS_FREQS[19] * t),
+                   0.3 * np.sin(2 * np.pi * C.CTCSS_FREQS[4] * t))
+    lp = 0.01 * rng.standard_normal((k, 16, NS)).astype(np.float32)
+    lp[:, 3, :] += sig.reshape(k, NS).astype(np.float32)
+    rssi = np.full((k, 16), -80.0, np.float32)
+    rssi[:, 3] = -10.0
+    rssi[10:14, 3] = -80.0        # mid-run detune window
+    carry = _carry0()
+    args = (jnp.asarray(rssi), jnp.asarray(lp), jnp.ones(16, bool),
+            jnp.float32(18.0), jnp.asarray(False))
+    c1, o1 = fsm_ctcss_scan(carry, *args)
+    c2, o2 = fsm_ctcss_scan_v2(carry, *args)
+    for f in o1._fields:
+        v1 = np.asarray(getattr(o1, f))
+        v2 = np.asarray(getattr(o2, f))
+        if v1.dtype.kind == "f":
+            np.testing.assert_allclose(v1, v2, rtol=0, atol=2e-3, err_msg=f)
+        else:
+            np.testing.assert_array_equal(v1, v2, err_msg=f)
+    for f in c1._fields:
+        v1, v2 = np.asarray(getattr(c1, f)), np.asarray(getattr(c2, f))
+        if v1.dtype.kind in "fc":
+            np.testing.assert_allclose(v1, v2, rtol=0, atol=2e-2, err_msg=f)
+        else:
+            np.testing.assert_array_equal(v1, v2, err_msg=f)
