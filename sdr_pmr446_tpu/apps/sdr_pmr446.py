@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--subchunks-per-step", type=int, default=10)
     p.add_argument("--fir-deemph", action="store_true",
                    help="use the FIR de-emphasis variant (APP_FIR_DEEMPH)")
+    p.add_argument("--faithful", action="store_true",
+                   help="bit-faithful gated audio path (validation mode, "
+                        "exact reference transition semantics, slower)")
     return p
 
 
@@ -90,6 +93,31 @@ def main(argv=None) -> int:
         n -= n % (ns.subchunks_per_step * C.SUBCHUNK_IN)
         iq = synth.make_scanner_iq(n, channel=5, ctcss_code=12)
         log.info("using synthetic NBFM demo signal on channel 5, CTCSS 12")
+
+    if ns.faithful:
+        from sdr_pmr446_tpu.scanner.faithful import FaithfulScannerChain
+        from sdr_pmr446_tpu.scanner.chain import make_runtime_params
+        from sdr_pmr446_tpu.runtime.transfer import fetch
+        import numpy as np
+        import jax.numpy as jnp
+        chain = FaithfulScannerChain(subchunks_per_step=ns.subchunks_per_step,
+                                     lowpass=args.lowpass)
+        params = make_runtime_params(args)
+        st = chain.init_state()
+        audio = []
+        for i in range(len(iq) // chain.input_len):
+            st, o = chain.step(st, jnp.asarray(
+                iq[i * chain.input_len:(i + 1) * chain.input_len],
+                jnp.complex64), params)
+            host = fetch({"a": o.audio, "v": o.audio_valid})
+            audio.append(host["a"][host["v"]].ravel())
+        out_audio = (np.concatenate(audio) if audio
+                     else np.zeros(0, np.float32))
+        wav.write_wav(ns.output, out_audio, C.AUDIO_SAMPLERATE)
+        log.info("wrote %d audio samples (faithful mode) to %s",
+                 len(out_audio), ns.output)
+        log.info("Exiting")
+        return 0
 
     driver = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step)
 

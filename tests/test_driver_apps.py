@@ -120,3 +120,17 @@ def test_driver_metrics_jsonl(tmp_path):
     assert recs[-1]["active_chan"] == 4
     assert recs[-1]["ctcss_detected"] and recs[-1]["ctcss_code"] == 12
     assert any(r["events"] for r in recs)
+
+
+def test_scanner_app_faithful_mode(tmp_path):
+    from sdr_pmr446_tpu.apps import sdr_pmr446 as app
+    iqp = str(tmp_path / "cap.cf32")
+    iq_io.write_iq(iqp, _demo_iq(seconds=1.5))
+    outp = str(tmp_path / "out.wav")
+    rc = app.main(["--input", iqp, "--output", outp, "--faithful",
+                   "--subchunks-per-step", "5"])
+    assert rc == 0
+    audio, rate = wav.read_wav(outp)
+    assert rate == C.AUDIO_SAMPLERATE and len(audio) > 0
+    snr = synth.tone_snr_db(audio[2 * 1225:], 1000.0)
+    assert snr > 25.0
