@@ -88,6 +88,8 @@ class ScannerChain:
         self.lowpass = lowpass
         self.fir_deemph = fir_deemph
         self.waterfall = waterfall
+        assert waterfall <= C.SUBCHUNK_RESAMP, (
+            "waterfall width larger than one sub-chunk of band samples")
         self.use_pallas = use_pallas
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
