@@ -66,7 +66,7 @@ def _fused_kernel_matrix() -> np.ndarray:
 def _body(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
           demod_out, mag_out,
           win_r, win_i, prev_scratch):
-    tile_f = demod_out.shape[0]
+    tile_f = demod_out.shape[1]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -102,8 +102,11 @@ def _body(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
     pi = jnp.concatenate([prev_scratch[1:2, :], yi[:-1, :]], axis=0)
     dr = yr * pr + yi * pi
     di = yi * pr - yr * pi
-    demod_out[:, :] = kmath.atan2(di, dr) * (1.0 / (2.0 * math.pi * C.FM_KF))
-    mag_out[:, :] = jnp.sqrt(yr * yr + yi * yi)
+    # write channel-major [16, tile] directly (in-VMEM transpose) so the
+    # host needs no layout pass on the [16, F] outputs
+    demod_out[:, :] = (kmath.atan2(di, dr)
+                       * (1.0 / (2.0 * math.pi * C.FM_KF))).T
+    mag_out[:, :] = jnp.sqrt(yr * yr + yi * yi).T
     # slice-syntax only: integer indexing lowers to dynamic_slice, which
     # this Mosaic build does not implement
     prev_scratch[0:1, :] = yr[tile_f - 1:tile_f, :]
@@ -169,14 +172,14 @@ class PallasPfbDemod:
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # prev
             ],
             out_specs=[
-                pl.BlockSpec((tile, NCH), lambda s: (s, 0),
+                pl.BlockSpec((NCH, tile), lambda s: (0, s),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, NCH), lambda s: (s, 0),
+                pl.BlockSpec((NCH, tile), lambda s: (0, s),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((f_pad, NCH), jnp.float32),
-                jax.ShapeDtypeStruct((f_pad, NCH), jnp.float32),
+                jax.ShapeDtypeStruct((NCH, f_pad), jnp.float32),
+                jax.ShapeDtypeStruct((NCH, f_pad), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((tile, NTAPS), jnp.float32),
@@ -187,8 +190,8 @@ class PallasPfbDemod:
         )(frames_r, frames_i, hist_r, hist_i,
           jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]), prev_ri)
 
-        demod = demod_p[:f_total].T
-        mag = mag_p[:f_total].T
+        demod = demod_p[:, :f_total]
+        mag = mag_p[:, :f_total]
 
         new_hist = xe[t:]
         new_parity = (parity + f_total) % 2
