@@ -137,12 +137,14 @@ class PallasPfbDemod:
         xe = jnp.concatenate([hist, band])
         psign = (1.0 - 2.0 * (parity % 2)).astype(jnp.float32)
         pad_n = (f_pad - f_total) * NCH
-        xr_p = jnp.pad(jnp.real(xe).astype(jnp.float32) * psign,
-                       (0, pad_n))
-        xi_p = jnp.pad(jnp.imag(xe).astype(jnp.float32) * psign,
-                       (0, pad_n))
-        prev_ri = jnp.stack([jnp.real(prev), jnp.imag(prev)]
-                            ).astype(jnp.float32)
+        # the global (-1)^parity flips every y identically, and both demod
+        # (a conjugate product) and |y| are invariant under a global sign
+        # flip — so it only needs applying to the 16-element prev carry,
+        # never to the band (saves a full pass over the block)
+        xr_p = jnp.pad(jnp.real(xe).astype(jnp.float32), (0, pad_n))
+        xi_p = jnp.pad(jnp.imag(xe).astype(jnp.float32), (0, pad_n))
+        prev_ri = (jnp.stack([jnp.real(prev), jnp.imag(prev)]
+                             ).astype(jnp.float32) * psign)
 
         # split into non-overlapping per-tile views in frame-matrix layout:
         # new frames [F_pad, 16] and per-tile history frames
