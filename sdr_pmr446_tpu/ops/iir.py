@@ -30,7 +30,7 @@ def _pow_schedule(p, length: int, dtype):
 
 
 def first_order_scan(z: jax.Array, p: float, y0: jax.Array,
-                     chunk: int = 1024) -> jax.Array:
+                     chunk: int = 128) -> jax.Array:
     """Solve y[n] = p*y[n-1] + z[n] for n=0..T-1 with y[-1] = y0.
 
     z: [..., T]; y0: [...] (matching leading shape).  Returns y [..., T].
@@ -101,7 +101,7 @@ def biquad1_init(channels: int | None = None, dtype=jnp.float32):
 
 
 def biquad1_apply(state, x: jax.Array, b0: float, b1: float, a1: float,
-                  chunk: int = 1024):
+                  chunk: int = 128):
     """First-order section y[n] = b0 x[n] + b1 x[n-1] - a1 y[n-1].
 
     state = (x_prev, y_prev) each [...]; x is [..., T].
@@ -116,7 +116,7 @@ def biquad1_apply(state, x: jax.Array, b0: float, b1: float, a1: float,
 
 
 def dc_blocker_apply(state, x: jax.Array, alpha: float = 0.0005,
-                     chunk: int = 1024):
+                     chunk: int = 128):
     """One-pole DC blocker (liquid iirfilt_*_create_dc_blocker equivalent)."""
     p = 1.0 - alpha
     g = (1.0 + p) / 2.0
