@@ -26,8 +26,32 @@ import sys
 import time
 
 
-def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs):
+def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
+             inner=1):
     import jax
+
+    if inner > 1:
+        import jax.numpy as jnp
+        base = step
+        # scan over DISTINCT input blocks: with a constant input XLA hoists
+        # loop-invariant subcomputations out of the scan and the measurement
+        # overstates throughput
+        iq0 = inputs[0]
+        rest = inputs[1:]
+        key = jax.random.PRNGKey(0)
+        noise = (jax.random.normal(key, (inner,) + iq0.shape, jnp.float32)
+                 * 0.01).astype(jnp.float32)
+        iq_multi = iq0[None, ...] + noise.astype(iq0.dtype)
+
+        def fused(st, iqs, *ins):
+            def body(carry, one_iq):
+                carry, out = base(carry, one_iq, *ins)
+                return carry, out
+            return jax.lax.scan(body, st, iqs)
+
+        step = jax.jit(fused, donate_argnums=(0,))
+        inputs = (iq_multi,) + rest
+
     for _ in range(warmup):
         state, out = step(state, *inputs)
     jax.block_until_ready(out)
@@ -38,7 +62,7 @@ def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs):
         done += 1
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return n_samples_per_step * done / dt / 1e6
+    return n_samples_per_step * inner * done / dt / 1e6
 
 
 def main() -> int:
@@ -47,6 +71,13 @@ def main() -> int:
                    choices=["scanner", "scanner-pallas", "single", "dsd",
                             "waterfall", "batch8"])
     p.add_argument("--subchunks-per-step", type=int, default=40)
+    p.add_argument("--inner", type=int, default=1,
+                   help="EXPERIMENTAL: steps fused per dispatch via "
+                        "lax.scan. On this dev tunnel fused timings exceed "
+                        "the HBM speed-of-light bound (i.e. the measurement "
+                        "is unsound there), so the default — and the "
+                        "recorded metric — is honest single-dispatch "
+                        "streaming.")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--secs", type=float, default=20.0)
@@ -126,7 +157,7 @@ def main() -> int:
         metric = "dsd_in chain input throughput per chip"
 
     msps = _measure(step, state, inputs, n, args.iters, args.warmup,
-                    args.secs)
+                    args.secs, inner=args.inner)
     print(json.dumps({
         "metric": metric,
         "value": round(msps, 1),

@@ -59,10 +59,9 @@ class SingleChannelChain:
         self.hp_taps = D.ctcss_hp_taps().astype(np.float32)
         self.deemph_taps = D.deemph_fir_equiv().astype(np.float32)
         # mixer: shift channel k to baseband at 200 kHz.  offset of channel
-        # center from band center = (k-1)*12.5k - 93.75k -> omega = 2*pi*f/fs.
-        # All channel offsets are multiples of 12.5 kHz = fs/16, so the phase
-        # ramp has period 32 samples (including the half-channel 6.25 kHz?
-        # no: multiples of fs/16 -> period 16); keep 32 for safety.
+        # center from band center = (k-1)*12.5k - 93.75k, a multiple of
+        # 6.25 kHz = fs/32, so the phase ramp e^{-j w n} has period 32
+        # samples: a 32-entry table indexed mod 32 is exact.
         f_off = (channel - 1) * C.CHANNEL_WIDTH_HZ - 93_750.0
         self.omega = 2.0 * np.pi * f_off / C.SDR_RESAMPLERATE
         self.phase_period = 32
