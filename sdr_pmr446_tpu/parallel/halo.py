@@ -47,7 +47,7 @@ def shard_hist(carried_hist: jax.Array, x_shard: jax.Array, hist_len: int,
 
 
 def shard_biquad1(state, x_shard: jax.Array, b0: float, b1: float, a1: float,
-                  axis: str, chunk: int = 1024):
+                  axis: str, chunk: int = 128):
     """First-order section y[n] = b0 x + b1 x[n-1] - a1 y[n-1], time-sharded.
 
     ``state`` = (x_prev, y_prev) carried across block steps (replicated on
@@ -99,7 +99,7 @@ def shard_biquad1(state, x_shard: jax.Array, b0: float, b1: float, a1: float,
 
 
 def shard_dc_blocker(state, x_shard, alpha: float, axis: str,
-                     chunk: int = 1024):
+                     chunk: int = 128):
     p = 1.0 - alpha
     g = (1.0 + p) / 2.0
     return shard_biquad1(state, x_shard, g, -g, -p, axis, chunk=chunk)

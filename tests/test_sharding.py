@@ -123,3 +123,65 @@ def test_sharded_dsd_equals_unsharded():
     got = np.concatenate(got)
     assert got.shape == ref.shape
     assert np.mean(np.abs(got.astype(int) - ref.astype(int)) <= 1) > 0.999
+
+
+def test_halo_biquad_exactness_direct():
+    """shard_biquad1 across a 4-device mesh == sequential biquad1_apply."""
+    from functools import partial
+    from sdr_pmr446_tpu.ops import iir
+    from sdr_pmr446_tpu.parallel import halo
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    t = 4 * 2048
+    x = rng.standard_normal(t).astype(np.float32)
+    b0, b1, a1 = 0.9995, -0.9995, -0.999
+    st = (jnp.float32(0.3), jnp.float32(-0.2))
+    _, ref = iir.biquad1_apply(st, jnp.asarray(x), b0, b1, a1)
+
+    mesh = make_mesh(1, 4)
+
+    def sharded(state, xs):
+        new_st, y = halo.shard_biquad1(state, xs, b0, b1, a1, "time")
+        return new_st, y
+
+    f = jax.jit(jax.shard_map(
+        sharded, mesh=mesh,
+        in_specs=((P(), P()), P("time")),
+        out_specs=((P(), P()), P("time")), check_vma=False))
+    (nx, ny), y = f(st, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=0, atol=2e-4)
+    # carried state equals the sequential run's
+    np.testing.assert_allclose(float(nx), x[-1], atol=1e-6)
+    np.testing.assert_allclose(float(ny), float(ref[-1]), atol=2e-4)
+
+
+def test_halo_hist_and_scalar_prev_direct():
+    from sdr_pmr446_tpu.parallel import halo
+    from jax.sharding import PartitionSpec as P
+    t = 4 * 256
+    x = np.arange(t, dtype=np.float32)
+    carried = jnp.full((16,), -1.0, jnp.float32)
+    mesh = make_mesh(1, 4)
+
+    def fn(c, xs):
+        hist, new_c = halo.shard_hist(c, xs, 16, "time")
+        prev, new_p = halo.shard_scalar_prev(c[0], xs, "time")
+        return hist, new_c, prev[None], new_p[None]
+
+    f = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(), P("time")),
+        out_specs=(P("time"), P(), P("time"), P(None)), check_vma=False))
+    hist, new_c, prev, new_p = f(carried, jnp.asarray(x))
+    hist = np.asarray(hist).reshape(4, 16)
+    # shard 0 gets the carried history; shard d>0 the left neighbor's tail
+    np.testing.assert_array_equal(hist[0], -np.ones(16))
+    for d in range(1, 4):
+        np.testing.assert_array_equal(
+            hist[d], x[d * 256 - 16: d * 256])
+    np.testing.assert_array_equal(np.asarray(new_c), x[-16:])
+    prev = np.asarray(prev).reshape(4)
+    assert prev[0] == -1.0
+    np.testing.assert_array_equal(prev[1:], [255.0, 511.0, 767.0])
+    assert float(np.asarray(new_p)[0]) == x[-1]
