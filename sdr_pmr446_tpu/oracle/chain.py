@@ -363,3 +363,24 @@ class ScannerOracle:
             [self._average_power(chan[i]) for i in range(C.NUM_CHANNELS)]))
         self.active_trace.append(self.active_chan)
         self.subchunk += 1
+
+
+class DsdInOracle:
+    """Reference-semantics dsd_in chain (src/dsd_in.c:159-180) in float64."""
+
+    def __init__(self):
+        from sdr_pmr446_tpu.scanner.dsd_in import stage2_taps, up_taps
+        self.dcblock = dc_blocker_stream()
+        self.res1 = PolyResamplerStream(D.resampler_taps(), C.RESAMP_L,
+                                        C.RESAMP_M)
+        self.res2 = PolyResamplerStream(np.asarray(stage2_taps()), 1, 16)
+        self.fm = FreqDemStream()
+        self.up = PolyResamplerStream(np.asarray(up_taps()), 96, 25)
+
+    def process(self, iq: np.ndarray) -> np.ndarray:
+        x = self.dcblock.process(np.asarray(iq, np.complex128))
+        band = self.res1.process(x)
+        sig = self.res2.process(band)
+        audio = self.fm.process(sig)
+        out48 = self.up.process(audio.astype(np.complex128)).real
+        return np.clip(out48 * 32767.0, -32768.0, 32767.0)

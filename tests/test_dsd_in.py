@@ -20,18 +20,8 @@ from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain, stage2_taps, up_taps
 
 def _scipy_oracle(iq):
     """float64 rendition of the dsd_in chain with the same taps."""
-    b, a = D.dc_blocker_coeffs()
-    x = sigp.lfilter(b, a, iq)
-    h1 = D.resampler_taps()
-    # stage 1 (25/128) with zero-history polyphase == our formulation
-    from sdr_pmr446_tpu.oracle.chain import (PolyResamplerStream,
-                                             FreqDemStream)
-    y1 = PolyResamplerStream(h1, C.RESAMP_L, C.RESAMP_M).process(x)
-    y2 = PolyResamplerStream(np.asarray(stage2_taps()), 1, 16).process(y1)
-    audio = FreqDemStream().process(y2)
-    y3 = PolyResamplerStream(np.asarray(up_taps()), 96, 25).process(
-        audio.astype(np.complex128)).real
-    return np.clip(y3 * 32767.0, -32768.0, 32767.0)
+    from sdr_pmr446_tpu.oracle.chain import DsdInOracle
+    return DsdInOracle().process(iq)
 
 
 def _mk_iq(n, tone_hz=1000.0, dev=2000.0, amp=0.5, offset_hz=300.0):
