@@ -62,12 +62,22 @@ class ScannerDriver:
         audio, audio_sub = [], []
         active, rssi, rel, events = [], [], [], []
         wf_rows = [] if self.args.waterfall > 0 else None
+        # software pipelining: dispatch block i+1 before draining block i's
+        # outputs, so host-side fetch/render overlaps device compute (the
+        # role the reference's audio ring plays across its two threads,
+        # src/sdr_pmr446.c:903-906)
+        pending = None
         for blk in blocks:
             self.state, out = self.chain.step(
                 self.state, jnp.asarray(blk, jnp.complex64), self.params)
-            self._drain(out, audio, audio_sub, active, rssi, rel, events,
-                        wf_rows)
+            if pending is not None:
+                self._drain(pending, audio, audio_sub, active, rssi, rel,
+                            events, wf_rows)
+            pending = out
             self.block_index += 1
+        if pending is not None:
+            self._drain(pending, audio, audio_sub, active, rssi, rel,
+                        events, wf_rows)
         return ScanResult(
             audio=(np.concatenate(audio) if audio
                    else np.zeros(0, np.float32)),
