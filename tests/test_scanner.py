@@ -233,3 +233,17 @@ class TestVariants:
     def test_audio_gain_and_squelch(self):
         snr = self._compare(C.ScannerArgs(audio_gain=2.5, squelch_level=12.0))
         assert snr > 40.0
+
+
+def test_step_size_invariance():
+    """Outputs must not depend on how many sub-chunks one jitted step packs
+    (the state carry is exact): K=5 vs K=10 give identical streams."""
+    iq = synth.make_scanner_iq(20 * C.SUBCHUNK_IN, channel=5, ctcss_code=12)
+    _, o5, _ = run_chain(iq, subchunks_per_step=5)
+    _, o10, _ = run_chain(iq, subchunks_per_step=10)
+    np.testing.assert_array_equal(o5["active_chan"], o10["active_chan"])
+    np.testing.assert_array_equal(o5["ct_detected"], o10["ct_detected"])
+    # fp reassociation across different conv batch extents gives ~1e-4 dB
+    np.testing.assert_allclose(o5["rssi_db"], o10["rssi_db"],
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(o5["audio"], o10["audio"], rtol=0, atol=1e-4)
