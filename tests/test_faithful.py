@@ -89,3 +89,65 @@ def test_faithful_lowpass_variant():
     snr = 10 * np.log10(np.mean(ora_audio ** 2)
                         / max(np.mean(err ** 2), 1e-30))
     assert snr > 60.0, f"{snr:.1f}"
+
+
+def test_randomized_event_soak():
+    """Randomized multi-event schedule: control decisions must match the
+    oracle exactly for the fast chain, and faithful-mode audio must match
+    through every transition."""
+    rng = np.random.default_rng(123)
+    segs = []
+    t0 = 0
+    for _ in range(6):
+        n = int(rng.integers(5, 9)) * C.SUBCHUNK_IN
+        kind = rng.choice(["sig", "noise", "two"])
+        if kind == "noise":
+            segs.append(2e-3 * (rng.standard_normal(n)
+                                + 1j * rng.standard_normal(n)))
+        else:
+            ch = int(rng.integers(1, 17))
+            code = int(rng.integers(1, 39))
+            s = synth.make_scanner_iq(n, channel=ch, ctcss_code=code,
+                                      tone_hz=float(rng.integers(500, 2500)),
+                                      seed=int(rng.integers(1 << 30)),
+                                      start_sample=t0)
+            if kind == "two":
+                ch2 = (ch + 7) % 16 + 1
+                s = s + synth.make_scanner_iq(
+                    n, channel=ch2, amplitude=0.5, tone_hz=800.0,
+                    seed=int(rng.integers(1 << 30)), start_sample=t0)
+            segs.append(s)
+        t0 += n
+    iq = np.concatenate(segs)
+    iq = iq[: (len(iq) // (5 * C.SUBCHUNK_IN)) * (5 * C.SUBCHUNK_IN)]
+
+    args = C.ScannerArgs(lock_mode="max")
+    ora = ScannerOracle(args)
+    ora.process(iq)
+
+    # fast chain: control equality
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain
+    import jax
+    chain = ScannerChain(C.BlockConfig(5))
+    params = make_runtime_params(args)
+    st = chain.init_state()
+    traces = []
+    for i in range(len(iq) // chain.block.input_len):
+        st, o = chain.step(st, jnp.asarray(
+            iq[i * chain.block.input_len:(i + 1) * chain.block.input_len],
+            jnp.complex64), params)
+        traces.append(np.asarray(o.active_chan))
+    np.testing.assert_array_equal(np.concatenate(traces),
+                                  np.asarray(ora.active_trace))
+
+    # faithful chain: audio equality through transitions
+    outs = _run_faithful(iq, args)
+    np.testing.assert_array_equal(outs["active_chan"],
+                                  np.asarray(ora.active_trace))
+    if len(ora.audio):
+        jax_audio = outs["audio"][outs["audio_valid"]].ravel()
+        ora_audio = np.concatenate(ora.audio)
+        err = jax_audio - ora_audio
+        snr = 10 * np.log10(max(np.mean(ora_audio ** 2), 1e-30)
+                            / max(np.mean(err ** 2), 1e-30))
+        assert snr > 55.0, f"soak faithful SNR {snr:.1f} dB"
