@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: 25/128 polyphase rational resampler.
+
+Companion to kernels/pfb_demod.py, completing the SURVEY.md §7 step-5 kernel
+set ("fuse resampler-FIR and PFB+discriminator").  Same playbook:
+
+  - the exact polyphase math of ops/resample.py as one MXU matmul per tile:
+    windows [TILE_F, 512] x kernel [512, 25] (the true window is 432 wide;
+    padding to 4 x 128 row-blocks keeps every copy lane-aligned and the
+    padded kernel rows are zero);
+  - in history-extended coordinates xe = [hist(309), x], the window for
+    output frame f starts at xe[128 f] — exactly frame-row f of
+    xe.reshape(-1, 128) — so tiles are ordinary non-overlapping [TILE_F,
+    128] BlockSpec blocks plus 3 pre-sliced look-ahead rows per tile;
+  - complex processed as re/im planes (real taps), two matmuls per tile.
+
+Interpret-mode tests pin it to ops/resample.py's PolyResampler exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.taps import design as D
+from sdr_pmr446_tpu.ops.resample import _kernel_matrix
+
+L = C.RESAMP_L            # 25
+M = C.RESAMP_M            # 128
+W_PAD = 512               # 4 x 128 row-blocks (true window width is 432)
+LOOK = W_PAD // M - 1     # 3 look-ahead frame rows per tile
+
+
+@functools.lru_cache(maxsize=None)
+def _padded_kernel() -> np.ndarray:
+    """[512, 25] f32: transposed, zero-padded polyphase kernel matrix."""
+    k = _kernel_matrix(tuple(D.resampler_taps().tolist()), L, M)  # [25, 432]
+    kp = np.zeros((W_PAD, L), dtype=np.float32)
+    kp[: k.shape[1], :] = k.T.astype(np.float32)
+    return kp
+
+
+def _body(fr_ref, fi_ref, er_ref, ei_ref, k_ref, yr_out, yi_out,
+          win_r, win_i):
+    tile_f = yr_out.shape[0]
+    xr_frames = jnp.concatenate([fr_ref[:], er_ref[:]], axis=0)
+    xi_frames = jnp.concatenate([fi_ref[:], ei_ref[:]], axis=0)
+    for i in range(W_PAD // M):
+        win_r[:, i * M:(i + 1) * M] = xr_frames[i:i + tile_f, :]
+        win_i[:, i * M:(i + 1) * M] = xi_frames[i:i + tile_f, :]
+    k = k_ref[:]
+    yr_out[:, :] = jnp.dot(win_r[:], k, preferred_element_type=jnp.float32)
+    yi_out[:, :] = jnp.dot(win_i[:], k, preferred_element_type=jnp.float32)
+
+
+class PallasResampler:
+    """Drop-in fused replacement for ops/resample.PolyResampler (25/128).
+
+    apply(hist [309] c64, x [T] c64) -> (new_hist, band [T*25/128] c64);
+    T must be a multiple of 128.
+    """
+
+    def __init__(self, tile_f: int = 512, interpret: bool = False):
+        assert tile_f % 8 == 0
+        self.tile_f = tile_f
+        self.interpret = interpret
+        self.kmat = _padded_kernel()
+        self.hist_len = len(D.resampler_taps()) // L - 1   # 309
+
+    def apply(self, hist: jax.Array, x: jax.Array):
+        t = x.shape[-1]
+        assert t % M == 0
+        f_total = t // M
+        tile = self.tile_f
+        n_tiles = -(-f_total // tile)
+        f_pad = n_tiles * tile
+
+        xe = jnp.concatenate([hist, x])
+        grid_len = (f_pad + LOOK) * M
+        xr = jnp.pad(jnp.real(xe).astype(jnp.float32),
+                     (0, grid_len - xe.shape[-1]))
+        xi = jnp.pad(jnp.imag(xe).astype(jnp.float32),
+                     (0, grid_len - xe.shape[-1]))
+        frames_r = xr.reshape(f_pad + LOOK, M)
+        frames_i = xi.reshape(f_pad + LOOK, M)
+        main_r = frames_r[:f_pad]
+        main_i = frames_i[:f_pad]
+        # look-ahead rows for tile s are frame rows [(s+1)*tile, +LOOK)
+        idx = ((jnp.arange(n_tiles)[:, None] + 1) * tile
+               + jnp.arange(LOOK)[None, :])          # [n_tiles, LOOK]
+        extra_r = frames_r[idx]
+        extra_i = frames_i[idx]
+
+        yr, yi = pl.pallas_call(
+            _body,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile, M), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, M), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, LOOK, M), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, LOOK, M), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile, L), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, L), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((f_pad, L), jnp.float32),
+                jax.ShapeDtypeStruct((f_pad, L), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile, W_PAD), jnp.float32),
+                pltpu.VMEM((tile, W_PAD), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )(main_r, main_i, extra_r, extra_i, jnp.asarray(self.kmat))
+
+        band = jax.lax.complex(yr[:f_total], yi[:f_total]).reshape(
+            f_total * L)
+        new_hist = xe[xe.shape[-1] - self.hist_len:]
+        return new_hist, band

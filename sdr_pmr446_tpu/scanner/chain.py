@@ -93,8 +93,11 @@ class ScannerChain:
         self.use_pallas = use_pallas
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
+            from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
             self.pallas_pfb = PallasPfbDemod(tile_f=512,
                                              interpret=pallas_interpret)
+            self.pallas_resampler = PallasResampler(
+                tile_f=512, interpret=pallas_interpret)
 
         self.resampler = PolyResampler(D.resampler_taps(), C.RESAMP_L,
                                        C.RESAMP_M)
@@ -130,7 +133,11 @@ class ScannerChain:
             (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA)
 
         # 2. 25/128 polyphase resampler to 200 kHz (:425-428,796)
-        resamp_hist, band = self.resampler.apply(state.resamp_hist, x)
+        if self.use_pallas:
+            resamp_hist, band = self.pallas_resampler.apply(
+                state.resamp_hist, x)
+        else:
+            resamp_hist, band = self.resampler.apply(state.resamp_hist, x)
 
         # 3-5. NCO + PFB channelizer + RSSI + NBFM discriminator
         if self.use_pallas:

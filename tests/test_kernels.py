@@ -113,3 +113,25 @@ def test_kmath_atan2_accuracy():
     got = np.asarray(kmath.atan2(jnp.asarray(y), jnp.asarray(x)))
     ref = np.arctan2(y, x)
     assert np.max(np.abs(got - ref)) < 3e-5
+
+
+def test_resampler_kernel_matches_op():
+    from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
+    from sdr_pmr446_tpu.ops.resample import PolyResampler
+    from sdr_pmr446_tpu.taps import design as D
+    rng = np.random.default_rng(5)
+    ref_op = PolyResampler(D.resampler_taps(), C.RESAMP_L, C.RESAMP_M)
+    k = PallasResampler(tile_f=64, interpret=True)
+    hist_ref = ref_op.init()
+    hist_k = jnp.zeros(k.hist_len, jnp.complex64)
+    for blk in range(3):
+        # frame counts not multiples of the tile: exercise padding
+        t = (3 * 64 + 17) * C.RESAMP_M
+        x = jnp.asarray((rng.standard_normal(t) + 1j * rng.standard_normal(t)
+                         ).astype(np.complex64))
+        hist_ref, y_ref = ref_op.apply(hist_ref, x)
+        hist_k, y_k = k.apply(hist_k, x)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                                   rtol=0, atol=2e-4, err_msg=f"block {blk}")
+        np.testing.assert_allclose(np.asarray(hist_k), np.asarray(hist_ref),
+                                   atol=0)
