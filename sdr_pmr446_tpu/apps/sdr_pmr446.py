@@ -69,7 +69,12 @@ def main(argv=None) -> int:
                         format="[%(asctime)s %(name)s] %(message)s",
                         stream=sys.stderr)
     ns = build_parser().parse_args(argv)
-    mask = C.parse_channel_mask(ns.mask) if ns.mask else (1 << C.MAX_CHANNELS) - 1
+    try:
+        mask = (C.parse_channel_mask(ns.mask) if ns.mask
+                else (1 << C.MAX_CHANNELS) - 1)
+    except ValueError as e:
+        logging.error("%s", e)                  # argp_usage-style clean exit
+        return 1
     if mask == 0:
         logging.error("No channels enabled in channel mask !")
         return 1

@@ -139,14 +139,20 @@ class RingBuffer:
         first = min(self.capacity - pos, take)
         out[:first] = self._np[pos:pos + first]
         out[first:take] = self._np[: take - first]
-        out[take:] = 0.0
+        if zero_fill:
+            out[take:] = 0.0
         self._tail += take
         return out
 
 
 def convert_iq(raw: np.ndarray, fmt: str) -> np.ndarray:
-    """Interleaved raw IQ -> complex64 (native fast path when available)."""
+    """Interleaved raw IQ -> complex64 (native fast path when available).
+
+    A trailing odd element (file truncated mid-sample) is dropped, matching
+    the native reader's got_floats/2 behavior.
+    """
     code = _FMT_CODES[fmt]
+    raw = np.asarray(raw)[: (np.asarray(raw).size // 2) * 2]
     if code == 0:
         f = np.ascontiguousarray(raw, dtype=np.float32)
     elif _lib is not None:

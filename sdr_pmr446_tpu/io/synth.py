@@ -48,11 +48,18 @@ def make_scanner_iq(
     """
     rng = np.random.default_rng(seed)
     t = (start_sample + np.arange(n_samples)) / fs
-    msg = tone_amp * np.sin(2 * np.pi * tone_hz * t)
+    # FM phase via the ANALYTIC integral of the sinusoidal message
+    # (integral of A sin(2 pi f t) = -A cos(2 pi f t)/(2 pi f)): exactly
+    # phase-continuous across segments generated with consecutive
+    # start_sample values (a cumsum restarting at zero per call is not)
+    def _integ(amp, f_hz):
+        return -amp * np.cos(2 * np.pi * f_hz * t) / (2 * np.pi * f_hz)
+
+    msg_int = _integ(tone_amp, tone_hz)
     if ctcss_code is not None:
-        msg = msg + ctcss_amp * np.sin(
-            2 * np.pi * C.CTCSS_FREQS[ctcss_code - 1] * t)
-    phase = 2.0 * np.pi * deviation_hz / fs * np.cumsum(msg)
+        msg_int = msg_int + _integ(ctcss_amp,
+                                   C.CTCSS_FREQS[ctcss_code - 1])
+    phase = 2.0 * np.pi * deviation_hz * msg_int
     f_off = channel_center_hz(channel) - center_hz
     carrier = 2.0 * np.pi * f_off * t
     x = amplitude * np.exp(1j * (carrier + phase))

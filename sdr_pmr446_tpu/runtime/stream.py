@@ -31,11 +31,18 @@ class StreamingSource:
         self.ring = native.RingBuffer(2 * block_len * ring_blocks)
         self._eof = threading.Event()
         self._stop = threading.Event()
-        self._space = threading.Condition()
+        self._error = None
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._started = False
 
     def _pump(self):
+        try:
+            self._pump_inner()
+        except BaseException as e:           # propagate to the consumer
+            self._error = e
+            self._eof.set()
+
+    def _pump_inner(self):
         while not self._stop.is_set():
             block, got = self.reader.read_block(self.read_chunk)
             if got == 0:
@@ -66,6 +73,8 @@ class StreamingSource:
                 raw = self.ring.read(need)
                 yield (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
             elif self._eof.is_set():
+                if self._error is not None:
+                    raise RuntimeError("reader thread failed") from self._error
                 rem = self.ring.size()
                 if rem == 0:
                     return

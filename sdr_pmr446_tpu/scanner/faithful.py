@@ -36,7 +36,8 @@ from sdr_pmr446_tpu.ops import fir, iir
 from sdr_pmr446_tpu.ops.resample import PolyResampler
 from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
 from sdr_pmr446_tpu.scanner.chain import RuntimeParams
-from sdr_pmr446_tpu.scanner.fsm import (_phasor_table, _count_phasor_table)
+from sdr_pmr446_tpu.scanner.fsm import (ctcss_tables, ctcss_subchunk_sums,
+                                        ctcss_detect)
 
 
 class FaithfulState(NamedTuple):
@@ -143,13 +144,8 @@ class FaithfulScannerChain:
 
         mask = params.channel_mask
         nch_en = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
-        e0 = jnp.asarray(_phasor_table(ns))
-        u_table = jnp.asarray(_count_phasor_table())
-        wrap = jnp.asarray(np.exp(
-            1j * 2 * np.pi * np.asarray(C.CTCSS_FREQS)
-            / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))
-        freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
-        idx_i = jnp.arange(ns, dtype=jnp.int32)
+        tables = ctcss_tables(ns)
+        freqs = tables[3]
         hp_flip = jnp.asarray(self.hp_taps[::-1].copy())
         lp_flip = jnp.asarray(self.lp_taps[::-1].copy())
 
@@ -212,20 +208,11 @@ class FaithfulScannerChain:
                 n_lp_h = lp_h
 
             # --- CTCSS detector on the gated stream (:610) ---
-            u = u_table[:, cnt]
-            zt = e0 * lp_dcb[None, :] * u[:, None]
-            b = (n_win - 1) - cnt
-            pre = (idx_i <= b)[None, :]
-            s_pre = jnp.sum(jnp.where(pre, zt, 0.0), axis=-1)
-            s_suf = jnp.sum(jnp.where(pre, 0.0, zt * wrap[:, None]), axis=-1)
-            has_b = b < ns
+            # (shared window math: scanner/fsm.py is the single source)
+            s_pre, s_suf, has_b = ctcss_subchunk_sums(lp_dcb, cnt, tables)
             y = cc + s_pre
             power = y.real ** 2 + y.imag ** 2
-            avgp = jnp.mean(power)
-            pidx = jnp.argmax(power).astype(jnp.int32)
-            newdet = (avgp > C.CTCSS_AVG_POWER_THRESH) & (
-                power[pidx] / jnp.maximum(avgp, 1e-30)
-                > C.CTCSS_MAX_AVG_RATIO_THRESH)
+            newdet, pidx = ctcss_detect(power)
             upd = is_active & has_b
             det2 = jnp.where(upd, newdet, det_r)
             tidx2 = jnp.where(upd, pidx, tidx_r)

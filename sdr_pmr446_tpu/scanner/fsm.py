@@ -77,6 +77,51 @@ def _count_phasor_table() -> np.ndarray:
     return np.exp(-1j * np.outer(w, c)).astype(np.complex64)
 
 
+def ctcss_tables(ns: int):
+    """Static tables for the windowed-DFT CTCSS update (shared by the v1
+    scan, the batched v2 scan and faithful mode — single source of truth)."""
+    n_win = C.CTCSS_BLOCK_SIZE
+    e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
+    u_table = jnp.asarray(_count_phasor_table())           # [38, 2441]
+    # wrap factor applied to post-boundary samples: e^{+j w N}
+    # (built in float64 on host — w*N is ~300 rad, keep phase accurate)
+    wrap = jnp.asarray(np.exp(
+        1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)
+        / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))   # [38]
+    freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
+    idx_i = jnp.arange(ns, dtype=jnp.int32)
+    return e0, u_table, wrap, freqs, idx_i
+
+
+def ctcss_subchunk_sums(x, cnt, tables):
+    """Pre/post-boundary windowed-DFT sums for one [ns] sub-chunk.
+
+    x: [ns] f32 (DC-blocked CTCSS low-band branch); cnt: samples already in
+    the current 2441-window.  Returns (s_pre, s_suf, has_b) with
+    s_pre/s_suf [38] c64.  power of the completed window = |carry+s_pre|^2.
+    """
+    e0, u_table, wrap, _, idx_i = tables
+    ns = e0.shape[1]
+    n_win = C.CTCSS_BLOCK_SIZE
+    u = u_table[:, cnt]
+    z = e0 * x[None, :] * u[:, None]
+    b = (n_win - 1) - cnt
+    pre = (idx_i <= b)[None, :]
+    s_pre = jnp.sum(jnp.where(pre, z, 0.0), axis=-1)
+    s_suf = jnp.sum(jnp.where(pre, 0.0, z * wrap[:, None]), axis=-1)
+    return s_pre, s_suf, b < ns
+
+
+def ctcss_detect(power):
+    """(detected, argmax) per src/sdr_pmr446.c:391-405."""
+    avgp = jnp.mean(power)
+    pidx = jnp.argmax(power).astype(jnp.int32)
+    maxp = power[pidx]
+    det = (avgp > C.CTCSS_AVG_POWER_THRESH) & (
+        maxp / jnp.maximum(avgp, 1e-30) > C.CTCSS_MAX_AVG_RATIO_THRESH)
+    return det, pidx
+
+
 def fsm_ctcss_scan(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
                    mask: jax.Array, squelch: jax.Array, lock_max: jax.Array):
     """Run the FSM+CTCSS scan over K sub-chunks.
@@ -88,15 +133,8 @@ def fsm_ctcss_scan(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
     """
     K, nch, ns = lp.shape
     n_win = C.CTCSS_BLOCK_SIZE
-    freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
-    e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
-    u_table = jnp.asarray(_count_phasor_table())           # [38, 2441]
-    # wrap factor applied to post-boundary samples: e^{+j w N}
-    # (built in float64 on host — w*N is ~300 rad, keep phase accurate)
-    wrap = jnp.asarray(np.exp(
-        1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)
-        / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))   # [38]
-    idx_i = jnp.arange(ns, dtype=jnp.int32)
+    tables = ctcss_tables(ns)
+    freqs = tables[3]
 
     nch_en = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
 
@@ -131,21 +169,10 @@ def fsm_ctcss_scan(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
         # --- CTCSS analyze on the active channel (ctcss_execute) ---
         is_active = act2 >= 0
         x = lp_c[jnp.clip(act2, 0, nch - 1)]                # [ns]
-        u = u_table[:, cnt]                                 # [38] e^{-j w cnt}
-        z = e0 * x[None, :] * u[:, None]                    # [38, ns]
-        b = (n_win - 1) - cnt                               # boundary index
-        pre = (idx_i <= b)[None, :]
-        s_pre = jnp.sum(jnp.where(pre, z, 0.0), axis=-1)
-        s_suf = jnp.sum(jnp.where(pre, 0.0, z * wrap[:, None]), axis=-1)
-        has_b = b < ns
-
+        s_pre, s_suf, has_b = ctcss_subchunk_sums(x, cnt, tables)
         y = cc + s_pre
         power = y.real ** 2 + y.imag ** 2                   # Goertzel powers
-        avgp = jnp.mean(power)
-        pidx = jnp.argmax(power).astype(jnp.int32)
-        maxp = power[pidx]
-        newdet = (avgp > C.CTCSS_AVG_POWER_THRESH) & (
-            maxp / jnp.maximum(avgp, 1e-30) > C.CTCSS_MAX_AVG_RATIO_THRESH)
+        newdet, pidx = ctcss_detect(power)
 
         upd = is_active & has_b
         det2 = jnp.where(upd, newdet, det_r)

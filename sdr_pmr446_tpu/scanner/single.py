@@ -87,7 +87,8 @@ class SingleChannelChain:
             (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA)
         rh, band = self.res.apply(state.res_hist, x)
         # closed-form mixer phase: e^{-j w (n0 + n)}; w is a multiple of
-        # 2*pi/16 so phases repeat every 16 samples — tile a static table
+        # 2*pi/32 (offsets are multiples of fs/32 = 6.25 kHz), so a 32-entry
+        # table indexed mod 32 is exact
         t_band = band.shape[-1]
         tab = jnp.asarray(np.exp(
             -1j * self.omega
