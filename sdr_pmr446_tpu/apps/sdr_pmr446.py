@@ -138,7 +138,13 @@ def main(argv=None) -> int:
             sys.stdout.flush()
         driver.on_subchunk = on_subchunk
 
-    result = driver.run(iq_io.block_stream(iq, driver.block_len))
+    try:
+        result = driver.run(iq_io.block_stream(iq, driver.block_len))
+    except KeyboardInterrupt:
+        # graceful teardown like the reference's SIGINT handler
+        # (src/sdr_pmr446.c:190-199,933-940): stop cleanly, keep nothing
+        log.info("Signal caught, exiting!")
+        return 130
     wav.write_wav(ns.output, result.audio, C.AUDIO_SAMPLERATE)
     log.info("wrote %d audio samples (%.2f s) to %s", len(result.audio),
              len(result.audio) / C.AUDIO_SAMPLERATE, ns.output)

@@ -185,3 +185,53 @@ def test_halo_hist_and_scalar_prev_direct():
     assert prev[0] == -1.0
     np.testing.assert_array_equal(prev[1:], [255.0, 511.0, 767.0])
     assert float(np.asarray(new_p)[0]) == x[-1]
+
+
+def test_batch_reader_feeds_stream_parallel_chain(tmp_path):
+    """BASELINE config 5 integration: the native multi-stream batch reader
+    feeds the (stream x time)-sharded scanner; each stream's decisions match
+    its own single-stream run."""
+    from sdr_pmr446_tpu.io import iq as iq_io, native
+    from sdr_pmr446_tpu.parallel.scanner_sharded import ShardedScannerChain
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain
+
+    sub = 4
+    step_len = sub * C.SUBCHUNK_IN
+    n = 2 * step_len
+    paths, iqs = [], []
+    for s in range(2):
+        iq = 0.5 * synth.make_scanner_iq(n, channel=4 + s, ctcss_code=10 + s,
+                                         seed=s)
+        p = str(tmp_path / f"s{s}.cs16")
+        iq_io.write_iq(p, iq, "cs16")
+        paths.append(p)
+        iqs.append(iq)
+
+    mesh = make_mesh(2, 2)
+    chain = ShardedScannerChain(mesh, C.BlockConfig(sub))
+    params = make_runtime_params(C.ScannerArgs())
+    st = chain.init_state(2)
+    br = native.BatchReader(paths, ["cs16"] * 2)
+    traces = [[], []]
+    while True:
+        blocks, got = br.read_block(step_len)
+        if got == 0:
+            break
+        st, out = chain.step(st, jnp.asarray(blocks, jnp.complex64), params)
+        for s in range(2):
+            traces[s].append(np.asarray(out.active_chan)[s])
+    br.close()
+
+    # per-stream single-chip reference (quantized cs16 input, same data)
+    single = ScannerChain(C.BlockConfig(sub))
+    for s in range(2):
+        st1 = single.init_state()
+        ref = []
+        cap = iq_io.read_iq(paths[s])
+        for i in range(2):
+            st1, o = single.step(st1, jnp.asarray(
+                cap[i * step_len:(i + 1) * step_len], jnp.complex64), params)
+            ref.append(np.asarray(o.active_chan))
+        np.testing.assert_array_equal(np.concatenate(traces[s]),
+                                      np.concatenate(ref))
+        assert np.concatenate(traces[s])[-1] == 3 + s
