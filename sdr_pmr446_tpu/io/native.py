@@ -1,5 +1,8 @@
 """ctypes bindings for the native IO engine (native/sdrio.cpp).
 
+Native equivalents of the reference's ring buffers and sample plane
+(liquid cbufferf/cbuffercf, src/sdr_pmr446.c:467-471,797-816,903-906;
+SoapySDR CF32 reads, src/shared.c:62-88).
 Loads libsdrio.so when present (``make -C native``), with transparent
 NumPy fallbacks so the framework works without the native build.  The native
 paths matter on the host side of a TPU pipeline: IQ format conversion and

@@ -1,5 +1,8 @@
 """Time-sharded dsd_in chain (streams x time mesh), same halo machinery.
 
+Distributes the reference dsd_in pipeline (src/dsd_in.c:159-180) the same
+way parallel/scanner_sharded.py distributes the scanner.
+
 Completes distributed coverage of every signal chain: the wideband-FM
 front-end's three resampler stages and discriminator run over time shards
 with FIR-history halo exchange and exact IIR carries (parallel/halo.py),

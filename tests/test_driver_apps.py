@@ -134,3 +134,31 @@ def test_scanner_app_faithful_mode(tmp_path):
     assert rate == C.AUDIO_SAMPLERATE and len(audio) > 0
     snr = synth.tone_snr_db(audio[2 * 1225:], 1000.0)
     assert snr > 25.0
+
+
+def test_waterfall_rows_match_numpy_fft():
+    """Chain step-9 spectrogram rows == numpy FFT of the same resampled
+    tail (oracle-grade check of the asgram-equivalent math)."""
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+    from sdr_pmr446_tpu.oracle.chain import (dc_blocker_stream,
+                                             PolyResamplerStream)
+    from sdr_pmr446_tpu.taps import design as D
+
+    w = 64
+    iq = _demo_iq(seconds=1.0)[: 5 * C.SUBCHUNK_IN]
+    chain = ScannerChain(C.BlockConfig(5), waterfall=w)
+    st = chain.init_state()
+    _, out = chain.step(st, jnp.asarray(iq, jnp.complex64),
+                        make_runtime_params(C.ScannerArgs()))
+    rows = np.asarray(out.waterfall)                     # [5, 64]
+
+    band = PolyResamplerStream(D.resampler_taps(), C.RESAMP_L,
+                               C.RESAMP_M).process(
+        dc_blocker_stream().process(iq.astype(np.complex128)))
+    for k in range(5):
+        tail = band[(k + 1) * C.SUBCHUNK_RESAMP - w:
+                    (k + 1) * C.SUBCHUNK_RESAMP]
+        ref = 20 * np.log10(np.maximum(
+            np.abs(np.fft.fftshift(np.fft.fft(tail))) / w, 1e-30))
+        np.testing.assert_allclose(rows[k], ref, rtol=0, atol=1e-2)
