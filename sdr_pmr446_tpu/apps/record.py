@@ -16,7 +16,6 @@ import logging
 import os
 import sys
 
-import numpy as np
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.io import iq as iq_io

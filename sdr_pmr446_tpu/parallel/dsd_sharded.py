@@ -11,7 +11,6 @@ exactly like the scanner (see parallel/scanner_sharded.py).
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
