@@ -135,3 +135,34 @@ def test_audio_sink_gating():
     from sdr_pmr446_tpu.io import audio
     # just exercise the availability probe; the sink itself needs a device
     assert isinstance(audio.available(), bool)
+
+
+def test_waterfall_render_row_scaling():
+    from sdr_pmr446_tpu.ui.waterfall import render_row, CHARSET, DB_REF
+    # at the reference level the lowest char; 2 dB per step up the ramp
+    db = np.array([DB_REF, DB_REF + 2.0, DB_REF + 2.0 * (len(CHARSET) - 1),
+                   DB_REF + 100.0, DB_REF - 50.0])
+    row = render_row(db)
+    assert row[0] == CHARSET[0]
+    assert row[1] == CHARSET[1]
+    assert row[2] == CHARSET[-1]
+    assert row[3] == CHARSET[-1]      # clipped high
+    assert row[4] == CHARSET[0]       # clipped low
+
+
+def test_block_config_geometry():
+    from sdr_pmr446_tpu import config as C
+    b = C.BlockConfig(subchunks_per_step=7)
+    assert b.input_len == 7 * C.SUBCHUNK_IN
+    assert b.resamp_len == b.input_len * 25 // 128
+    assert b.audio_len == b.resamp_len // 16
+    # the FSM cadence stays within 1% of the reference's 97.66 ms
+    assert abs(C.SUBCHUNK_IN / C.SDR_SAMPLERATE - 0.09766) < 1e-3
+
+
+def test_channel_center_frequencies():
+    from sdr_pmr446_tpu.io.synth import channel_center_hz
+    # PMR446 channel plan: ch1 = 446.00625 MHz, 12.5 kHz spacing
+    assert channel_center_hz(1) == 446_006_250.0
+    assert channel_center_hz(16) == 446_193_750.0
+    assert channel_center_hz(9) - channel_center_hz(8) == 12_500.0
