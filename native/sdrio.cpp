@@ -156,7 +156,12 @@ size_t sdrio_reader_read(SdrReader* rd, float* dst, size_t n_samples) {
   size_t elem = rd->fmt == 0 ? 4 : (rd->fmt == 1 ? 2 : 1);
   size_t want_bytes = n_floats * elem;
   if (rd->raw_cap < want_bytes) {
-    rd->raw = static_cast<uint8_t*>(realloc(rd->raw, want_bytes));
+    uint8_t* grown = static_cast<uint8_t*>(realloc(rd->raw, want_bytes));
+    if (!grown) {  // keep the old buffer/raw_cap; report no samples
+      memset(dst, 0, n_floats * sizeof(float));
+      return 0;
+    }
+    rd->raw = grown;
     rd->raw_cap = want_bytes;
   }
   size_t got = fread(rd->raw, 1, want_bytes, rd->f);
@@ -187,16 +192,23 @@ void sdrio_reader_close(SdrReader* rd) {
 
 struct SdrWav {
   FILE* f;
-  uint32_t data_bytes;
+  uint64_t data_bytes;  // 64-bit: long scanner runs can pass 4 GiB
   uint32_t sample_rate;
   int s16;            // 1 = int16 PCM, 0 = float32
+  int warned_4gib;
 };
+
+// RIFF sizes are uint32; cap the data chunk so 36 + data_bytes fits.
+static const uint64_t kWavMaxDataBytes = 0xFFFFFFFFull - 36;
 
 static void wav_write_header(SdrWav* w) {
   uint32_t sampwidth = w->s16 ? 2 : 4;
   uint16_t fmt_tag = w->s16 ? 1 : 3;
   uint32_t byte_rate = w->sample_rate * sampwidth;
-  uint32_t riff_len = 36 + w->data_bytes;
+  uint64_t db = w->data_bytes < kWavMaxDataBytes ? w->data_bytes
+                                                 : kWavMaxDataBytes;
+  uint32_t data_len = static_cast<uint32_t>(db);
+  uint32_t riff_len = 36 + data_len;
   uint16_t block = static_cast<uint16_t>(sampwidth);
   uint16_t bits = static_cast<uint16_t>(8 * sampwidth);
   uint32_t fmt_len = 16;
@@ -213,18 +225,30 @@ static void wav_write_header(SdrWav* w) {
   fwrite(&block, 2, 1, w->f);
   fwrite(&bits, 2, 1, w->f);
   fwrite("data", 1, 4, w->f);
-  fwrite(&w->data_bytes, 4, 1, w->f);
+  fwrite(&data_len, 4, 1, w->f);
 }
 
 SdrWav* sdrio_wav_open(const char* path, uint32_t sample_rate, int s16) {
   FILE* f = fopen(path, "wb");
   if (!f) return nullptr;
-  auto* w = new SdrWav{f, 0, sample_rate, s16};
+  auto* w = new SdrWav{f, 0, sample_rate, s16, 0};
   wav_write_header(w);
   return w;
 }
 
 void sdrio_wav_write(SdrWav* w, const float* samples, size_t n) {
+  size_t sampwidth = w->s16 ? 2 : 4;
+  uint64_t room = w->data_bytes < kWavMaxDataBytes
+                      ? (kWavMaxDataBytes - w->data_bytes) / sampwidth : 0;
+  if (n > room) {  // stop at the RIFF limit instead of corrupting the header
+    if (!w->warned_4gib) {
+      fprintf(stderr,
+              "sdrio_wav: RIFF 4 GiB limit reached; dropping samples\n");
+      w->warned_4gib = 1;
+    }
+    n = static_cast<size_t>(room);
+    if (n == 0) return;
+  }
   if (w->s16) {
     int16_t buf[4096];
     size_t done = 0;
@@ -233,11 +257,11 @@ void sdrio_wav_write(SdrWav* w, const float* samples, size_t n) {
       sdrio_convert_f32_to_s16(samples + done, buf, chunk, 32767.0f);
       fwrite(buf, 2, chunk, w->f);
       done += chunk;
-      w->data_bytes += static_cast<uint32_t>(2 * chunk);
+      w->data_bytes += static_cast<uint64_t>(2 * chunk);
     }
   } else {
     fwrite(samples, 4, n, w->f);
-    w->data_bytes += static_cast<uint32_t>(4 * n);
+    w->data_bytes += static_cast<uint64_t>(4 * n);
   }
 }
 

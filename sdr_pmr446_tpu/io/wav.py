@@ -13,9 +13,17 @@ import wave
 import numpy as np
 
 
+_RIFF_MAX_DATA = 0xFFFFFFFF - 36    # data chunk cap: RIFF sizes are uint32
+
+
 def write_wav(path: str, audio: np.ndarray, sample_rate: int,
               dtype: str = "float32") -> None:
     audio = np.asarray(audio)
+    sampwidth_b = 2 if dtype == "int16" else 4
+    if audio.size * sampwidth_b > _RIFF_MAX_DATA:
+        raise ValueError(
+            f"audio exceeds the WAV RIFF 4 GiB limit "
+            f"({audio.size * sampwidth_b} data bytes); split into files")
     if dtype == "int16":
         data = np.clip(audio * 32767.0, -32768, 32767).astype("<i2").tobytes()
         sampwidth, fmt_tag = 2, 1

@@ -265,8 +265,13 @@ def fsm_ctcss_scan_v2(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
     xs = lp_sel * (1.0 - pre)
     e0t = e0.T                                            # [ns, 38]
     u = u_table.T[cnt_r]                                  # [K, 38]
-    s_pre = (xp.astype(jnp.complex64) @ e0t) * u
-    s_suf = (xs.astype(jnp.complex64) @ e0t) * (u * wrap[None, :])
+    # precision=HIGHEST: on TPU the default matmul precision multiplies in
+    # bf16, which could flip borderline CTCSS detect/argmax decisions vs the
+    # v1 scan and the oracle (every other MXU op in the repo does the same)
+    hi = jax.lax.Precision.HIGHEST
+    s_pre = jnp.matmul(xp.astype(jnp.complex64), e0t, precision=hi) * u
+    s_suf = (jnp.matmul(xs.astype(jnp.complex64), e0t, precision=hi)
+             * (u * wrap[None, :]))
 
     # ---- phase C: tiny carry scan ([38] partial sums + scalar state) ----
     thr_a = C.CTCSS_AVG_POWER_THRESH
