@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=C.SDR_DEFAULT_AUDIO_GAIN,
                    help=f"audio gain (default: {C.SDR_DEFAULT_AUDIO_GAIN})")
     p.add_argument("-b", "--audio-api", type=str, default="unspecified",
-                   help="audio API name (CLI parity; audio goes to --output)")
+                   help="audio API: alsa | pulse | wav | dummy (validated "
+                        "against this host's available sinks, like the "
+                        "reference's RtAudio API check)")
     p.add_argument("-p", "--lock-mode", choices=["start", "max"],
                    default="start", help="channel lock mode")
     p.add_argument("--input", type=str, default=None,
@@ -52,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-format", type=str, default=None,
                    choices=list("cf32 fc32 cs16 sc16 cs8 cu8 rtlsdr".split()))
     p.add_argument("--output", type=str, default="audio.wav",
-                   help="output WAV for the demodulated audio")
+                   help="output WAV for the demodulated audio, or 'live' to "
+                        "stream through the host audio sink (-b)")
     p.add_argument("--seconds", type=float, default=5.0,
                    help="synthetic source duration")
     p.add_argument("--subchunks-per-step", type=int, default=10)
@@ -78,6 +81,30 @@ def main(argv=None) -> int:
     if mask == 0:
         logging.error("No channels enabled in channel mask !")
         return 1
+    # -b validation against compiled + available APIs (the reference checks
+    # the name against RtAudio's compiled API enum, src/sdr_pmr446.c:234-257)
+    from sdr_pmr446_tpu.io import audio as audio_io
+    avail_apis = audio_io.list_apis()
+    if ns.audio_api not in audio_io.COMPILED_APIS:
+        logging.error("Audio API '%s' not recognized (compiled APIs: %s)",
+                      ns.audio_api,
+                      ", ".join(audio_io.COMPILED_APIS[1:]))
+        return 1
+    if ns.audio_api != "unspecified" and ns.audio_api not in avail_apis:
+        logging.error("Audio API '%s' not available on this host "
+                      "(available: %s)", ns.audio_api,
+                      ", ".join(avail_apis))
+        return 1
+    live_sink = None
+    if ns.output == "live":
+        if ns.audio_api in ("wav", "dummy"):
+            logging.error("--output live needs a live API (-b alsa|pulse|"
+                          "unspecified), not '%s'", ns.audio_api)
+            return 1
+        if not audio_io.available(ns.audio_api):
+            logging.error("no live audio backend available (have: %s)",
+                          ", ".join(avail_apis))
+            return 1
     args = C.ScannerArgs(
         gain=ns.gain, audio_gain=ns.audio_gain, squelch_level=ns.squelch,
         waterfall=ns.waterfall, lowpass=ns.lowpass, channel_mask=mask,
@@ -88,6 +115,8 @@ def main(argv=None) -> int:
              args.squelch_level, args.waterfall)
     log.info("audio lowpass: %s, channel mask: 0x%04X",
              "enabled" if args.lowpass else "disabled", args.channel_mask)
+    log.info("audio sinks available: %s (using: %s)", ", ".join(avail_apis),
+             ns.audio_api if ns.output == "live" else "wav file")
 
     if ns.input:
         iq = iq_io.read_iq(ns.input, ns.input_format)
@@ -126,8 +155,13 @@ def main(argv=None) -> int:
 
     driver = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step)
 
-    if args.waterfall > 0:
-        def on_subchunk(sub, o):
+    if ns.output == "live":
+        live_sink = audio_io.AudioSink(C.AUDIO_SAMPLERATE, api=ns.audio_api)
+
+    def on_subchunk(sub, o):
+        if live_sink is not None and o["audio_valid"]:
+            live_sink.write(o["audio"])
+        if args.waterfall > 0:
             print(wf_ui.render_waterfall_line(o["waterfall"],
                                               float(o["rel_rssi"])))
             footer = wf_ui.render_footer(
@@ -136,6 +170,8 @@ def main(argv=None) -> int:
                 float(o["ct_freq"]))
             print(footer, end="\r")
             sys.stdout.flush()
+
+    if args.waterfall > 0 or live_sink is not None:
         driver.on_subchunk = on_subchunk
 
     try:
@@ -144,10 +180,17 @@ def main(argv=None) -> int:
         # graceful teardown like the reference's SIGINT handler
         # (src/sdr_pmr446.c:190-199,933-940): stop cleanly, keep nothing
         log.info("Signal caught, exiting!")
+        if live_sink is not None:
+            live_sink.close()
         return 130
-    wav.write_wav(ns.output, result.audio, C.AUDIO_SAMPLERATE)
-    log.info("wrote %d audio samples (%.2f s) to %s", len(result.audio),
-             len(result.audio) / C.AUDIO_SAMPLERATE, ns.output)
+    if live_sink is not None:
+        live_sink.close()
+        log.info("streamed %d audio samples (%.2f s) live", len(result.audio),
+                 len(result.audio) / C.AUDIO_SAMPLERATE)
+    else:
+        wav.write_wav(ns.output, result.audio, C.AUDIO_SAMPLERATE)
+        log.info("wrote %d audio samples (%.2f s) to %s", len(result.audio),
+                 len(result.audio) / C.AUDIO_SAMPLERATE, ns.output)
     log.info("Exiting")
     return 0
 

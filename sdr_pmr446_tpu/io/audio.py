@@ -11,30 +11,51 @@ from __future__ import annotations
 
 import shutil
 import subprocess
-from typing import Optional
+from typing import List, Optional
 
 import numpy as np
 
+# The "compiled-in" audio API set — the analog of RtAudio's compiled API
+# enum that the reference validates -b against (src/sdr_pmr446.c:234-257):
+#   alsa  -> aplay      pulse -> pacat      wav -> file sink (always)
+#   dummy -> discard (RtAudio's DUMMY api)
+COMPILED_APIS = ("unspecified", "alsa", "pulse", "wav", "dummy")
+_API_EXES = {"alsa": "aplay", "pulse": "pacat"}
 
-def _backend() -> Optional[list]:
-    if shutil.which("aplay"):
+
+def list_apis() -> List[str]:
+    """APIs usable on THIS host (the device-enumeration analog of
+    src/sdr_pmr446.c:552-577's RtAudio device listing)."""
+    avail = ["wav", "dummy"]
+    for api, exe in _API_EXES.items():
+        if shutil.which(exe):
+            avail.append(api)
+    return avail
+
+
+def _backend(api: str = "unspecified") -> Optional[list]:
+    use_alsa = shutil.which("aplay") and api in ("unspecified", "alsa")
+    use_pulse = shutil.which("pacat") and api in ("unspecified", "pulse")
+    if use_alsa:
         return ["aplay", "-q", "-f", "FLOAT_LE", "-c", "1", "-r"]
-    if shutil.which("pacat"):
+    if use_pulse:
         return ["pacat", "--format=float32le", "--channels=1", "--rate"]
     return None
 
 
-def available() -> bool:
-    return _backend() is not None
+def available(api: str = "unspecified") -> bool:
+    return _backend(api) is not None
 
 
 class AudioSink:
     """Streams float32 mono PCM to the system audio player."""
 
-    def __init__(self, sample_rate: int):
-        cmd = _backend()
+    def __init__(self, sample_rate: int, api: str = "unspecified"):
+        cmd = _backend(api)
         if cmd is None:
-            raise RuntimeError("no audio backend (aplay/pacat) available")
+            raise RuntimeError(
+                f"no live audio backend for API '{api}' (available: "
+                f"{', '.join(list_apis())})")
         if cmd[0] == "aplay":
             argv = cmd + [str(sample_rate)]
         else:

@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: fused audio filter bank over all 16 channels.
+
+The reference's audio stack is one tight per-sample loop on the active
+channel (src/sdr_pmr446.c:882-902): 377-tap CTCSS-removal highpass, the
+complementary lowpass branch delay(188) - HP, de-emphasis, and the optional
+4.5 kHz lowpass.  The XLA op-chain runs these as four separate audio-rate
+HBM passes over [16, T]; this kernel computes BOTH chain outputs
+
+  audio[c, n] = gain * (deemph (*) lp? (*) hp)(demod)[c, n]
+  lp_branch[c, n] = (delta_188 - hp)(demod)[c, n]     (pre-DC-block)
+
+in ONE pass, by composing the cascaded linear FIRs into two columns of a
+single [640, 256] MXU kernel (conv composition is exact in exact arithmetic;
+coefficients are composed in float64 — agreement with the sequential op
+chain is at f32 rounding level, test-gated).  The audio-branch DC blocker
+that follows lp_branch is a one-pole IIR and stays in XLA's exact scan
+(ops/iir.py).
+
+Layout: time is tiled into 128-lane frame rows per channel.  Output frame
+row r of channel c needs extended-input rows r..r+4 (window 513 <= 640), so
+per grid step the tile's rows plus 4 pre-sliced look-ahead rows arrive as
+ordinary non-overlapping BlockSpec blocks (same playbook as
+kernels/resample_kernel.py; this Mosaic build has no dynamic-slice DMA).
+The window matrix [TILE_R, 640] is assembled with 5 aligned row-block
+copies and hit with one matmul against the [640, 256] kernel whose column
+p < 128 is the composed audio FIR ending at phase p and column 128+p the
+lp-branch FIR; the runtime audio gain is folded into the audio columns
+outside the kernel (a [640, 256] elementwise scale, negligible).
+
+Carried state: the last 512 demod samples per channel ([16, 512] f32) —
+the raw-input history replaces the op-chain's four intermediate-signal
+histories (hp/delay/deemph/audio-lp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdr_pmr446_tpu import config as C
+
+NCH = C.NUM_CHANNELS          # 16
+LANES = 128                   # frame-row width (one vreg lane dim)
+HIST = 4 * LANES              # 512-sample demod history per channel
+W_PAD = 5 * LANES             # shared window width per output row
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_columns(lowpass: bool, fir_deemph: bool):
+    """(audio_fir, lp_fir) float64 1-D composed kernels, each <= 511 taps."""
+    from sdr_pmr446_tpu.taps import design as D
+    hp = D.ctcss_hp_taps()
+    de = D.deemph_fir_taps() if fir_deemph else D.deemph_fir_equiv()
+    audio = np.convolve(de, hp)
+    if lowpass:
+        audio = np.convolve(D.audio_lp_taps(), audio)
+    lp = -hp.copy()
+    lp[C.CTCSS_DELAY] += 1.0            # delta_188 - hp
+    assert audio.shape[0] <= HIST - 1 and lp.shape[0] <= HIST - 1
+    return audio, lp
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_matrix(lowpass: bool, fir_deemph: bool) -> np.ndarray:
+    """[640, 256] f32: K[p + j, p] = h[512 - j] (audio cols 0-127, lp 128+)."""
+    audio, lp = _kernel_columns(lowpass, fir_deemph)
+    kmat = np.zeros((W_PAD, 2 * LANES), dtype=np.float64)
+    for h, base in ((audio, 0), (lp, LANES)):
+        hlen = h.shape[0]
+        # y[128 r + p] = sum_m h[m] xe[128 r + p + 512 - m]
+        j = HIST - np.arange(hlen)          # j = 512 - m, m in [0, hlen)
+        for p in range(LANES):
+            kmat[p + j, base + p] = h
+    return kmat.astype(np.float32)
+
+
+def _body(main_ref, look_ref, k_ref, audio_out, lp_out, win):
+    tile_r = audio_out.shape[0]
+    rows = jnp.concatenate([main_ref[:], look_ref[:]], axis=0)
+    for i in range(W_PAD // LANES):
+        win[:, i * LANES:(i + 1) * LANES] = rows[i:i + tile_r, :]
+    out = jnp.dot(win[:], k_ref[:], preferred_element_type=jnp.float32)
+    audio_out[:, :] = out[:, :LANES]
+    lp_out[:, :] = out[:, LANES:]
+
+
+class PallasAudioBank:
+    """Fused replacement for the hp/delay/deemph/audio-lp FIR stack.
+
+    apply(hist [16, 512] f32, demod [16, F] f32, gain f32 scalar)
+      -> (new_hist, audio [16, F], lp_branch [16, F])
+    """
+
+    def __init__(self, lowpass: bool = False, fir_deemph: bool = False,
+                 tile_r: int = 128, interpret: bool = False):
+        assert tile_r % 8 == 0 and tile_r >= W_PAD // LANES - 1
+        self.tile_r = tile_r
+        self.interpret = interpret
+        self.kmat = _kernel_matrix(lowpass, fir_deemph)   # [640, 256] numpy
+
+    def init(self) -> jax.Array:
+        return jnp.zeros((NCH, HIST), jnp.float32)
+
+    def apply(self, hist: jax.Array, demod: jax.Array, gain: jax.Array):
+        nch, f = demod.shape
+        assert nch == NCH
+        tile = self.tile_r
+        r_rows = -(-f // LANES)
+        n_tiles = -(-r_rows // tile)
+        r_pad = n_tiles * tile
+        pad_t = r_pad * LANES - f
+
+        xe = jnp.concatenate(
+            [hist, demod, jnp.zeros((NCH, pad_t), jnp.float32)], axis=-1)
+        xef = xe.reshape(NCH, r_pad + W_PAD // LANES - 1, LANES)
+        main = xef[:, :r_pad]
+        # look-ahead rows for tile s: xef rows [(s+1)*tile, +4) — the same
+        # slice+reshape row-block trick as the other kernels (no gather)
+        shifted = xef[:, tile:]
+        deficit = n_tiles * tile - shifted.shape[1]
+        shifted = jnp.pad(shifted, ((0, 0), (0, deficit), (0, 0)))
+        look = shifted.reshape(
+            NCH, n_tiles, tile, LANES)[:, :, :W_PAD // LANES - 1]
+
+        # fold the (traced) runtime audio gain into the audio columns
+        scale = jnp.concatenate([jnp.broadcast_to(gain, (LANES,)),
+                                 jnp.ones((LANES,), jnp.float32)])
+        kmat = jnp.asarray(self.kmat) * scale[None, :]
+
+        audio, lp = pl.pallas_call(
+            _body,
+            grid=(NCH, n_tiles),
+            in_specs=[
+                pl.BlockSpec((None, tile, LANES), lambda c, s: (c, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, W_PAD // LANES - 1, LANES),
+                             lambda c, s: (c, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # kernel matrix
+            ],
+            out_specs=[
+                pl.BlockSpec((None, tile, LANES), lambda c, s: (c, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, tile, LANES), lambda c, s: (c, s, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NCH, r_pad, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((NCH, r_pad, LANES), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((tile, W_PAD), jnp.float32)],
+            interpret=self.interpret,
+        )(main, look, kmat)
+
+        audio = audio.reshape(NCH, r_pad * LANES)[:, :f]
+        lp = lp.reshape(NCH, r_pad * LANES)[:, :f]
+        new_hist = xe[:, f:f + HIST]
+        return new_hist, audio, lp
+
+
+def reference_impl(hist, demod, gain, lowpass=False, fir_deemph=False):
+    """Op-chain semantics (scanner/chain.py steps 6) on a raw-demod history.
+
+    hist is the combined [16, 512] raw-demod history; the op-chain's four
+    intermediate histories are reconstructed by running the chain over the
+    extended signal and slicing the last F samples.
+    """
+    from sdr_pmr446_tpu.taps import design as D
+    from sdr_pmr446_tpu.ops import fir
+    f = demod.shape[-1]
+    xe = jnp.concatenate([hist, demod], axis=-1)
+    hp_taps = jnp.asarray(D.ctcss_hp_taps().astype(np.float32))
+    de = D.deemph_fir_taps() if fir_deemph else D.deemph_fir_equiv()
+    de_taps = jnp.asarray(de.astype(np.float32))
+    _, hp_out = fir.fir_apply(
+        jnp.zeros((NCH, hp_taps.shape[0] - 1), jnp.float32), xe, hp_taps)
+    _, delayed = fir.delay_apply(
+        jnp.zeros((NCH, C.CTCSS_DELAY), jnp.float32), xe)
+    lp_branch = delayed - hp_out
+    audio = hp_out * gain
+    _, audio = fir.fir_apply(
+        jnp.zeros((NCH, de_taps.shape[0] - 1), jnp.float32), audio, de_taps)
+    if lowpass:
+        lp_taps = jnp.asarray(D.audio_lp_taps().astype(np.float32))
+        _, audio = fir.fir_apply(
+            jnp.zeros((NCH, lp_taps.shape[0] - 1), jnp.float32), audio,
+            lp_taps)
+    new_hist = xe[:, f:f + HIST]
+    return new_hist, audio[:, -f:], lp_branch[:, -f:]

@@ -73,28 +73,48 @@ class PallasResampler:
         self.hist_len = len(D.resampler_taps()) // L - 1   # 309
 
     def apply(self, hist: jax.Array, x: jax.Array):
-        t = x.shape[-1]
+        """Complex in / complex out convenience wrapper over apply_planes."""
+        new_hist, yr, yi = self.apply_planes(
+            hist, jnp.real(x).astype(jnp.float32),
+            jnp.imag(x).astype(jnp.float32))
+        f_total = x.shape[-1] // M
+        band = jax.lax.complex(yr, yi).reshape(f_total * L)
+        return new_hist, band
+
+    def apply_planes(self, hist: jax.Array, xr: jax.Array, xi: jax.Array):
+        """Re/im-plane path (zero XLA glue between kernels, VERDICT r1 #1).
+
+        hist [309] c64 (tiny — converted to planes here), xr/xi [T] f32.
+        Returns (new_hist c64, yr [T//M, L] f32, yi [T//M, L] f32); the flat
+        band plane is yr.reshape(-1) when needed.
+        """
+        t = xr.shape[-1]
         assert t % M == 0
         f_total = t // M
         tile = self.tile_f
         n_tiles = -(-f_total // tile)
         f_pad = n_tiles * tile
 
-        xe = jnp.concatenate([hist, x])
+        hr = jnp.real(hist).astype(jnp.float32)
+        hi = jnp.imag(hist).astype(jnp.float32)
         grid_len = (f_pad + LOOK) * M
-        xr = jnp.pad(jnp.real(xe).astype(jnp.float32),
-                     (0, grid_len - xe.shape[-1]))
-        xi = jnp.pad(jnp.imag(xe).astype(jnp.float32),
-                     (0, grid_len - xe.shape[-1]))
-        frames_r = xr.reshape(f_pad + LOOK, M)
-        frames_i = xi.reshape(f_pad + LOOK, M)
+        pad_n = grid_len - (self.hist_len + t)
+        xr_e = jnp.concatenate([hr, xr, jnp.zeros((pad_n,), jnp.float32)])
+        xi_e = jnp.concatenate([hi, xi, jnp.zeros((pad_n,), jnp.float32)])
+        frames_r = xr_e.reshape(f_pad + LOOK, M)
+        frames_i = xi_e.reshape(f_pad + LOOK, M)
         main_r = frames_r[:f_pad]
         main_i = frames_i[:f_pad]
-        # look-ahead rows for tile s are frame rows [(s+1)*tile, +LOOK)
-        idx = ((jnp.arange(n_tiles)[:, None] + 1) * tile
-               + jnp.arange(LOOK)[None, :])          # [n_tiles, LOOK]
-        extra_r = frames_r[idx]
-        extra_i = frames_i[idx]
+        # look-ahead rows for tile s are frame rows [(s+1)*tile, +LOOK):
+        # expressed as slice+reshape (no gather): drop the first `tile` rows,
+        # pad to a whole number of tiles, then row-block [s][:LOOK].
+        def look_rows(frames):
+            shifted = frames[tile:]                       # rows tile..end
+            deficit = n_tiles * tile - shifted.shape[0]
+            shifted = jnp.pad(shifted, ((0, deficit), (0, 0)))
+            return shifted.reshape(n_tiles, tile, M)[:, :LOOK]
+        extra_r = look_rows(frames_r)
+        extra_i = look_rows(frames_i)
 
         yr, yi = pl.pallas_call(
             _body,
@@ -127,7 +147,8 @@ class PallasResampler:
             interpret=self.interpret,
         )(main_r, main_i, extra_r, extra_i, jnp.asarray(self.kmat))
 
-        band = jax.lax.complex(yr[:f_total], yi[:f_total]).reshape(
-            f_total * L)
-        new_hist = xe[xe.shape[-1] - self.hist_len:]
-        return new_hist, band
+        # carried history is tiny (309 samples): complex for state-pytree
+        # compatibility with the XLA path
+        new_hist = jax.lax.complex(xr_e[t:self.hist_len + t],
+                                   xi_e[t:self.hist_len + t])
+        return new_hist, yr[:f_total], yi[:f_total]

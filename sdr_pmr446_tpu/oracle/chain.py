@@ -384,3 +384,44 @@ class DsdInOracle:
         audio = self.fm.process(sig)
         out48 = self.up.process(audio.astype(np.complex128)).real
         return np.clip(out48 * 32767.0, -32768.0, 32767.0)
+
+
+class AsgramStream:
+    """Per-sample streaming asgramcf emulation (liquid spgram semantics).
+
+    FFT size w, window length w/2, hop w/4 (spgram_create_default's
+    geometry): every hop, the windowed last-w/2 samples are zero-padded to
+    w and their periodogram accumulated; execute() returns the fftshifted
+    dB average since the previous execute (what asgramcf_execute prints,
+    src/sdr_pmr446.c:910-919).  Window/normalization documented in
+    ops/spectrogram.py; this class is the differential-test target for it.
+    """
+
+    def __init__(self, w: int):
+        self.w = w
+        self.wl = w // 2
+        self.delay = w // 4
+        win = np.hamming(self.wl + 1)[: self.wl]
+        self.win = win / np.sum(win)
+        self.buf = np.zeros(self.wl, np.complex128)
+        self.acc = np.zeros(w, np.float64)
+        self.n_transforms = 0
+        self.counter = 0
+
+    def write(self, x: np.ndarray) -> None:
+        for s in np.asarray(x, np.complex128):
+            self.buf = np.roll(self.buf, -1)
+            self.buf[-1] = s
+            self.counter += 1
+            if self.counter == self.delay:
+                self.counter = 0
+                seg = self.buf * self.win
+                spec = np.fft.fft(seg, n=self.w)
+                self.acc += np.abs(spec) ** 2
+                self.n_transforms += 1
+
+    def execute(self) -> np.ndarray:
+        p = self.acc / max(self.n_transforms, 1)
+        self.acc = np.zeros(self.w, np.float64)
+        self.n_transforms = 0
+        return np.fft.fftshift(10.0 * np.log10(np.maximum(p, 1e-30)))

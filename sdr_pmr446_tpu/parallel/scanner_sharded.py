@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.taps import design as D
-from sdr_pmr446_tpu.ops import fir, fm, rssi as rssi_op
+from sdr_pmr446_tpu.ops import fir, fm, rssi as rssi_op, spectrogram
 from sdr_pmr446_tpu.ops.resample import PolyResampler
 from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
 from sdr_pmr446_tpu.runtime.state import ScannerState, init_scanner_state
@@ -43,10 +43,13 @@ class ShardedScannerChain:
     """Scanner over [n_streams, input_len] blocks on a (stream, time) mesh."""
 
     def __init__(self, mesh: Mesh, block: C.BlockConfig | None = None,
-                 lowpass: bool = False, fir_deemph: bool = False):
+                 lowpass: bool = False, fir_deemph: bool = False,
+                 waterfall: int = 0):
         self.mesh = mesh
         self.block = block or C.BlockConfig()
         self.lowpass = lowpass
+        self.waterfall = waterfall
+        spectrogram.validate_width(waterfall)
         self.n_time = mesh.shape[TIME_AXIS]
         self.n_stream = mesh.shape[STREAM_AXIS]
         assert self.block.subchunks_per_step % self.n_time == 0, (
@@ -79,7 +82,8 @@ class ShardedScannerChain:
     # -- pytree structure helpers (specs need matching treedefs) ----------
     def _state_struct(self):
         return init_scanner_state(self.resampler.hist_len, self.pfb.hist_len,
-                                  self.deemph_hist_len)
+                                  self.deemph_hist_len,
+                                  waterfall=self.waterfall)
 
     def _out_struct(self):
         return StepOutputs(*([0] * len(StepOutputs._fields)))
@@ -157,6 +161,18 @@ class ShardedScannerChain:
         else:
             al_carry = state.audio_lp_hist
 
+        # 6b. waterfall rows on the local band shard (history halo: the
+        # sliding window reaches w//2 samples into the previous shard)
+        if self.waterfall > 0:
+            wf_hist_loc, wf_carry = halo.shard_hist(
+                state.wf_hist, band, spectrogram.hist_len(self.waterfall),
+                ax)
+            _, wf_rows = spectrogram.asgram_rows(
+                wf_hist_loc, band, K_local, self.waterfall)
+        else:
+            wf_carry = state.wf_hist
+            wf_rows = jnp.zeros((K_local, 0), jnp.float32)
+
         # 7. gather sub-chunk summaries; replicated FSM+CTCSS scan
         lp_blocks_local = jnp.moveaxis(
             lp_dcb.reshape(C.NUM_CHANNELS, K_local, ns), 0, 1)
@@ -194,18 +210,19 @@ class ShardedScannerChain:
             ev_ct_acquired=loc(fo.ev_ct_acquired),
             ev_ct_changed=loc(fo.ev_ct_changed),
             ev_ct_lost=loc(fo.ev_ct_lost),
-            waterfall=jnp.zeros((K_local, 0), jnp.float32),
+            waterfall=wf_rows,
         )
         new_state = ScannerState(
             dc_x=dc_x, dc_y=dc_y, resamp_hist=r_carry, pfb_hist=p_carry,
             frame_parity=new_parity, demod_prev=fm_carry,
             hp_hist=hp_carry, delay_hist=dl_carry,
             lp_dc_x=lpdc_x, lp_dc_y=lpdc_y, deemph_hist=de_carry,
-            audio_lp_hist=al_carry,
+            audio_lp_hist=al_carry, audio_hist=state.audio_hist,
             fsm_state=carry_out.fsm_state, active_chan=carry_out.active_chan,
             rssi=carry_out.rssi, ct_count=carry_out.ct_count,
             ct_carry=carry_out.ct_carry, ct_detected=carry_out.ct_detected,
             ct_max_idx=carry_out.ct_max_idx, ct_freq=carry_out.ct_freq,
+            wf_hist=wf_carry,
         )
         return new_state, outputs
 

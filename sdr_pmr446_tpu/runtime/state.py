@@ -34,6 +34,9 @@ class ScannerState(NamedTuple):
     lp_dc_y: jax.Array         # f32 [16]
     deemph_hist: jax.Array     # f32 [16, deemph_taps-1]
     audio_lp_hist: jax.Array   # f32 [16, 102]
+    audio_hist: jax.Array      # f32 [16, 512] raw-demod history for the
+    #                            fused Pallas audio bank (kernels/audio_bank;
+    #                            the four FIR hists above stay zero there)
     # control (squelch FSM, src/sdr_pmr446.c:827-874)
     fsm_state: jax.Array       # i32 []     0=scanning 1=tuned
     active_chan: jax.Array     # i32 []     -1..15
@@ -44,10 +47,13 @@ class ScannerState(NamedTuple):
     ct_detected: jax.Array     # bool []
     ct_max_idx: jax.Array      # i32 []
     ct_freq: jax.Array         # f32 []     displayed CTCSS frequency
+    wf_hist: jax.Array         # c64 [w//2] asgram sliding-window band
+    #                            history ([0] when the waterfall is off)
 
 
 def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
-                       deemph_hist_len: int) -> ScannerState:
+                       deemph_hist_len: int,
+                       waterfall: int = 0) -> ScannerState:
     nch = C.NUM_CHANNELS
     return ScannerState(
         dc_x=jnp.zeros((), jnp.complex64),
@@ -62,6 +68,7 @@ def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
         lp_dc_y=jnp.zeros((nch,), jnp.float32),
         deemph_hist=jnp.zeros((nch, deemph_hist_len), jnp.float32),
         audio_lp_hist=jnp.zeros((nch, C.LP_AUDIO_FILT_TAPS - 1), jnp.float32),
+        audio_hist=jnp.zeros((nch, 4 * 128), jnp.float32),
         fsm_state=jnp.zeros((), jnp.int32),
         active_chan=jnp.full((), -1, jnp.int32),
         rssi=jnp.zeros((), jnp.float32),
@@ -70,6 +77,7 @@ def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
         ct_detected=jnp.zeros((), jnp.bool_),
         ct_max_idx=jnp.zeros((), jnp.int32),
         ct_freq=jnp.full((), -1.0, jnp.float32),
+        wf_hist=jnp.zeros((waterfall // 2,), jnp.complex64),
     )
 
 

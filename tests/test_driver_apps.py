@@ -136,29 +136,61 @@ def test_scanner_app_faithful_mode(tmp_path):
     assert snr > 25.0
 
 
-def test_waterfall_rows_match_numpy_fft():
-    """Chain step-9 spectrogram rows == numpy FFT of the same resampled
-    tail (oracle-grade check of the asgram-equivalent math)."""
+def test_waterfall_rows_match_asgram_oracle():
+    """Chain step-9 spectrogram rows == the per-sample streaming asgramcf
+    emulation (liquid spgram semantics: sliding w/2 window, w/4 hop, per-
+    sub-chunk periodogram average) fed with the SAME resampled band —
+    including window continuity across block steps."""
     import jax.numpy as jnp
     from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
     from sdr_pmr446_tpu.oracle.chain import (dc_blocker_stream,
-                                             PolyResamplerStream)
+                                             PolyResamplerStream,
+                                             AsgramStream)
     from sdr_pmr446_tpu.taps import design as D
 
     w = 64
-    iq = _demo_iq(seconds=1.0)[: 5 * C.SUBCHUNK_IN]
-    chain = ScannerChain(C.BlockConfig(5), waterfall=w)
+    iq = _demo_iq(seconds=1.0)[: 4 * C.SUBCHUNK_IN]
+    chain = ScannerChain(C.BlockConfig(2), waterfall=w)
     st = chain.init_state()
-    _, out = chain.step(st, jnp.asarray(iq, jnp.complex64),
-                        make_runtime_params(C.ScannerArgs()))
-    rows = np.asarray(out.waterfall)                     # [5, 64]
+    params = make_runtime_params(C.ScannerArgs())
+    rows = []
+    for i in range(2):
+        st, out = chain.step(
+            st, jnp.asarray(iq[i * 2 * C.SUBCHUNK_IN:
+                               (i + 1) * 2 * C.SUBCHUNK_IN], jnp.complex64),
+            params)
+        rows.append(np.asarray(out.waterfall))
+    rows = np.concatenate(rows)                          # [4, 64]
 
     band = PolyResamplerStream(D.resampler_taps(), C.RESAMP_L,
                                C.RESAMP_M).process(
         dc_blocker_stream().process(iq.astype(np.complex128)))
-    for k in range(5):
-        tail = band[(k + 1) * C.SUBCHUNK_RESAMP - w:
-                    (k + 1) * C.SUBCHUNK_RESAMP]
-        ref = 20 * np.log10(np.maximum(
-            np.abs(np.fft.fftshift(np.fft.fft(tail))) / w, 1e-30))
+    asg = AsgramStream(w)
+    for k in range(4):
+        asg.write(band[k * C.SUBCHUNK_RESAMP:(k + 1) * C.SUBCHUNK_RESAMP])
+        ref = asg.execute()
         np.testing.assert_allclose(rows[k], ref, rtol=0, atol=1e-2)
+
+
+def test_waterfall_width_validation():
+    from sdr_pmr446_tpu.ops.spectrogram import validate_width
+    import pytest as _pytest
+    validate_width(0)            # off: fine
+    validate_width(80)
+    validate_width(64)
+    with _pytest.raises(ValueError):
+        validate_width(50)       # not a multiple of 4
+    with _pytest.raises(ValueError):
+        validate_width(128)      # hop 32 does not divide 19600
+
+
+def test_cli_audio_api_validation():
+    """-b validated against the compiled + available API sets
+    (reference: RtAudio API lookup, src/sdr_pmr446.c:234-257)."""
+    from sdr_pmr446_tpu.apps.sdr_pmr446 import main
+    from sdr_pmr446_tpu.io import audio as audio_io
+    assert main(["-b", "bogus", "--seconds", "0.1"]) == 1
+    assert main(["-b", "jack", "--seconds", "0.1"]) == 1
+    # 'wav' is always compiled in and available
+    assert "wav" in audio_io.list_apis()
+    assert "dummy" in audio_io.list_apis()

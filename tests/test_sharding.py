@@ -122,7 +122,15 @@ def test_sharded_dsd_equals_unsharded():
         got.append(np.asarray(o.pcm)[0])
     got = np.concatenate(got)
     assert got.shape == ref.shape
-    assert np.mean(np.abs(got.astype(int) - ref.astype(int)) <= 1) > 0.999
+    # sharded IIR carries are affine-composed (different f32 rounding than
+    # the sequential scan), so int16 quantization may flip single LSBs —
+    # but never more: every sample within 1 LSB AND 90 dB error power bound
+    err = got.astype(np.int64) - ref.astype(np.int64)
+    assert np.max(np.abs(err)) <= 1
+    sig_p = np.mean(ref.astype(np.float64) ** 2)
+    err_p = np.mean(err.astype(np.float64) ** 2)
+    snr = 10.0 * np.log10(sig_p / max(err_p, 1e-30))
+    assert snr > 90.0, snr
 
 
 def test_halo_biquad_exactness_direct():

@@ -1,0 +1,67 @@
+"""In-process interleaved A/B bench: XLA chain vs Pallas chain.
+
+One process, one tunnel session: both step functions compiled up front,
+then measured in alternating short segments so tunnel latency drift hits
+both equally.  Reports per-segment and median throughput.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.io import synth
+from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--subchunks-per-step", type=int, default=40)
+    p.add_argument("--segments", type=int, default=6)
+    p.add_argument("--iters", type=int, default=15)
+    args = p.parse_args()
+
+    k = args.subchunks_per_step
+    params = make_runtime_params(C.ScannerArgs())
+    n = C.BlockConfig(k).input_len
+    iq = jnp.asarray(synth.make_scanner_iq(n, channel=5, ctcss_code=12),
+                     jnp.complex64)
+
+    chains = {}
+    for name, use_pallas in (("xla", False), ("pallas", True)):
+        chain = ScannerChain(C.BlockConfig(k), use_pallas=use_pallas)
+        st = chain.init_state()
+        st, out = chain.step(st, iq, params)       # compile + warm
+        jax.block_until_ready(out)
+        chains[name] = (chain, st)
+
+    results = {"xla": [], "pallas": []}
+    for seg in range(args.segments):
+        for name in ("xla", "pallas"):
+            chain, st = chains[name]
+            st, out = chain.step(st, iq, params)
+            jax.block_until_ready(out)             # re-warm after swap
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                st, out = chain.step(st, iq, params)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            chains[name] = (chain, st)
+            ms = n * args.iters / dt / 1e6
+            results[name].append(ms)
+            print(f"seg {seg} {name:7s}: {ms:9.1f} Ms/s", flush=True)
+
+    for name, vals in results.items():
+        vals = sorted(vals)
+        med = vals[len(vals) // 2]
+        print(f"{name:7s} median {med:9.1f} Ms/s  "
+              f"(min {vals[0]:.1f} max {vals[-1]:.1f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
