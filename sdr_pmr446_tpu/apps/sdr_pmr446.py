@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="start", help="channel lock mode")
     p.add_argument("--input", type=str, default=None,
                    help="IQ capture file (cf32/cs16/cu8; 1.024 Msps at "
-                        "446.1 MHz); default: synthetic demo signal")
+                        "446.1 MHz) or rtl_tcp://host[:port] for a live "
+                        "network SDR; default: synthetic demo signal")
     p.add_argument("--input-format", type=str, default=None,
                    choices=list("cf32 fc32 cs16 sc16 cs8 cu8 rtlsdr".split()))
     p.add_argument("--output", type=str, default="audio.wav",
@@ -118,7 +119,14 @@ def main(argv=None) -> int:
     log.info("audio sinks available: %s (using: %s)", ", ".join(avail_apis),
              ns.audio_api if ns.output == "live" else "wav file")
 
-    if ns.input:
+    live_source = None
+    if ns.input and ns.input.startswith("rtl_tcp://"):
+        if ns.faithful:
+            logging.error("--faithful is offline-only (file/synthetic "
+                          "input), not usable with rtl_tcp")
+            return 1
+        iq = None
+    elif ns.input:
         iq = iq_io.read_iq(ns.input, ns.input_format)
         log.info("read %d IQ samples (%.2f s) from %s", len(iq),
                  len(iq) / C.SDR_SAMPLERATE, ns.input)
@@ -174,15 +182,33 @@ def main(argv=None) -> int:
     if args.waterfall > 0 or live_sink is not None:
         driver.on_subchunk = on_subchunk
 
+    if iq is None:                      # live rtl_tcp network SDR
+        from sdr_pmr446_tpu.io.rtl_tcp import RtlTcpSource
+        n_blocks = max(1, int(ns.seconds * C.SDR_SAMPLERATE)
+                       // driver.block_len)
+        live_source = RtlTcpSource(
+            ns.input, driver.block_len, gain_db=ns.gain,
+            max_samples=n_blocks * driver.block_len)
+        log.info("streaming live from %s (tuner: %s, %.1f MHz, %.0f s)",
+                 ns.input, live_source.client.tuner_name,
+                 C.SDR_FREQUENCY / 1e6, ns.seconds)
+        blocks = live_source.blocks()
+    else:
+        blocks = iq_io.block_stream(iq, driver.block_len)
+
     try:
-        result = driver.run(iq_io.block_stream(iq, driver.block_len))
+        result = driver.run(blocks)
     except KeyboardInterrupt:
         # graceful teardown like the reference's SIGINT handler
         # (src/sdr_pmr446.c:190-199,933-940): stop cleanly, keep nothing
         log.info("Signal caught, exiting!")
         if live_sink is not None:
             live_sink.close()
+        if live_source is not None:
+            live_source.close()
         return 130
+    if live_source is not None:
+        live_source.close()
     if live_sink is not None:
         live_sink.close()
         log.info("streamed %d audio samples (%.2f s) live", len(result.audio),

@@ -32,7 +32,7 @@ from sdr_pmr446_tpu.ops.resample import PolyResampler
 from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
 from sdr_pmr446_tpu.runtime.state import ScannerState, init_scanner_state
 from sdr_pmr446_tpu.scanner.chain import RuntimeParams, StepOutputs
-from sdr_pmr446_tpu.scanner.fsm import FsmCarry, fsm_ctcss_scan_v2
+from sdr_pmr446_tpu.scanner.fsm import FsmCarry, fsm_ctcss_scan_v3
 from sdr_pmr446_tpu.parallel import halo
 
 TIME_AXIS = "time"
@@ -184,7 +184,7 @@ class ShardedScannerChain:
                             state.ct_count, state.ct_carry,
                             state.ct_detected, state.ct_max_idx,
                             state.ct_freq)
-        carry_out, fo = fsm_ctcss_scan_v2(
+        carry_out, fo = fsm_ctcss_scan_v3(
             carry_in, rssi_all, lp_all, params.channel_mask,
             params.squelch_level, params.lock_max)
 

@@ -20,13 +20,21 @@ from sdr_pmr446_tpu.io import native
 
 
 class StreamingSource:
-    """Background-threaded block source over an IQ capture file."""
+    """Background-threaded block source over an IQ capture file (or any
+    reader with the CaptureReader read_block/close interface — e.g. the
+    rtl_tcp network client, io/rtl_tcp.py)."""
 
     def __init__(self, path: str, block_len: int, fmt: str = "cf32",
                  ring_blocks: int = 4, read_chunk: int = 1 << 16):
+        self._init_with_reader(native.CaptureReader(path, fmt), block_len,
+                               ring_blocks=ring_blocks,
+                               read_chunk=read_chunk)
+
+    def _init_with_reader(self, reader, block_len: int,
+                          ring_blocks: int = 4, read_chunk: int = 1 << 16):
         self.block_len = block_len
         self.read_chunk = read_chunk
-        self.reader = native.CaptureReader(path, fmt)
+        self.reader = reader
         # ring holds interleaved I/Q floats
         self.ring = native.RingBuffer(2 * block_len * ring_blocks)
         self._eof = threading.Event()

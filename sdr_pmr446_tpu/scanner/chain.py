@@ -35,7 +35,7 @@ from sdr_pmr446_tpu.ops import fir, iir, fm, rssi as rssi_op, spectrogram
 from sdr_pmr446_tpu.ops.resample import PolyResampler
 from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
 from sdr_pmr446_tpu.runtime.state import ScannerState, init_scanner_state
-from sdr_pmr446_tpu.scanner.fsm import FsmCarry, fsm_ctcss_scan_v2
+from sdr_pmr446_tpu.scanner.fsm import FsmCarry, fsm_ctcss_scan_v3
 
 
 class RuntimeParams(NamedTuple):
@@ -217,7 +217,7 @@ class ScannerChain:
                             state.ct_freq)
         lp_blocks = jnp.moveaxis(
             lp_dcb.reshape(C.NUM_CHANNELS, K, ns), 0, 1)   # [K, 16, ns]
-        carry_out, fo = fsm_ctcss_scan_v2(
+        carry_out, fo = fsm_ctcss_scan_v3(
             carry_in, rssi_db, lp_blocks, params.channel_mask,
             params.squelch_level, params.lock_max)
 

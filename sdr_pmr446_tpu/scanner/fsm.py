@@ -313,3 +313,199 @@ def fsm_ctcss_scan_v2(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
     outs = FsmOutputs(act2, rel, tune, detune, do_change, prev_chan, act1,
                       det_o, tidx_o, tfreq_o, acq_o, chg_o, lost_o)
     return carry_out, outs
+
+
+# ----------------------------------------------------------------------------
+# v3: fully associative formulation (no sequential lax.scan at all)
+# ----------------------------------------------------------------------------
+
+def _keep_const_scan(keep: jax.Array, val: jax.Array, init: jax.Array):
+    """Inclusive prefix of keep-or-set maps: x -> x if keep else val.
+
+    keep/val: [K, ...] per-step maps; init: [...] the value before step 0.
+    Returns the [K, ...] value AFTER each step.  Composition
+    (g after f) = (f.keep & g.keep, f.val if g.keep else g.val) is
+    associative, so the chain runs in log2(K) depth.
+    """
+    def combine(f, g):                        # g is applied after f
+        fk, fv = f
+        gk, gv = g
+        return fk & gk, jnp.where(gk, fv, gv)
+
+    ks, vs = jax.lax.associative_scan(combine, (keep, val), axis=0)
+    return jnp.where(ks, init[None], vs)
+
+
+def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
+                      mask: jax.Array, squelch: jax.Array,
+                      lock_max: jax.Array):
+    """Associative-scan formulation of fsm_ctcss_scan (identical semantics).
+
+    v2 still runs two sequential lax.scans over K (phase A's FSM
+    transitions, phase C's [38]-carry chain) — on TPU those are 2*K serial
+    loop iterations and profile as the chain's single largest stage.  Every
+    recurrence involved is a composition of maps from tiny monoids:
+
+      - squelch FSM: per-step maps on (state, active_chan) that branch on a
+        2-value state and either KEEP or SET the channel — composable;
+      - detector count: affine maps cnt -> (m*cnt + d) mod 2441, m in {0,1};
+      - Goertzel carry: affine maps cc -> A*cc + B with scalar A in {0,1}
+        (resets cut chains every <=2 active sub-chunks, so f32 sums keep
+        their sequential association in practice);
+      - detected/tone-idx/tone-freq: KEEP-or-SET chains.
+
+    so the whole control layer runs as five jax.lax.associative_scans of
+    log2(K) depth plus batched tensor ops.  Equality with v1 is
+    test-enforced (tests/test_fsm_unit.py).
+    """
+    K, nch, ns = lp.shape
+    n_win = C.CTCSS_BLOCK_SIZE
+    freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
+    e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
+    u_table = jnp.asarray(_count_phasor_table())           # [38, 2441]
+    wrap = jnp.asarray(np.exp(
+        1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)
+        / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))   # [38]
+    idx_i = jnp.arange(ns, dtype=jnp.int32)
+    nch_en = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+
+    # ---- batched RSSI reductions (no recurrence) ----
+    rm = jnp.where(mask[None, :], rssi_k, -jnp.inf)        # [K, 16]
+    max_ch = jnp.argmax(rm, axis=-1).astype(jnp.int32)     # [K]
+    avg = (jnp.sum(jnp.where(mask[None, :], rssi_k, 0.0), axis=-1)
+           / nch_en.astype(jnp.float32))
+    rel = jnp.take_along_axis(rm, max_ch[:, None], axis=-1)[:, 0] - avg
+
+    # ---- FSM prefix: maps on (st, act), branch-indexed by st_in ----
+    # branch st_in=0: tune -> (1, SET mc) else (0, KEEP)
+    # branch st_in=1: detune -> (0, SET -1)
+    #                 else (1, SET mc if lock_max else KEEP)
+    #                 (when lock_max and act == mc, SET mc == KEEP act)
+    tune_b = rel > squelch
+    detune_b = rel < squelch - C.SQUELCH_HYSTERESIS_DB
+    s_map = jnp.stack([jnp.where(tune_b, 1, 0),
+                       jnp.where(detune_b, 0, 1)], axis=-1)  # [K, 2] i32
+    keep_map = jnp.stack(
+        [jnp.logical_not(tune_b),
+         jnp.logical_not(detune_b | jnp.broadcast_to(lock_max, tune_b.shape))],
+        axis=-1)                                           # [K, 2]
+    val_map = jnp.stack([max_ch, jnp.where(detune_b, -1, max_ch)], axis=-1)
+
+    def fsm_combine(f, g):                    # g applied after f
+        fs, fk, fv = f
+        gs, gk, gv = g
+        s = jnp.take_along_axis(gs, fs, axis=-1)
+        gk_f = jnp.take_along_axis(gk, fs, axis=-1)
+        gv_f = jnp.take_along_axis(gv, fs, axis=-1)
+        return s, fk & gk_f, jnp.where(gk_f, fv, gv_f)
+
+    ss, kk, vv = jax.lax.associative_scan(
+        fsm_combine, (s_map, keep_map, val_map), axis=0)
+    st0 = carry_in.fsm_state
+    act0 = carry_in.active_chan
+    st_arr = jnp.take_along_axis(ss, jnp.broadcast_to(st0[None, None],
+                                                      (K, 1)), axis=-1)[:, 0]
+    k_sel = jnp.take_along_axis(kk, jnp.broadcast_to(st0[None, None],
+                                                     (K, 1)), axis=-1)[:, 0]
+    v_sel = jnp.take_along_axis(vv, jnp.broadcast_to(st0[None, None],
+                                                     (K, 1)), axis=-1)[:, 0]
+    act2 = jnp.where(k_sel, act0, v_sel)                   # [K] post-step act
+    st_prev = jnp.concatenate([st0[None], st_arr[:-1]])
+    act_prev = jnp.concatenate([act0[None], act2[:-1]])
+
+    # per-step event flags from the resolved prefixes (batched)
+    scanning = st_prev == 0
+    tune = scanning & tune_b
+    in_tuned = jnp.logical_not(scanning)
+    do_change = in_tuned & lock_max & (act_prev != max_ch)
+    act1 = jnp.where(tune | do_change, max_ch, act_prev)
+    detune = in_tuned & detune_b
+    is_active = act2 >= 0
+
+    # ---- detector count prefix: cnt -> (m*cnt + d) mod n_win ----
+    m_map = jnp.where(detune, 0, 1)
+    d_map = jnp.where(is_active, ns, 0)
+
+    def cnt_combine(f, g):
+        fm, fd = f
+        gm, gd = g
+        return fm * gm, (gm * fd + gd) % n_win
+
+    cm, cd = jax.lax.associative_scan(cnt_combine, (m_map, d_map), axis=0)
+    cnt_arr = (cm * carry_in.ct_count + cd) % n_win        # post-step cnt
+    cnt_prev = jnp.concatenate([carry_in.ct_count[None], cnt_arr[:-1]])
+    cnt_r = jnp.where(detune, 0, cnt_prev)
+    b_arr = (n_win - 1) - cnt_r
+    has_b = is_active & (b_arr < ns)
+    upd = is_active & has_b
+
+    # ---- batched tone sums (MXU), phase B of v2 ----
+    sel = jnp.clip(act2, 0, nch - 1)
+    lp_sel = jnp.take_along_axis(lp, sel[:, None, None], axis=1)[:, 0, :]
+    pre = (idx_i[None, :] <= b_arr[:, None]).astype(jnp.float32)  # [K, ns]
+    xp = lp_sel * pre
+    xs = lp_sel * (1.0 - pre)
+    e0t = e0.T                                            # [ns, 38]
+    u = u_table.T[cnt_r]                                  # [K, 38]
+    hi = jax.lax.Precision.HIGHEST
+    s_pre = jnp.matmul(xp.astype(jnp.complex64), e0t, precision=hi) * u
+    s_suf = (jnp.matmul(xs.astype(jnp.complex64), e0t, precision=hi)
+             * (u * wrap[None, :]))
+
+    # ---- Goertzel carry prefix: cc -> A*cc + B ----
+    a_cc = jnp.where(jnp.logical_not(detune) & jnp.logical_not(upd),
+                     1.0, 0.0).astype(jnp.complex64)       # [K]
+    b_cc = jnp.where(upd[:, None], s_suf,
+                     jnp.where(is_active[:, None], s_pre,
+                               0.0 + 0.0j))                # [K, 38]
+
+    def cc_combine(f, g):
+        fa, fb = f
+        ga, gb = g
+        return fa * ga, ga[..., None] * fb + gb
+
+    ca, cb = jax.lax.associative_scan(cc_combine, (a_cc, b_cc), axis=0)
+    cc_arr = ca[:, None] * carry_in.ct_carry[None, :] + cb  # post-step cc
+    cc_prev = jnp.concatenate([carry_in.ct_carry[None], cc_arr[:-1]], axis=0)
+    cc_in = jnp.where(detune[:, None], 0.0 + 0.0j, cc_prev)
+
+    # ---- batched detection at every step ----
+    y = cc_in + s_pre
+    power = y.real ** 2 + y.imag ** 2                      # [K, 38]
+    avgp = jnp.mean(power, axis=-1)
+    pidx = jnp.argmax(power, axis=-1).astype(jnp.int32)
+    maxp = jnp.take_along_axis(power, pidx[:, None], axis=-1)[:, 0]
+    newdet = (avgp > C.CTCSS_AVG_POWER_THRESH) & (
+        maxp / jnp.maximum(avgp, 1e-30) > C.CTCSS_MAX_AVG_RATIO_THRESH)
+
+    # ---- detected / tone-idx / tone-freq keep-or-set chains ----
+    set_dt = upd | detune                   # detune resets, upd overwrites
+    det_o = _keep_const_scan(jnp.logical_not(set_dt),
+                             jnp.where(upd, newdet, False),
+                             carry_in.ct_detected)
+    tidx_o = _keep_const_scan(jnp.logical_not(set_dt),
+                              jnp.where(upd, pidx, 0),
+                              carry_in.ct_max_idx)
+    det_prev = jnp.concatenate([carry_in.ct_detected[None], det_o[:-1]])
+    tidx_prev = jnp.concatenate([carry_in.ct_max_idx[None], tidx_o[:-1]])
+    det_r = jnp.where(detune, False, det_prev)
+    tidx_r = jnp.where(detune, 0, tidx_prev)
+    set_tf = is_active | detune
+    tfreq_o = _keep_const_scan(
+        jnp.logical_not(set_tf),
+        jnp.where(is_active, freqs[tidx_o], 0.0),
+        carry_in.ct_freq)
+
+    acq_o = is_active & det_o & jnp.logical_not(det_r)
+    chg_o = is_active & det_o & det_r & (tidx_o != tidx_r)
+    lost_o = is_active & jnp.logical_not(det_o) & det_r
+
+    last = lambda a, init: a[-1] if K > 0 else init
+    carry_out = FsmCarry(
+        last(st_arr, st0).astype(jnp.int32), last(act2, act0),
+        last(rel, carry_in.rssi), last(cnt_arr, carry_in.ct_count),
+        last(cc_arr, carry_in.ct_carry), last(det_o, carry_in.ct_detected),
+        last(tidx_o, carry_in.ct_max_idx), last(tfreq_o, carry_in.ct_freq))
+    outs = FsmOutputs(act2, rel, tune, detune, do_change, act_prev, act1,
+                      det_o, tidx_o, tfreq_o, acq_o, chg_o, lost_o)
+    return carry_out, outs

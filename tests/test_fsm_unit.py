@@ -150,3 +150,64 @@ def test_v2_scan_equals_v1():
             np.testing.assert_allclose(v1, v2, rtol=0, atol=2e-2, err_msg=f)
         else:
             np.testing.assert_array_equal(v1, v2, err_msg=f)
+
+
+def _assert_scan_equal(c1, o1, c2, o2, name):
+    for f in o1._fields:
+        v1 = np.asarray(getattr(o1, f))
+        v2 = np.asarray(getattr(o2, f))
+        if v1.dtype.kind == "f":
+            np.testing.assert_allclose(v1, v2, rtol=0, atol=2e-3,
+                                       err_msg=f"{name}:{f}")
+        else:
+            np.testing.assert_array_equal(v1, v2, err_msg=f"{name}:{f}")
+    for f in c1._fields:
+        v1, v2 = np.asarray(getattr(c1, f)), np.asarray(getattr(c2, f))
+        if v1.dtype.kind in "fc":
+            np.testing.assert_allclose(v1, v2, rtol=0, atol=2e-2,
+                                       err_msg=f"{name}:{f}")
+        else:
+            np.testing.assert_array_equal(v1, v2, err_msg=f"{name}:{f}")
+
+
+def test_v3_scan_equals_v1():
+    """fsm_ctcss_scan_v3 (associative formulation) == v1 across randomized
+    busy scenarios: random tune/detune patterns, lock_max on and off,
+    masked channels, streaming carry across consecutive calls."""
+    from sdr_pmr446_tpu.scanner.fsm import fsm_ctcss_scan_v3
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        k = [7, 16, 40, 23][trial]
+        lock = trial % 2 == 1
+        mask = np.ones(16, bool)
+        if trial == 2:
+            mask[5] = False
+        carry1 = _carry0()
+        carry3 = _carry0()
+        for blk in range(3):
+            t0 = blk * k * NS
+            t = (t0 + np.arange(k * NS)) / C.AUDIO_SAMPLERATE
+            tone = C.CTCSS_FREQS[(trial * 7 + blk) % 38]
+            sig = 0.3 * np.sin(2 * np.pi * tone * t)
+            lp = 0.01 * rng.standard_normal((k, 16, NS)).astype(np.float32)
+            ch = (trial + blk) % 16
+            if not mask[ch]:
+                ch = (ch + 1) % 16
+            lp[:, ch, :] += sig.reshape(k, NS).astype(np.float32)
+            rssi = np.full((k, 16), -80.0, np.float32)
+            rssi[:, ch] = -10.0
+            # random detune windows + channel hops
+            for _ in range(2):
+                a = rng.integers(0, k)
+                b = min(k, a + int(rng.integers(1, 5)))
+                rssi[a:b, ch] = -80.0
+            ch2 = (ch + 3) % 16
+            a = rng.integers(0, k)
+            rssi[a:, ch2] = -5.0
+            args = (jnp.asarray(rssi), jnp.asarray(lp), jnp.asarray(mask),
+                    jnp.float32(18.0), jnp.asarray(lock))
+            c1, o1 = fsm_ctcss_scan(carry1, *args)
+            c3, o3 = fsm_ctcss_scan_v3(carry3, *args)
+            _assert_scan_equal(c1, o1, c3, o3,
+                               f"trial{trial}blk{blk}")
+            carry1, carry3 = c1, c3
