@@ -44,12 +44,40 @@ class ShardedScannerChain:
 
     def __init__(self, mesh: Mesh, block: C.BlockConfig | None = None,
                  lowpass: bool = False, fir_deemph: bool = False,
-                 waterfall: int = 0):
+                 waterfall: int = 0, halo_dma: bool = False):
         self.mesh = mesh
         self.block = block or C.BlockConfig()
         self.lowpass = lowpass
         self.waterfall = waterfall
         spectrogram.validate_width(waterfall)
+        # halo transport for the two front-end FIR histories: ppermute
+        # collectives (default) or the Pallas remote-DMA ring shift
+        # (kernels/halo_dma.py; interpret-simulated off-TPU)
+        if halo_dma:
+            from sdr_pmr446_tpu.kernels import halo_dma as hdma
+            interp = jax.default_backend() != "tpu"
+
+            def _hist_dma(cid):
+                def fn(carried, xs, hist_len, ax):
+                    num = jax.lax.axis_size(ax)
+                    d = jax.lax.axis_index(ax)
+                    tail = xs[..., xs.shape[-1] - hist_len:]
+                    if num == 1:
+                        return carried, tail
+                    recv = hdma.ring_shift_right(tail, ax, interpret=interp,
+                                                 collective_id=cid)
+                    hist = jnp.where(d == 0, carried, recv)
+                    carry = jax.lax.psum(
+                        jnp.where(d == num - 1, tail,
+                                  jnp.zeros_like(tail)), ax)
+                    return hist, carry
+                return fn
+
+            self._hist_resamp = _hist_dma(1)
+            self._hist_pfb = _hist_dma(2)
+        else:
+            self._hist_resamp = halo.shard_hist
+            self._hist_pfb = halo.shard_hist
         self.n_time = mesh.shape[TIME_AXIS]
         self.n_stream = mesh.shape[STREAM_AXIS]
         assert self.block.subchunks_per_step % self.n_time == 0, (
@@ -119,13 +147,13 @@ class ShardedScannerChain:
             (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA, ax)
 
         # 2. resampler with input-history halo
-        rhist, r_carry = halo.shard_hist(state.resamp_hist, x,
-                                         self.resampler.hist_len, ax)
+        rhist, r_carry = self._hist_resamp(state.resamp_hist, x,
+                                           self.resampler.hist_len, ax)
         _, band = self.resampler.apply(rhist, x)
 
         # 3. PFB with band-history halo; frame parity offset per shard
-        phist, p_carry = halo.shard_hist(state.pfb_hist, band,
-                                         self.pfb.hist_len, ax)
+        phist, p_carry = self._hist_pfb(state.pfb_hist, band,
+                                        self.pfb.hist_len, ax)
         f_local = band.shape[-1] // C.NUM_CHANNELS
         parity = (state.frame_parity + d * f_local) % 2
         (_, _), chan = self.pfb.apply((phist, parity), band)

@@ -243,3 +243,35 @@ def test_batch_reader_feeds_stream_parallel_chain(tmp_path):
         np.testing.assert_array_equal(np.concatenate(traces[s]),
                                       np.concatenate(ref))
         assert np.concatenate(traces[s])[-1] == 3 + s
+
+
+def test_sharded_scanner_halo_dma_equals_collective():
+    """ShardedScannerChain(halo_dma=True) — front-end halos moved by the
+    Pallas remote-DMA ring shift (TPU-interpreter-simulated) — must equal
+    the ppermute version field-for-field across streaming steps."""
+    from sdr_pmr446_tpu.parallel.scanner_sharded import ShardedScannerChain
+    from sdr_pmr446_tpu.scanner.chain import make_runtime_params
+    from sdr_pmr446_tpu.io import synth
+
+    mesh = make_mesh(2, 4)
+    K = 4
+    params = make_runtime_params(C.ScannerArgs())
+    iq = np.stack([
+        synth.make_scanner_iq(K * C.SUBCHUNK_IN, channel=3 + s,
+                              ctcss_code=5 + s, seed=s)
+        for s in range(2)]).astype(np.complex64)
+
+    outs = {}
+    for dma in (False, True):
+        chain = ShardedScannerChain(mesh, C.BlockConfig(K), halo_dma=dma)
+        st = chain.init_state(2)
+        res = []
+        for _ in range(2):
+            st, o = chain.step(st, jnp.asarray(iq), params)
+            res.append(o)
+        outs[dma] = res
+    for o1, o2 in zip(outs[False], outs[True]):
+        for f in o1._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(o1, f)), np.asarray(getattr(o2, f)),
+                err_msg=f)
