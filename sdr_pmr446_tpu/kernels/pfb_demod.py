@@ -236,6 +236,26 @@ class PallasPfbDemod:
         return demod, mag, new_hist, new_parity, new_prev
 
 
+def last_frame_output(tail_r: jax.Array, tail_i: jax.Array,
+                      sign: jax.Array) -> jax.Array:
+    """Channel outputs of the final PFB frame from the last 416 extended
+    samples (re/im planes); sign = (-1)^(global index of that frame).
+
+    This is the discriminator's previous-sample halo for time-sharded
+    execution: each shard computes its own last frame with one 416-tap dot
+    and ppermutes it to the right neighbor (parallel/scanner_sharded.py).
+    Identical math to call_planes' new_prev.
+    """
+    kmat = _fused_kernel_matrix()
+    kr = jnp.asarray(kmat[0])
+    ki = jnp.asarray(kmat[1])
+    lwr = tail_r[:, None]
+    lwi = tail_i[:, None]
+    y = jax.lax.complex(jnp.sum(lwr * kr - lwi * ki, axis=0),
+                        jnp.sum(lwr * ki + lwi * kr, axis=0))
+    return (y * sign).astype(jnp.complex64)
+
+
 def reference_impl(band, hist, parity, prev):
     """Pure-JAX semantics: ops/pfb + ops/fm + magnitude."""
     from sdr_pmr446_tpu.ops.pfb import PFBChannelizer

@@ -44,12 +44,25 @@ class ShardedScannerChain:
 
     def __init__(self, mesh: Mesh, block: C.BlockConfig | None = None,
                  lowpass: bool = False, fir_deemph: bool = False,
-                 waterfall: int = 0, halo_dma: bool = False):
+                 waterfall: int = 0, halo_dma: bool = False,
+                 use_pallas: bool = False, pallas_interpret: bool = False):
         self.mesh = mesh
         self.block = block or C.BlockConfig()
         self.lowpass = lowpass
         self.waterfall = waterfall
         spectrogram.validate_width(waterfall)
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
+            from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
+            from sdr_pmr446_tpu.kernels.audio_bank import PallasAudioBank
+            self.pallas_pfb = PallasPfbDemod(tile_f=512,
+                                             interpret=pallas_interpret)
+            self.pallas_resampler = PallasResampler(
+                tile_f=512, interpret=pallas_interpret)
+            self.pallas_audio = PallasAudioBank(
+                lowpass=lowpass, fir_deemph=fir_deemph,
+                interpret=pallas_interpret)
         # halo transport for the two front-end FIR histories: ppermute
         # collectives (default) or the Pallas remote-DMA ring shift
         # (kernels/halo_dma.py; interpret-simulated off-TPU)
@@ -146,48 +159,107 @@ class ShardedScannerChain:
         (dc_x, dc_y), x = halo.shard_dc_blocker(
             (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA, ax)
 
-        # 2. resampler with input-history halo
-        rhist, r_carry = self._hist_resamp(state.resamp_hist, x,
-                                           self.resampler.hist_len, ax)
-        _, band = self.resampler.apply(rhist, x)
+        if self.use_pallas:
+            from sdr_pmr446_tpu.kernels.pfb_demod import last_frame_output
 
-        # 3. PFB with band-history halo; frame parity offset per shard
-        phist, p_carry = self._hist_pfb(state.pfb_hist, band,
-                                        self.pfb.hist_len, ax)
-        f_local = band.shape[-1] // C.NUM_CHANNELS
-        parity = (state.frame_parity + d * f_local) % 2
-        (_, _), chan = self.pfb.apply((phist, parity), band)
-        new_parity = (state.frame_parity + ntime * f_local) % 2
+            # 2. resampler kernel (plane in, plane out) with input halo
+            rhist, r_carry = self._hist_resamp(state.resamp_hist, x,
+                                               self.resampler.hist_len, ax)
+            _, br, bi = self.pallas_resampler.apply_planes(
+                rhist, jnp.real(x).astype(jnp.float32),
+                jnp.imag(x).astype(jnp.float32))
+            band_r = br.reshape(-1)
+            band_i = bi.reshape(-1)
+            band = None
+            if self.waterfall > 0:
+                band = jax.lax.complex(band_r, band_i)
 
-        # 4. per-sub-chunk RSSI (local K_local sub-chunks)
-        rssi_local = rssi_op.subchunk_rssi(chan, K_local)
+            # 3. PFB halo: only the tiny complex tail is materialized
+            hlen = self.pfb.hist_len
+            tail_c = jax.lax.complex(band_r[-hlen:], band_i[-hlen:])
+            phist, p_carry = self._hist_pfb(state.pfb_hist, tail_c, hlen, ax)
+            f_local = band_r.shape[-1] // C.NUM_CHANNELS
+            parity = (state.frame_parity + d * f_local) % 2
+            new_parity = (state.frame_parity + ntime * f_local) % 2
 
-        # 5. FM demod with 1-sample halo per channel
-        fm_prev, fm_carry = halo.shard_scalar_prev(state.demod_prev, chan, ax)
-        _, demod = fm.fm_demod(fm_prev, chan)
+            # 5a. discriminator previous-sample halo: each shard computes
+            # its own last PFB frame (one 416-tap dot) and ppermutes it
+            ext_r = jnp.concatenate([jnp.real(phist).astype(jnp.float32),
+                                     band_r])[-(hlen + C.NUM_CHANNELS):]
+            ext_i = jnp.concatenate([jnp.imag(phist).astype(jnp.float32),
+                                     band_i])[-(hlen + C.NUM_CHANNELS):]
+            lsign = (1.0 - 2.0 * ((parity + f_local - 1) % 2)
+                     ).astype(jnp.float32)
+            cand = last_frame_output(ext_r, ext_i, lsign)    # [16] c64
+            fm_prev, fm_carry = halo.shard_scalar_prev(
+                state.demod_prev, cand[:, None], ax)
 
-        # 6. audio filters with halos
-        hp_hist, hp_carry = halo.shard_hist(state.hp_hist, demod,
-                                            C.HP_AUDIO_FILT_TAPS - 1, ax)
-        _, hp_out = fir.fir_apply(hp_hist, demod, self.hp_taps)
-        dl_hist, dl_carry = halo.shard_hist(state.delay_hist, demod,
-                                            C.CTCSS_DELAY, ax)
-        _, delayed = fir.delay_apply(dl_hist, demod)
-        lp_branch = delayed - hp_out
-        (lpdc_x, lpdc_y), lp_dcb = halo.shard_dc_blocker(
-            (state.lp_dc_x, state.lp_dc_y), lp_branch, C.DC_BLOCK_ALPHA, ax)
+            # 3-5. fused PFB + |y| + discriminator kernel
+            demod, mag, _, _, _ = self.pallas_pfb.call_planes(
+                band_r, band_i, phist, parity, fm_prev)
+            blocks = mag.reshape(C.NUM_CHANNELS, K_local, ns)
+            rssi_local = jnp.moveaxis(
+                20.0 * jnp.log10(jnp.maximum(jnp.mean(blocks, axis=-1),
+                                             1e-30)), 0, 1)
 
-        audio_all = hp_out * params.audio_gain
-        de_hist, de_carry = halo.shard_hist(state.deemph_hist, audio_all,
-                                            self.deemph_hist_len, ax)
-        _, audio_all = fir.fir_apply(de_hist, audio_all, self.deemph_taps)
-        if self.lowpass:
-            al_in = audio_all
-            al_hist, al_carry = halo.shard_hist(
-                state.audio_lp_hist, al_in, C.LP_AUDIO_FILT_TAPS - 1, ax)
-            _, audio_all = fir.fir_apply(al_hist, al_in, self.lp_taps)
-        else:
+            # 6. fused audio bank with a raw-demod history halo
+            ah_local, ah_carry = halo.shard_hist(
+                state.audio_hist, demod, state.audio_hist.shape[-1], ax)
+            _, audio_all, lp_branch = self.pallas_audio.apply(
+                ah_local, demod, params.audio_gain)
+            (lpdc_x, lpdc_y), lp_dcb = halo.shard_dc_blocker(
+                (state.lp_dc_x, state.lp_dc_y), lp_branch,
+                C.DC_BLOCK_ALPHA, ax)
+            hp_carry = state.hp_hist
+            dl_carry = state.delay_hist
+            de_carry = state.deemph_hist
             al_carry = state.audio_lp_hist
+        else:
+            # 2. resampler with input-history halo
+            rhist, r_carry = self._hist_resamp(state.resamp_hist, x,
+                                               self.resampler.hist_len, ax)
+            _, band = self.resampler.apply(rhist, x)
+
+            # 3. PFB with band-history halo; frame parity offset per shard
+            phist, p_carry = self._hist_pfb(state.pfb_hist, band,
+                                            self.pfb.hist_len, ax)
+            f_local = band.shape[-1] // C.NUM_CHANNELS
+            parity = (state.frame_parity + d * f_local) % 2
+            (_, _), chan = self.pfb.apply((phist, parity), band)
+            new_parity = (state.frame_parity + ntime * f_local) % 2
+
+            # 4. per-sub-chunk RSSI (local K_local sub-chunks)
+            rssi_local = rssi_op.subchunk_rssi(chan, K_local)
+
+            # 5. FM demod with 1-sample halo per channel
+            fm_prev, fm_carry = halo.shard_scalar_prev(state.demod_prev,
+                                                       chan, ax)
+            _, demod = fm.fm_demod(fm_prev, chan)
+
+            # 6. audio filters with halos
+            hp_hist, hp_carry = halo.shard_hist(state.hp_hist, demod,
+                                                C.HP_AUDIO_FILT_TAPS - 1, ax)
+            _, hp_out = fir.fir_apply(hp_hist, demod, self.hp_taps)
+            dl_hist, dl_carry = halo.shard_hist(state.delay_hist, demod,
+                                                C.CTCSS_DELAY, ax)
+            _, delayed = fir.delay_apply(dl_hist, demod)
+            lp_branch = delayed - hp_out
+            (lpdc_x, lpdc_y), lp_dcb = halo.shard_dc_blocker(
+                (state.lp_dc_x, state.lp_dc_y), lp_branch,
+                C.DC_BLOCK_ALPHA, ax)
+
+            audio_all = hp_out * params.audio_gain
+            de_hist, de_carry = halo.shard_hist(state.deemph_hist, audio_all,
+                                                self.deemph_hist_len, ax)
+            _, audio_all = fir.fir_apply(de_hist, audio_all, self.deemph_taps)
+            if self.lowpass:
+                al_in = audio_all
+                al_hist, al_carry = halo.shard_hist(
+                    state.audio_lp_hist, al_in, C.LP_AUDIO_FILT_TAPS - 1, ax)
+                _, audio_all = fir.fir_apply(al_hist, al_in, self.lp_taps)
+            else:
+                al_carry = state.audio_lp_hist
+            ah_carry = state.audio_hist
 
         # 6b. waterfall rows on the local band shard (history halo: the
         # sliding window reaches w//2 samples into the previous shard)
@@ -245,7 +317,7 @@ class ShardedScannerChain:
             frame_parity=new_parity, demod_prev=fm_carry,
             hp_hist=hp_carry, delay_hist=dl_carry,
             lp_dc_x=lpdc_x, lp_dc_y=lpdc_y, deemph_hist=de_carry,
-            audio_lp_hist=al_carry, audio_hist=state.audio_hist,
+            audio_lp_hist=al_carry, audio_hist=ah_carry,
             fsm_state=carry_out.fsm_state, active_chan=carry_out.active_chan,
             rssi=carry_out.rssi, ct_count=carry_out.ct_count,
             ct_carry=carry_out.ct_carry, ct_detected=carry_out.ct_detected,

@@ -275,3 +275,88 @@ def test_sharded_scanner_halo_dma_equals_collective():
             np.testing.assert_array_equal(
                 np.asarray(getattr(o1, f)), np.asarray(getattr(o2, f)),
                 err_msg=f)
+
+
+def test_sharded_pallas_equals_unsharded_pallas():
+    """ShardedScannerChain(use_pallas=True): the plane-kernel path inside
+    shard_map (per-shard Pallas kernels + halos, incl. the 416-tap
+    last-frame discriminator halo) == the single-chip pallas chain."""
+    from sdr_pmr446_tpu.parallel.scanner_sharded import ShardedScannerChain
+    from sdr_pmr446_tpu.scanner.chain import make_runtime_params
+
+    K = 4
+    step_len = K * C.SUBCHUNK_IN
+    iq = synth.make_scanner_iq(2 * step_len, channel=5, ctcss_code=12)
+    params = make_runtime_params(C.ScannerArgs())
+
+    ref_chain = ScannerChain(C.BlockConfig(K), use_pallas=True,
+                             pallas_interpret=True)
+    st1 = ref_chain.init_state()
+    refs = []
+    for i in range(2):
+        st1, o = ref_chain.step(st1, jnp.asarray(
+            iq[i * step_len:(i + 1) * step_len], jnp.complex64), params)
+        refs.append(jax.tree.map(np.asarray, o))
+
+    mesh = make_mesh(1, 4)
+    chain = ShardedScannerChain(mesh, C.BlockConfig(K), use_pallas=True,
+                                pallas_interpret=True)
+    st2 = chain.init_state(1)
+    for i in range(2):
+        st2, out = chain.step(st2, jnp.asarray(
+            iq[None, i * step_len:(i + 1) * step_len], jnp.complex64),
+            params)
+        out = jax.tree.map(np.asarray, out)
+        ref = refs[i]
+        np.testing.assert_array_equal(out.active_chan[0], ref.active_chan)
+        np.testing.assert_array_equal(out.ct_detected[0], ref.ct_detected)
+        np.testing.assert_array_equal(out.ct_max_idx[0], ref.ct_max_idx)
+        # 0.005 dB: the sharded DC blocker's affine carry rounds differently
+        # from the sequential scan, visible only at the -80 dB noise floor
+        np.testing.assert_allclose(out.rssi_db[0], ref.rssi_db,
+                                   rtol=0, atol=5e-3)
+        np.testing.assert_allclose(out.audio[0], ref.audio,
+                                   rtol=0, atol=1e-4)
+
+
+def test_sharded_faithful_equals_unsharded_faithful():
+    """ShardedFaithfulChain (front-end time-sharded, gated scan replicated
+    on all-gathered sub-chunks) == FaithfulScannerChain across a busy
+    tune/detune scenario with streaming state."""
+    from sdr_pmr446_tpu.scanner.faithful import FaithfulScannerChain
+    from sdr_pmr446_tpu.parallel.faithful_sharded import ShardedFaithfulChain
+    from sdr_pmr446_tpu.scanner.chain import make_runtime_params
+
+    K = 4
+    step_len = K * C.SUBCHUNK_IN
+    sig = synth.make_scanner_iq(2 * step_len, channel=5, ctcss_code=12)
+    rng = np.random.default_rng(2)
+    quiet = 1e-3 * (rng.standard_normal(step_len)
+                    + 1j * rng.standard_normal(step_len))
+    iq = np.concatenate([sig[:2 * step_len], quiet]).astype(np.complex64)
+
+    ref_chain = FaithfulScannerChain(subchunks_per_step=K)
+    params = make_runtime_params(C.ScannerArgs(lock_mode="max"))
+    st1 = ref_chain.init_state()
+    refs = []
+    for i in range(3):
+        st1, o = ref_chain.step(st1, jnp.asarray(
+            iq[i * step_len:(i + 1) * step_len]), params)
+        refs.append(jax.tree.map(np.asarray, o))
+
+    mesh = make_mesh(1, 4)
+    chain = ShardedFaithfulChain(mesh, subchunks_per_step=K)
+    st2 = chain.init_state(1)
+    for i in range(3):
+        st2, out = chain.step(st2, jnp.asarray(
+            iq[None, i * step_len:(i + 1) * step_len]), params)
+        out = jax.tree.map(np.asarray, out)
+        ref = refs[i]
+        np.testing.assert_array_equal(out.active_chan[0], ref.active_chan)
+        np.testing.assert_array_equal(out.audio_valid[0], ref.audio_valid)
+        np.testing.assert_array_equal(out.ct_detected[0], ref.ct_detected)
+        np.testing.assert_array_equal(out.ct_max_idx[0], ref.ct_max_idx)
+        np.testing.assert_allclose(out.rel_rssi[0], ref.rel_rssi,
+                                   rtol=0, atol=5e-3)
+        np.testing.assert_allclose(out.audio[0], ref.audio,
+                                   rtol=0, atol=1e-4)
