@@ -360,3 +360,32 @@ def test_sharded_faithful_equals_unsharded_faithful():
                                    rtol=0, atol=5e-3)
         np.testing.assert_allclose(out.audio[0], ref.audio,
                                    rtol=0, atol=1e-4)
+
+
+def test_sharded_waterfall_equals_unsharded():
+    """Sharded waterfall rows (w/2 band-history halo) == single-chip rows."""
+    from sdr_pmr446_tpu.parallel.scanner_sharded import ShardedScannerChain
+    from sdr_pmr446_tpu.scanner.chain import make_runtime_params
+
+    K, w = 4, 64
+    step_len = K * C.SUBCHUNK_IN
+    iq = synth.make_scanner_iq(2 * step_len, channel=5, ctcss_code=12)
+    params = make_runtime_params(C.ScannerArgs())
+
+    ref_chain = ScannerChain(C.BlockConfig(K), waterfall=w)
+    st1 = ref_chain.init_state()
+    refs = []
+    for i in range(2):
+        st1, o = ref_chain.step(st1, jnp.asarray(
+            iq[i * step_len:(i + 1) * step_len], jnp.complex64), params)
+        refs.append(np.asarray(o.waterfall))
+
+    mesh = make_mesh(1, 4)
+    chain = ShardedScannerChain(mesh, C.BlockConfig(K), waterfall=w)
+    st2 = chain.init_state(1)
+    for i in range(2):
+        st2, out = chain.step(st2, jnp.asarray(
+            iq[None, i * step_len:(i + 1) * step_len], jnp.complex64),
+            params)
+        np.testing.assert_allclose(np.asarray(out.waterfall)[0], refs[i],
+                                   rtol=0, atol=1e-2)
