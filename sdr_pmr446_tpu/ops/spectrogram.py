@@ -59,6 +59,22 @@ def _window(w: int) -> np.ndarray:
     return (win / np.sum(win)).astype(np.float32)   # coherent normalization
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_planes(w: int) -> np.ndarray:
+    """[2, w//2, w] f32: re/im of the zero-padded w-point DFT matrix.
+
+    The hop FFTs are tiny non-power-of-2 transforms (w is typically 64-200)
+    over tens of thousands of windows per block — as a dense DFT they map
+    straight onto the MXU instead of XLA's generic FFT path.  Only the
+    first w//2 rows are needed (hops are zero-padded from w/2 to w).
+    """
+    wl = w // 2
+    j = np.arange(wl)[:, None]
+    k = np.arange(w)[None, :]
+    m = np.exp(-2j * np.pi * j * k / w)
+    return np.stack([m.real, m.imag]).astype(np.float32)
+
+
 def asgram_init(w: int) -> jax.Array:
     return jnp.zeros((hist_len(w),), jnp.complex64)
 
@@ -81,9 +97,18 @@ def asgram_rows(hist: jax.Array, band: jax.Array, k: int, w: int,
     windows = jnp.concatenate([frames[1:n_tot + 1], frames[2:n_tot + 2]],
                               axis=-1)     # [n_tot, wl]
     win = jnp.asarray(_window(w))
-    seg = windows * win[None, :]
-    spec = jnp.fft.fft(seg, n=w, axis=-1)  # zero-padded to w
-    p = (spec.real ** 2 + spec.imag ** 2).reshape(k, n_seg, w)
+    # windowed hop periodograms as MXU DFT matmuls on re/im planes
+    wr = jnp.real(windows) * win[None, :]
+    wi = jnp.imag(windows) * win[None, :]
+    dft = _dft_planes(w)
+    fr = jnp.asarray(dft[0])
+    fi = jnp.asarray(dft[1])
+    hi = jax.lax.Precision.HIGHEST
+    sr = (jnp.matmul(wr, fr, precision=hi)
+          - jnp.matmul(wi, fi, precision=hi))
+    si = (jnp.matmul(wr, fi, precision=hi)
+          + jnp.matmul(wi, fr, precision=hi))
+    p = (sr ** 2 + si ** 2).reshape(k, n_seg, w)
     p_avg = jnp.mean(p, axis=1)
     rows = 10.0 * jnp.log10(jnp.maximum(p_avg, 1e-30)).astype(jnp.float32)
     rows = jnp.fft.fftshift(rows, axes=-1)
