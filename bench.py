@@ -168,16 +168,35 @@ def main() -> int:
             ShardedScannerChain, make_mesh)
         from sdr_pmr446_tpu.scanner.chain import make_runtime_params
         n_streams = 8
-        k = k or 40
         mesh = make_mesh(1, 1)
-        chain = ShardedScannerChain(mesh, C.BlockConfig(k))
-        state = chain.init_state(n_streams)
-        n = chain.block.input_len * n_streams
-        iq = jnp.asarray(np.stack([
-            synth.make_scanner_iq(chain.block.input_len, channel=2 + s,
-                                  ctcss_code=3 + s, seed=s)
-            for s in range(n_streams)]), jnp.complex64)
-        inputs = (iq, make_runtime_params(C.ScannerArgs()))
+        attempts = ([(k, True), (k, False)] if k else
+                    [(80, True), (80, False), (40, False)])
+        chain = None
+        last_err = None
+        for k_try, use_pallas in attempts:
+            try:
+                chain = ShardedScannerChain(mesh, C.BlockConfig(k_try),
+                                            use_pallas=use_pallas)
+                state = chain.init_state(n_streams)
+                n = chain.block.input_len * n_streams
+                iq = jnp.asarray(np.stack([
+                    synth.make_scanner_iq(chain.block.input_len,
+                                          channel=2 + s, ctcss_code=3 + s,
+                                          seed=s)
+                    for s in range(n_streams)]), jnp.complex64)
+                params8 = make_runtime_params(C.ScannerArgs())
+                state, out = chain.step(state, iq, params8)
+                jax.block_until_ready(out)
+                k = k_try
+                break
+            except Exception as e:
+                last_err = e
+                print(f"bench: batch8 rung (K={k_try}, "
+                      f"pallas={use_pallas}) failed: {e}", file=sys.stderr)
+                chain = None
+        if chain is None:
+            raise last_err
+        inputs = (iq, params8)
         step = chain.step
         metric = "16ch scanner chain, 8-stream batch, aggregate per chip"
     else:

@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--faithful", action="store_true",
                    help="bit-faithful gated audio path (validation mode, "
                         "exact reference transition semantics, slower)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="checkpoint file: periodically persist "
+                        "(block index, carried state) for failure recovery")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="blocks between checkpoints (with --checkpoint)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore --checkpoint and continue mid-capture")
     return p
 
 
@@ -161,7 +168,14 @@ def main(argv=None) -> int:
         log.info("Exiting")
         return 0
 
-    driver = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step)
+    driver = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step,
+                           checkpoint_path=ns.checkpoint,
+                           checkpoint_every=ns.checkpoint_every)
+    if ns.resume:
+        if not ns.checkpoint:
+            logging.error("--resume needs --checkpoint")
+            return 1
+        driver.restore()
 
     if ns.output == "live":
         live_sink = audio_io.AudioSink(C.AUDIO_SAMPLERATE, api=ns.audio_api)

@@ -41,7 +41,9 @@ class ScannerDriver:
     def __init__(self, args: Optional[C.ScannerArgs] = None,
                  subchunks_per_step: int = 10,
                  on_subchunk: Optional[Callable] = None,
-                 metrics_path: Optional[str] = None):
+                 metrics_path: Optional[str] = None,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 0):
         self.args = args or C.ScannerArgs()
         self.chain = ScannerChain(
             C.BlockConfig(subchunks_per_step),
@@ -53,6 +55,27 @@ class ScannerDriver:
         self.subchunk = 0
         self.on_subchunk = on_subchunk
         self.metrics_path = metrics_path
+        # failure recovery (SURVEY §5): periodically persist
+        # (block_index, state pytree); restore() resumes mid-capture
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
+
+    def restore(self, path: Optional[str] = None) -> int:
+        """Load a checkpoint; run() then skips the already-processed blocks
+        of its input iterator.  Returns the restored block index."""
+        from sdr_pmr446_tpu.runtime.state import load_state
+        self.block_index, self.state = load_state(
+            path or self.checkpoint_path)
+        self.subchunk = self.block_index * self.chain.block.subchunks_per_step
+        log.info("restored checkpoint at block %d (%d sub-chunks)",
+                 self.block_index, self.subchunk)
+        return self.block_index
+
+    def _maybe_checkpoint(self) -> None:
+        if (self.checkpoint_path and self.checkpoint_every
+                and self.block_index % self.checkpoint_every == 0):
+            from sdr_pmr446_tpu.runtime.state import save_state
+            save_state(self.checkpoint_path, self.block_index, self.state)
 
     @property
     def block_len(self) -> int:
@@ -67,7 +90,10 @@ class ScannerDriver:
         # role the reference's audio ring plays across its two threads,
         # src/sdr_pmr446.c:903-906)
         pending = None
-        for blk in blocks:
+        skip = self.block_index          # nonzero after restore()
+        for i, blk in enumerate(blocks):
+            if i < skip:
+                continue
             self.state, out = self.chain.step(
                 self.state, jnp.asarray(blk, jnp.complex64), self.params)
             if pending is not None:
@@ -75,6 +101,7 @@ class ScannerDriver:
                             events, wf_rows)
             pending = out
             self.block_index += 1
+            self._maybe_checkpoint()
         if pending is not None:
             self._drain(pending, audio, audio_sub, active, rssi, rel,
                         events, wf_rows)

@@ -194,3 +194,51 @@ def test_cli_audio_api_validation():
     # 'wav' is always compiled in and available
     assert "wav" in audio_io.list_apis()
     assert "dummy" in audio_io.list_apis()
+
+
+def test_driver_checkpoint_resume_equals_uninterrupted(tmp_path):
+    """Driver with periodic checkpoints, 'crashed' mid-capture and resumed
+    from the checkpoint file, reproduces the uninterrupted run exactly."""
+    import itertools
+    iq = _demo_iq(seconds=2.0)
+    args = C.ScannerArgs(lock_mode="max")
+
+    ref = ScannerDriver(args, subchunks_per_step=5)
+    full = ref.run(iq_io.block_stream(iq, ref.block_len))
+
+    ckpt = str(tmp_path / "state.npz")
+    drv1 = ScannerDriver(args, subchunks_per_step=5,
+                         checkpoint_path=ckpt, checkpoint_every=1)
+    n_blocks = len(iq) // drv1.block_len
+    crash_at = n_blocks // 2
+    part1 = drv1.run(itertools.islice(
+        iq_io.block_stream(iq, drv1.block_len), crash_at))
+
+    drv2 = ScannerDriver(args, subchunks_per_step=5,
+                         checkpoint_path=ckpt, checkpoint_every=1)
+    assert drv2.restore() == crash_at
+    part2 = drv2.run(iq_io.block_stream(iq, drv2.block_len))
+
+    got_audio = np.concatenate([part1.audio, part2.audio])
+    np.testing.assert_array_equal(got_audio, full.audio)
+    np.testing.assert_array_equal(
+        np.concatenate([part1.active_trace, part2.active_trace]),
+        full.active_trace)
+    assert part1.events + part2.events == full.events
+
+
+def test_scanner_app_checkpoint_flags(tmp_path):
+    from sdr_pmr446_tpu.apps import sdr_pmr446 as app
+    iqp = str(tmp_path / "cap.cf32")
+    iq_io.write_iq(iqp, _demo_iq(seconds=1.0))
+    ckpt = str(tmp_path / "st.npz")
+    outp = str(tmp_path / "a.wav")
+    rc = app.main(["--input", iqp, "--output", outp,
+                   "--subchunks-per-step", "5", "--checkpoint", ckpt])
+    assert rc == 0 and os.path.exists(ckpt)
+    # resume from the final checkpoint: no further blocks to process
+    rc = app.main(["--input", iqp, "--output", outp,
+                   "--subchunks-per-step", "5", "--checkpoint", ckpt,
+                   "--resume"])
+    assert rc == 0
+    assert app.main(["--resume", "--seconds", "0.1"]) == 1  # needs path
