@@ -110,11 +110,13 @@ def main() -> int:
         # one flaky remote compile can't zero out the recorded benchmark.
         if args.config == "scanner":
             attempts = ([(k, True), (k, False)] if k else
-                        [(320, True), (240, False), (40, False)])
+                        [(480, True), (320, True), (240, False),
+                         (40, False)])
         elif args.config == "scanner-pallas":
             attempts = [(k or 320, True)]
         else:
-            attempts = [(k or 160, False)]
+            attempts = ([(k, True), (k, False)] if k else
+                        [(160, True), (160, False), (40, False)])
         chain = state = None
         last_err = None
         for k_try, use_pallas in attempts:

@@ -1,0 +1,167 @@
+"""scan_batch CLI — data-parallel scanning of MANY captures at once.
+
+The production serving shape of the framework (BASELINE config 5's stream
+axis): S independent IQ captures are scanned simultaneously on a
+(stream, time) device mesh — the reference would need S processes with S
+radios (src/sdr_pmr446.c runs exactly one).  The native BatchReader feeds
+[S, block] sample planes with worker-thread format conversion; the sharded
+chain demodulates every capture's active channel per step; per-capture
+WAVs and event logs come out.
+
+    python -m sdr_pmr446_tpu.apps.scan_batch cap1.cs16 cap2.cf32 ... \
+        --out-dir scans/ [-s 18] [-p max] [--mesh S,T] [--engine pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+from sdr_pmr446_tpu import config as C
+
+log = logging.getLogger("scan_batch")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="scan_batch",
+        description="scan many IQ captures in parallel on a device mesh")
+    p.add_argument("captures", nargs="+", help="IQ capture files")
+    p.add_argument("--format", type=str, default=None,
+                   help="force input format (cf32/cs16/cu8); default: "
+                        "per-file extension")
+    p.add_argument("--out-dir", type=str, default=".",
+                   help="directory for per-capture audio WAVs + event logs")
+    p.add_argument("-s", "--squelch", type=float,
+                   default=C.SDR_DEFAULT_SQUELCH_LEVEL)
+    p.add_argument("-a", "--audio-gain", type=float,
+                   default=C.SDR_DEFAULT_AUDIO_GAIN)
+    p.add_argument("-m", "--mask", type=str, default="")
+    p.add_argument("-p", "--lock-mode", choices=["start", "max"],
+                   default="start")
+    p.add_argument("-l", "--lowpass", action="store_true")
+    p.add_argument("--mesh", type=str, default="",
+                   help="mesh shape S,T (default: all devices as streams)")
+    p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--subchunks-per-step", type=int, default=10)
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s %(name)s] %(message)s",
+                        stream=sys.stderr)
+    ns = build_parser().parse_args(argv)
+    try:
+        mask = (C.parse_channel_mask(ns.mask) if ns.mask
+                else (1 << C.MAX_CHANNELS) - 1)
+    except ValueError as e:
+        logging.error("%s", e)
+        return 1
+    if mask == 0:
+        logging.error("No channels enabled in channel mask !")
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.io import native, wav
+    from sdr_pmr446_tpu.parallel.scanner_sharded import (ShardedScannerChain,
+                                                         make_mesh)
+    from sdr_pmr446_tpu.scanner.chain import make_runtime_params
+    from sdr_pmr446_tpu.runtime.transfer import fetch
+
+    paths = ns.captures
+    n_streams = len(paths)
+    for pth in paths:
+        if not os.path.exists(pth):
+            logging.error("no such capture: %s", pth)
+            return 1
+    if ns.mesh:
+        s_axis, t_axis = (int(v) for v in ns.mesh.split(","))
+    else:
+        s_axis = 1
+        for cand in range(min(n_streams, len(jax.devices())), 0, -1):
+            if n_streams % cand == 0:
+                s_axis = cand
+                break
+        t_axis = 1
+    if n_streams % s_axis != 0:
+        logging.error("%d captures do not divide across %d stream shards",
+                      n_streams, s_axis)
+        return 1
+    os.makedirs(ns.out_dir, exist_ok=True)
+
+    args = C.ScannerArgs(
+        audio_gain=ns.audio_gain, squelch_level=ns.squelch,
+        lowpass=ns.lowpass, channel_mask=mask, lock_mode=ns.lock_mode)
+    mesh = make_mesh(s_axis, t_axis)
+    chain = ShardedScannerChain(mesh, C.BlockConfig(ns.subchunks_per_step),
+                                lowpass=ns.lowpass,
+                                use_pallas=ns.engine == "pallas")
+    params = make_runtime_params(args)
+    state = chain.init_state(n_streams)
+    block_len = chain.block.input_len
+    k = chain.block.subchunks_per_step
+    log.info("scanning %d captures on a (%d stream x %d time) mesh, "
+             "%s engine", n_streams, s_axis, t_axis, ns.engine)
+
+    fmts = [ns.format or os.path.splitext(pth)[1].lstrip(".") or "cf32"
+            for pth in paths]
+    fmts = [f if f in ("cf32", "cs16", "cu8", "cs8") else "cf32"
+            for f in fmts]
+    reader = native.BatchReader(paths, fmts)
+    audio = [[] for _ in range(n_streams)]
+    events = [[] for _ in range(n_streams)]
+    subchunk = 0
+    while True:
+        blk, got = reader.read_block(block_len)     # [S, block] c64
+        if got == 0:
+            break
+        state, out = chain.step(state, jnp.asarray(blk, jnp.complex64),
+                                params)
+        host = dict(zip(out._fields, fetch(list(out))))
+        for s in range(n_streams):
+            for i in range(k):
+                if host["audio_valid"][s][i]:
+                    audio[s].append(host["audio"][s][i])
+                if host["ev_tuned"][s][i]:
+                    events[s].append(
+                        f"subchunk {subchunk + i}: Tuned to channel "
+                        f"{host['active_chan'][s][i] + 1} "
+                        f"(RSSI: {host['rel_rssi'][s][i]:4.2f}dB)")
+                if host["ev_detuned"][s][i]:
+                    events[s].append(
+                        f"subchunk {subchunk + i}: Detuned from channel "
+                        f"{host['ev_new_chan'][s][i] + 1}")
+                if host["ev_ct_acquired"][s][i]:
+                    events[s].append(
+                        f"subchunk {subchunk + i}: Acquired CTCSS code: "
+                        f"{host['ct_max_idx'][s][i] + 1} (frequency: "
+                        f"{host['ct_freq'][s][i]:3.2f}Hz)")
+        subchunk += k
+        if got < block_len:
+            break
+    reader.close()
+
+    for s, pth in enumerate(paths):
+        stem = os.path.splitext(os.path.basename(pth))[0]
+        out_wav = os.path.join(ns.out_dir, f"{stem}.wav")
+        a = (np.concatenate(audio[s]) if audio[s]
+             else np.zeros(0, np.float32))
+        wav.write_wav(out_wav, a, C.AUDIO_SAMPLERATE)
+        out_log = os.path.join(ns.out_dir, f"{stem}.events.log")
+        with open(out_log, "w") as f:
+            f.write("\n".join(events[s]) + ("\n" if events[s] else ""))
+        log.info("%s: %d audio samples (%.2f s), %d events -> %s",
+                 stem, len(a), len(a) / C.AUDIO_SAMPLERATE, len(events[s]),
+                 out_wav)
+    log.info("Exiting")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

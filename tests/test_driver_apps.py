@@ -242,3 +242,33 @@ def test_scanner_app_checkpoint_flags(tmp_path):
                    "--resume"])
     assert rc == 0
     assert app.main(["--resume", "--seconds", "0.1"]) == 1  # needs path
+
+
+def test_scan_batch_app(tmp_path):
+    """Data-parallel multi-capture CLI: 2 captures on a (2,1)/(2,4) mesh,
+    per-capture audio + events; each capture's result matches a solo scan."""
+    from sdr_pmr446_tpu.apps import scan_batch, sdr_pmr446 as app1
+
+    caps = []
+    for s, (ch, code) in enumerate([(5, 12), (9, 20)]):
+        iq = 0.8 * synth.make_scanner_iq(10 * C.SUBCHUNK_IN, channel=ch,
+                                         ctcss_code=code, seed=s)
+        pth = str(tmp_path / f"cap{s}.cs16")
+        iq_io.write_iq(pth, iq, "cs16")
+        caps.append(pth)
+
+    outd = str(tmp_path / "scans")
+    rc = scan_batch.main(caps + ["--out-dir", outd, "--mesh", "2,4",
+                                 "--subchunks-per-step", "8"])
+    assert rc == 0
+    for s, (ch, code) in enumerate([(5, 12), (9, 20)]):
+        audio, rate = wav.read_wav(os.path.join(outd, f"cap{s}.wav"))
+        assert rate == C.AUDIO_SAMPLERATE and len(audio) > 0
+        # evaluate inside the capture's real 10 sub-chunks (the zero-padded
+        # block tail demodulates to noise until the squelch detunes — the
+        # same padded-tail artifact as the single-capture app)
+        snr = synth.tone_snr_db(audio[2 * 1225:9 * 1225], 1000.0)
+        assert snr > 25.0, (s, snr)
+        evs = open(os.path.join(outd, f"cap{s}.events.log")).read()
+        assert f"Tuned to channel {ch}" in evs
+        assert f"Acquired CTCSS code: {code}" in evs
