@@ -83,7 +83,11 @@ class ScannerChain:
     def __init__(self, block: C.BlockConfig | None = None,
                  lowpass: bool = False, fir_deemph: bool = False,
                  waterfall: int = 0, use_pallas: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 pallas_tiles: tuple = (1024, 1024, 256)):
+        # tile defaults tuned in-process at K=480 on the dev chip
+        # (resampler frames, PFB frames, audio rows); larger tiles OOM the
+        # remote compiler, smaller ones add grid-step overhead
         self.block = block or C.BlockConfig()
         self.lowpass = lowpass
         self.fir_deemph = fir_deemph
@@ -94,12 +98,13 @@ class ScannerChain:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
             from sdr_pmr446_tpu.kernels.audio_bank import PallasAudioBank
-            self.pallas_pfb = PallasPfbDemod(tile_f=512,
+            res_tile, pfb_tile, audio_tile = pallas_tiles
+            self.pallas_pfb = PallasPfbDemod(tile_f=pfb_tile,
                                              interpret=pallas_interpret)
             self.pallas_resampler = PallasResampler(
-                tile_f=512, interpret=pallas_interpret)
+                tile_f=res_tile, interpret=pallas_interpret)
             self.pallas_audio = PallasAudioBank(
-                lowpass=lowpass, fir_deemph=fir_deemph,
+                lowpass=lowpass, fir_deemph=fir_deemph, tile_r=audio_tile,
                 interpret=pallas_interpret)
 
         self.resampler = PolyResampler(D.resampler_taps(), C.RESAMP_L,
