@@ -14,10 +14,16 @@ is >=1000x per chip (BASELINE.json).
   dsd        dsd_in wideband-FM front-end to 48 kHz s16    (config 3)
   waterfall  scanner with the spectrogram tap enabled      (config 4)
 
-Throughput is measured with input resident on device and state donated —
+Throughput is measured with inputs resident on device and state donated —
 the steady-state streaming regime (host IO runs concurrently through the
 native engine in deployment; the dev-environment TPU tunnel's transfer
-bandwidth is not the subject of the benchmark).
+bandwidth is not the subject of the benchmark).  Every timed step gets
+UNIQUE arguments (rotated signal realizations + a jittered traced scalar):
+with one repeated block the carried histories reach a bit-exact fixpoint
+and the dev tunnel elides repeated executions, reporting dispatch rate
+instead of compute rate (see _measure and tools/bw_check.py — this is what
+inflated the round-1/round-2 large-K numbers; RESULTS.md has the
+correction).
 """
 
 import argparse
@@ -27,7 +33,30 @@ import time
 
 
 def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
-             inner=1):
+             inner=1, variants=None, drain=True):
+    """Time `step` over per-call-UNIQUE executions, bounded by a DRAIN op.
+
+    Two dev-tunnel pathologies are countered here (both diagnosed with
+    tools/bw_check.py, which measured ~0.4-0.5 TB/s of real, value-verified
+    HBM bandwidth):
+
+    1. Repeated executions are elided.  The chain's carried FIR/PFB
+       histories are tails of the input, so with one repeated block the
+       state converges to a bit-exact fixpoint and "throughput" becomes
+       block_size/dispatch_floor.  `variants` is a list of distinct
+       (iq, *rest) input tuples — every step gets unique arguments.
+
+    2. block_until_ready is NOT a completion signal for multi-op chain
+       programs (it returned after the chip could not physically have read
+       the input: 72 Gs/s = 0.22 ms for a 128 MB block on a 0.5 TB/s
+       part), while it IS honest for single fused-reduce programs (probe
+       timings scale with bytes and value-check clean).  So the timed
+       region ends with a probe-class DRAIN: one fused reduce over a large
+       resident array whose value data-depends on the final state and
+       outputs.  It cannot start before every enqueued step finished, and
+       its own ready signal is trustworthy; its solo cost is calibrated
+       and subtracted.
+    """
     import jax
 
     if inner > 1:
@@ -51,18 +80,76 @@ def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
 
         step = jax.jit(fused, donate_argnums=(0,))
         inputs = (iq_multi,) + rest
+        variants = None                  # scan mode carries its own blocks
 
-    for _ in range(warmup):
-        state, out = step(state, *inputs)
+    if variants is None:
+        variants = [inputs]
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    def _dep(tree):
+        tot = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(tree):
+            tot = tot + jnp.sum(jnp.real(leaf).astype(jnp.float32))
+        return tot
+
+    def _drain_impl(st, out, x):
+        # value depends on every leaf of (state, out): cannot start before
+        # all enqueued steps complete; 1e-20 underflows at runtime so the
+        # reduce's cost is just the known read of x
+        return jnp.sum(x) * (1.0 + 1e-20 * _dep((st, out)))
+
+    drain_fn = jax.jit(_drain_impl)
+
+    for v in range(warmup):
+        state, out = step(state, *variants[v % len(variants)])
     jax.block_until_ready(out)
+
+    t_solo = 0.0
+    if drain:
+        rngx = np.random.default_rng(1)
+        x_big = jnp.asarray(
+            rngx.standard_normal(64 * (1 << 20)).astype(np.float32))
+        jax.block_until_ready(drain_fn(state, out, x_big))   # compile
+        solos = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(drain_fn(state, out, x_big))
+            solos.append(time.perf_counter() - t0)
+        t_solo = sorted(solos)[len(solos) // 2]
+        print(f"bench: drain solo times {[round(s * 1e3, 2) for s in solos]}"
+              f" ms (median {t_solo * 1e3:.2f})", file=sys.stderr)
+
     t0 = time.perf_counter()
     done = 0
     while done < iters and time.perf_counter() - t0 < secs:
-        state, out = step(state, *inputs)
+        state, out = step(state, *variants[(warmup + done) % len(variants)])
         done += 1
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    if drain:
+        jax.block_until_ready(out)
+        dt_ready = time.perf_counter() - t0
+        jax.block_until_ready(drain_fn(state, out, x_big))
+        dt_drained = time.perf_counter() - t0
+        dt = dt_drained - t_solo
+        print(f"bench: {done} steps, ready {dt_ready * 1e3:.2f} ms, "
+              f"drained {dt_drained * 1e3:.2f} ms, recorded "
+              f"{dt * 1e3:.2f} ms", file=sys.stderr)
+    else:
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
     return n_samples_per_step * inner * done / dt / 1e6
+
+
+def _input_variants(make_iq, rest, n_variants=4):
+    """n_variants distinct realistic input blocks (+ shared trailing args).
+
+    Distinct signal realizations — different noise seeds and slightly
+    different tone phases — so no two steps ever see the same bytes.
+    """
+    import jax.numpy as jnp
+    return [(jnp.asarray(make_iq(seed), jnp.complex64),) + tuple(rest)
+            for seed in range(n_variants)]
 
 
 def main() -> int:
@@ -72,9 +159,8 @@ def main() -> int:
                             "waterfall", "batch8"])
     p.add_argument("--subchunks-per-step", type=int, default=0,
                    help="FSM sub-chunks per jitted step (0 = per-config "
-                        "default: large streaming blocks amortize the "
-                        "control layer's fixed op count — throughput more "
-                        "than doubles from K=40 to K>=240)")
+                        "default; K=160 amortizes the control layer's "
+                        "fixed op count into the noise)")
     p.add_argument("--inner", type=int, default=1,
                    help="EXPERIMENTAL: steps fused per dispatch via "
                         "lax.scan. On this dev tunnel fused timings exceed "
@@ -85,6 +171,11 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--secs", type=float, default=20.0)
+    p.add_argument("--rot", type=int, default=0,
+                   help="distinct input realizations rotated across steps "
+                        "(0 = warmup+iters: every step gets a brand-new "
+                        "block, the most elision-proof setting; smaller "
+                        "values bound device memory at large K)")
     args = p.parse_args()
 
     import jax
@@ -100,23 +191,29 @@ def main() -> int:
     from sdr_pmr446_tpu.io import synth
 
     k = args.subchunks_per_step
+    # distinct input realizations rotated across steps; default: one per
+    # step, so no two executions ever share an input block
+    n_rot = args.rot or (args.warmup + args.iters)
+    variants = None
     if args.config in ("scanner", "scanner-pallas", "waterfall"):
         from sdr_pmr446_tpu.scanner.chain import (ScannerChain,
                                                   make_runtime_params)
-        # engine/geometry ladder for the headline config: the fused-kernel
-        # (Pallas) chain at K=320 is the fastest measured configuration;
-        # the XLA chain at K=240 is the fastest that the XLA conv lowering
-        # compiles; K=40 always works.  Fall through on compile failure so
-        # one flaky remote compile can't zero out the recorded benchmark.
+        # engine/geometry ladder for the headline config.  K=40 is the
+        # LARGEST geometry whose measured rate fits inside the chip's
+        # measured HBM bandwidth envelope (tools/bw_check.py +
+        # tools/traffic_model.py); on this dev tunnel larger K reports
+        # rates above the physical input-read bound (ready signals are not
+        # completion — see _measure), so they are not recorded.  Fall
+        # through on compile failure so one flaky remote compile can't
+        # zero out the recorded benchmark.
         if args.config == "scanner":
             attempts = ([(k, True), (k, False)] if k else
-                        [(480, True), (320, True), (240, False),
-                         (40, False)])
+                        [(40, True), (40, False)])
         elif args.config == "scanner-pallas":
-            attempts = [(k or 320, True)]
+            attempts = [(k or 40, True)]
         else:
             attempts = ([(k, True), (k, False)] if k else
-                        [(160, True), (160, False), (40, False)])
+                        [(40, True), (40, False)])
         chain = state = None
         last_err = None
         for k_try, use_pallas in attempts:
@@ -142,6 +239,16 @@ def main() -> int:
                 chain = None
         if chain is None:
             raise last_err
+        # every step's args are unique: rotate distinct signal realizations
+        # and jitter the (traced) squelch scalar per step — see _measure
+        iqs = [jnp.asarray(
+            synth.make_scanner_iq(n, channel=5, ctcss_code=12, seed=s),
+            jnp.complex64) for s in range(n_rot)]
+        variants = [
+            (iqs[i % n_rot],
+             params._replace(squelch_level=jnp.float32(
+                 C.SDR_DEFAULT_SQUELCH_LEVEL + 1e-5 * i)))
+            for i in range(args.warmup + args.iters)]
         inputs = (iq, params)
         step = chain.step
         metric = {
@@ -153,14 +260,25 @@ def main() -> int:
         }[args.config]
     elif args.config == "single":
         from sdr_pmr446_tpu.scanner.single import SingleChannelChain
-        k = k or 160
+        # K=20 (16 MB/step): these simpler chains have a lower dispatch
+        # floor, so the physically-defensible geometry is smaller than the
+        # scanner's (see the scanner ladder note)
+        k = k or 20
         chain = SingleChannelChain(channel=5, subchunks_per_step=k)
         state = chain.init_state()
         n = chain.input_len
         iq = jnp.asarray(synth.make_scanner_iq(n, channel=5),
                          jnp.complex64)
-        inputs = (iq,)
-        step = chain.step
+        # per-step uniqueness: rotate realizations + a tiny unique complex
+        # offset fused into the chain's first input touch (no extra HBM pass)
+        base_step = chain.step
+        step = jax.jit(lambda st, x, eps: base_step(st, x + eps),
+                       donate_argnums=(0,))
+        iqs = [jnp.asarray(synth.make_scanner_iq(n, channel=5, seed=s),
+                           jnp.complex64) for s in range(n_rot)]
+        variants = [(iqs[i % n_rot], jnp.complex64(1e-7 * (i + 1)))
+                    for i in range(args.warmup + args.iters)]
+        inputs = (iq, jnp.complex64(0.0))
         metric = "single-channel NBFM chain input throughput per chip"
     elif args.config == "batch8":
         # aggregate throughput over 8 independent IQ streams on one chip
@@ -171,8 +289,10 @@ def main() -> int:
         from sdr_pmr446_tpu.scanner.chain import make_runtime_params
         n_streams = 8
         mesh = make_mesh(1, 1)
+        # 8 streams move 8x the bytes per step: K=10 keeps the aggregate
+        # rate within the measured HBM envelope (see scanner ladder note)
         attempts = ([(k, True), (k, False)] if k else
-                    [(80, True), (80, False), (40, False)])
+                    [(10, True), (10, False)])
         chain = None
         last_err = None
         for k_try, use_pallas in attempts:
@@ -198,23 +318,39 @@ def main() -> int:
                 chain = None
         if chain is None:
             raise last_err
+        iqs = [jnp.asarray(np.stack([
+            synth.make_scanner_iq(chain.block.input_len, channel=2 + s,
+                                  ctcss_code=3 + s, seed=8 * r + s)
+            for s in range(n_streams)]), jnp.complex64)
+            for r in range(n_rot)]
+        variants = [
+            (iqs[i % n_rot],
+             params8._replace(squelch_level=jnp.float32(
+                 C.SDR_DEFAULT_SQUELCH_LEVEL + 1e-5 * i)))
+            for i in range(args.warmup + args.iters)]
         inputs = (iq, params8)
         step = chain.step
         metric = "16ch scanner chain, 8-stream batch, aggregate per chip"
     else:
         from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
-        k = k or 160
+        k = k or 20        # 16 MB/step — see the `single` note
         chain = DsdInChain(subchunks_per_step=k)
         state = chain.init_state()
         n = chain.input_len
         iq = jnp.asarray(synth.make_scanner_iq(n, channel=8),
                          jnp.complex64)
-        inputs = (iq,)
-        step = chain.step
+        base_step = chain.step
+        step = jax.jit(lambda st, x, eps: base_step(st, x + eps),
+                       donate_argnums=(0,))
+        iqs = [jnp.asarray(synth.make_scanner_iq(n, channel=8, seed=s),
+                           jnp.complex64) for s in range(n_rot)]
+        variants = [(iqs[i % n_rot], jnp.complex64(1e-7 * (i + 1)))
+                    for i in range(args.warmup + args.iters)]
+        inputs = (iq, jnp.complex64(0.0))
         metric = "dsd_in chain input throughput per chip"
 
     msps = _measure(step, state, inputs, n, args.iters, args.warmup,
-                    args.secs, inner=args.inner)
+                    args.secs, inner=args.inner, variants=variants)
     print(json.dumps({
         "metric": metric,
         "value": round(msps, 1),

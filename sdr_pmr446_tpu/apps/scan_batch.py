@@ -99,9 +99,12 @@ def main(argv=None) -> int:
         audio_gain=ns.audio_gain, squelch_level=ns.squelch,
         lowpass=ns.lowpass, channel_mask=mask, lock_mode=ns.lock_mode)
     mesh = make_mesh(s_axis, t_axis)
-    chain = ShardedScannerChain(mesh, C.BlockConfig(ns.subchunks_per_step),
-                                lowpass=ns.lowpass,
-                                use_pallas=ns.engine == "pallas")
+    chain = ShardedScannerChain(
+        mesh, C.BlockConfig(ns.subchunks_per_step), lowpass=ns.lowpass,
+        use_pallas=ns.engine == "pallas",
+        # Mosaic only lowers on real TPUs; elsewhere (CPU dev hosts) the
+        # kernels run under the Pallas interpreter, like the halo_dma path
+        pallas_interpret=jax.default_backend() != "tpu")
     params = make_runtime_params(args)
     state = chain.init_state(n_streams)
     block_len = chain.block.input_len

@@ -89,6 +89,13 @@ def main(argv=None) -> int:
     if mask == 0:
         logging.error("No channels enabled in channel mask !")
         return 1
+    if ns.waterfall > 0:
+        from sdr_pmr446_tpu.ops import spectrogram
+        try:
+            spectrogram.validate_width(ns.waterfall)
+        except ValueError as e:
+            logging.error("%s", e)
+            return 1
     # -b validation against compiled + available APIs (the reference checks
     # the name against RtAudio's compiled API enum, src/sdr_pmr446.c:234-257)
     from sdr_pmr446_tpu.io import audio as audio_io
@@ -113,6 +120,7 @@ def main(argv=None) -> int:
             logging.error("no live audio backend available (have: %s)",
                           ", ".join(avail_apis))
             return 1
+        live_sink = audio_io.AudioSink(C.AUDIO_SAMPLERATE, api=ns.audio_api)
     args = C.ScannerArgs(
         gain=ns.gain, audio_gain=ns.audio_gain, squelch_level=ns.squelch,
         waterfall=ns.waterfall, lowpass=ns.lowpass, channel_mask=mask,
@@ -154,17 +162,28 @@ def main(argv=None) -> int:
         params = make_runtime_params(args)
         st = chain.init_state()
         audio = []
+        n_streamed = 0
         for i in range(len(iq) // chain.input_len):
             st, o = chain.step(st, jnp.asarray(
                 iq[i * chain.input_len:(i + 1) * chain.input_len],
                 jnp.complex64), params)
             host = fetch({"a": o.audio, "v": o.audio_valid})
-            audio.append(host["a"][host["v"]].ravel())
-        out_audio = (np.concatenate(audio) if audio
-                     else np.zeros(0, np.float32))
-        wav.write_wav(ns.output, out_audio, C.AUDIO_SAMPLERATE)
-        log.info("wrote %d audio samples (faithful mode) to %s",
-                 len(out_audio), ns.output)
+            chunk = host["a"][host["v"]].ravel()
+            if live_sink is not None:
+                live_sink.write(chunk)
+                n_streamed += len(chunk)
+            else:
+                audio.append(chunk)
+        if live_sink is not None:
+            live_sink.close()
+            log.info("streamed %d audio samples (faithful mode) live",
+                     n_streamed)
+        else:
+            out_audio = (np.concatenate(audio) if audio
+                         else np.zeros(0, np.float32))
+            wav.write_wav(ns.output, out_audio, C.AUDIO_SAMPLERATE)
+            log.info("wrote %d audio samples (faithful mode) to %s",
+                     len(out_audio), ns.output)
         log.info("Exiting")
         return 0
 
@@ -175,10 +194,12 @@ def main(argv=None) -> int:
         if not ns.checkpoint:
             logging.error("--resume needs --checkpoint")
             return 1
-        driver.restore()
-
-    if ns.output == "live":
-        live_sink = audio_io.AudioSink(C.AUDIO_SAMPLERATE, api=ns.audio_api)
+        try:
+            driver.restore()
+        except Exception as e:          # missing/truncated checkpoint file
+            logging.error("cannot restore checkpoint '%s': %s",
+                          ns.checkpoint, e)
+            return 1
 
     def on_subchunk(sub, o):
         if live_sink is not None and o["audio_valid"]:

@@ -52,7 +52,7 @@ W_PAD = 5 * LANES             # shared window width per output row
 
 @functools.lru_cache(maxsize=None)
 def _kernel_columns(lowpass: bool, fir_deemph: bool):
-    """(audio_fir, lp_fir) float64 1-D composed kernels, each <= 511 taps."""
+    """(audio_fir, lp_fir) float64 1-D composed kernels."""
     from sdr_pmr446_tpu.taps import design as D
     hp = D.ctcss_hp_taps()
     de = D.deemph_fir_taps() if fir_deemph else D.deemph_fir_equiv()
@@ -61,19 +61,21 @@ def _kernel_columns(lowpass: bool, fir_deemph: bool):
         audio = np.convolve(D.audio_lp_taps(), audio)
     lp = -hp.copy()
     lp[C.CTCSS_DELAY] += 1.0            # delta_188 - hp
-    assert audio.shape[0] <= HIST - 1 and lp.shape[0] <= HIST - 1
     return audio, lp
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_matrix(lowpass: bool, fir_deemph: bool) -> np.ndarray:
-    """[640, 256] f32: K[p + j, p] = h[512 - j] (audio cols 0-127, lp 128+)."""
+def _kernel_matrix(lowpass: bool, fir_deemph: bool,
+                   hist: int) -> np.ndarray:
+    """[hist+128, 256] f32: K[p + j, p] = h[hist - j] (audio cols 0-127,
+    lp 128+)."""
     audio, lp = _kernel_columns(lowpass, fir_deemph)
-    kmat = np.zeros((W_PAD, 2 * LANES), dtype=np.float64)
+    kmat = np.zeros((hist + LANES, 2 * LANES), dtype=np.float64)
     for h, base in ((audio, 0), (lp, LANES)):
         hlen = h.shape[0]
-        # y[128 r + p] = sum_m h[m] xe[128 r + p + 512 - m]
-        j = HIST - np.arange(hlen)          # j = 512 - m, m in [0, hlen)
+        assert hlen <= hist - 1
+        # y[128 r + p] = sum_m h[m] xe[128 r + p + hist - m]
+        j = hist - np.arange(hlen)          # j = hist - m, m in [0, hlen)
         for p in range(LANES):
             kmat[p + j, base + p] = h
     return kmat.astype(np.float32)
@@ -82,7 +84,7 @@ def _kernel_matrix(lowpass: bool, fir_deemph: bool) -> np.ndarray:
 def _body(main_ref, look_ref, k_ref, audio_out, lp_out, win):
     tile_r = audio_out.shape[0]
     rows = jnp.concatenate([main_ref[:], look_ref[:]], axis=0)
-    for i in range(W_PAD // LANES):
+    for i in range(win.shape[1] // LANES):
         win[:, i * LANES:(i + 1) * LANES] = rows[i:i + tile_r, :]
     out = jnp.dot(win[:], k_ref[:], preferred_element_type=jnp.float32)
     audio_out[:, :] = out[:, :LANES]
@@ -98,17 +100,24 @@ class PallasAudioBank:
 
     def __init__(self, lowpass: bool = False, fir_deemph: bool = False,
                  tile_r: int = 128, interpret: bool = False):
-        assert tile_r % 8 == 0 and tile_r >= W_PAD // LANES - 1
+        # history length adapts to the composed FIR: the default flag combos
+        # fit 512, fir_deemph+lowpass composes 377*101*103 -> 579 taps -> 640
+        audio, _ = _kernel_columns(lowpass, fir_deemph)
+        hist_rows = max(4, -(-(audio.shape[0] + 1) // LANES))
+        self.hist = hist_rows * LANES            # per-channel demod history
+        self.w_pad = self.hist + LANES           # window width per output row
+        assert tile_r % 8 == 0 and tile_r >= self.w_pad // LANES - 1
         self.tile_r = tile_r
         self.interpret = interpret
-        self.kmat = _kernel_matrix(lowpass, fir_deemph)   # [640, 256] numpy
+        self.kmat = _kernel_matrix(lowpass, fir_deemph,
+                                   self.hist)    # [w_pad, 256] numpy
 
     def init(self) -> jax.Array:
-        return jnp.zeros((NCH, HIST), jnp.float32)
+        return jnp.zeros((NCH, self.hist), jnp.float32)
 
     def apply(self, hist: jax.Array, demod: jax.Array, gain: jax.Array):
         nch, f = demod.shape
-        assert nch == NCH
+        assert nch == NCH and hist.shape[-1] == self.hist
         tile = self.tile_r
         r_rows = -(-f // LANES)
         n_tiles = -(-r_rows // tile)
@@ -117,15 +126,15 @@ class PallasAudioBank:
 
         xe = jnp.concatenate(
             [hist, demod, jnp.zeros((NCH, pad_t), jnp.float32)], axis=-1)
-        xef = xe.reshape(NCH, r_pad + W_PAD // LANES - 1, LANES)
+        xef = xe.reshape(NCH, r_pad + self.w_pad // LANES - 1, LANES)
         main = xef[:, :r_pad]
-        # look-ahead rows for tile s: xef rows [(s+1)*tile, +4) — the same
-        # slice+reshape row-block trick as the other kernels (no gather)
+        # look-ahead rows for tile s: xef rows [(s+1)*tile, +hist/128) — the
+        # same slice+reshape row-block trick as the other kernels (no gather)
         shifted = xef[:, tile:]
         deficit = n_tiles * tile - shifted.shape[1]
         shifted = jnp.pad(shifted, ((0, 0), (0, deficit), (0, 0)))
         look = shifted.reshape(
-            NCH, n_tiles, tile, LANES)[:, :, :W_PAD // LANES - 1]
+            NCH, n_tiles, tile, LANES)[:, :, :self.w_pad // LANES - 1]
 
         # fold the (traced) runtime audio gain into the audio columns
         scale = jnp.concatenate([jnp.broadcast_to(gain, (LANES,)),
@@ -138,7 +147,7 @@ class PallasAudioBank:
             in_specs=[
                 pl.BlockSpec((None, tile, LANES), lambda c, s: (c, s, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, None, W_PAD // LANES - 1, LANES),
+                pl.BlockSpec((None, None, self.w_pad // LANES - 1, LANES),
                              lambda c, s: (c, s, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # kernel matrix
@@ -153,13 +162,13 @@ class PallasAudioBank:
                 jax.ShapeDtypeStruct((NCH, r_pad, LANES), jnp.float32),
                 jax.ShapeDtypeStruct((NCH, r_pad, LANES), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((tile, W_PAD), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((tile, self.w_pad), jnp.float32)],
             interpret=self.interpret,
         )(main, look, kmat)
 
         audio = audio.reshape(NCH, r_pad * LANES)[:, :f]
         lp = lp.reshape(NCH, r_pad * LANES)[:, :f]
-        new_hist = xe[:, f:f + HIST]
+        new_hist = xe[:, f:f + self.hist]
         return new_hist, audio, lp
 
 
@@ -190,5 +199,5 @@ def reference_impl(hist, demod, gain, lowpass=False, fir_deemph=False):
         _, audio = fir.fir_apply(
             jnp.zeros((NCH, lp_taps.shape[0] - 1), jnp.float32), audio,
             lp_taps)
-    new_hist = xe[:, f:f + HIST]
+    new_hist = xe[:, f:f + hist.shape[-1]]
     return new_hist, audio[:, -f:], lp_branch[:, -f:]

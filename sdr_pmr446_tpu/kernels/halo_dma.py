@@ -94,19 +94,21 @@ def ring_shift_right(tail: jax.Array, axis: str, mesh_axes=None,
 
 def shard_hist_dma(carried_hist: jax.Array, x_shard: jax.Array,
                    hist_len: int, axis: str, mesh_axes=None,
-                   interpret: bool = False):
+                   interpret: bool = False, collective_id: int = 7):
     """Drop-in replacement for halo.shard_hist with RDMA transport.
 
     Returns (hist, new_carried) with identical semantics: hist = left
     neighbor's tail (carried history on shard 0), new_carried = LAST
-    shard's tail broadcast to all shards.
+    shard's tail broadcast to all shards.  Distinct concurrent uses in one
+    program need distinct collective_ids (one DMA semaphore set each).
     """
     num = jax.lax.axis_size(axis)
     d = jax.lax.axis_index(axis)
     tail = x_shard[..., x_shard.shape[-1] - hist_len:]
     if num == 1:
         return carried_hist, tail
-    received = ring_shift_right(tail, axis, mesh_axes, interpret=interpret)
+    received = ring_shift_right(tail, axis, mesh_axes, interpret=interpret,
+                                collective_id=collective_id)
     hist = jnp.where(d == 0, carried_hist, received)
     new_carried = jax.lax.psum(
         jnp.where(d == num - 1, tail, jnp.zeros_like(tail)), axis)

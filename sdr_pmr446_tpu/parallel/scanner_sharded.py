@@ -67,27 +67,15 @@ class ShardedScannerChain:
         # collectives (default) or the Pallas remote-DMA ring shift
         # (kernels/halo_dma.py; interpret-simulated off-TPU)
         if halo_dma:
+            import functools
             from sdr_pmr446_tpu.kernels import halo_dma as hdma
             interp = jax.default_backend() != "tpu"
-
-            def _hist_dma(cid):
-                def fn(carried, xs, hist_len, ax):
-                    num = jax.lax.axis_size(ax)
-                    d = jax.lax.axis_index(ax)
-                    tail = xs[..., xs.shape[-1] - hist_len:]
-                    if num == 1:
-                        return carried, tail
-                    recv = hdma.ring_shift_right(tail, ax, interpret=interp,
-                                                 collective_id=cid)
-                    hist = jnp.where(d == 0, carried, recv)
-                    carry = jax.lax.psum(
-                        jnp.where(d == num - 1, tail,
-                                  jnp.zeros_like(tail)), ax)
-                    return hist, carry
-                return fn
-
-            self._hist_resamp = _hist_dma(1)
-            self._hist_pfb = _hist_dma(2)
+            # distinct collective_ids: two concurrent ring shifts in one
+            # program need their own DMA semaphore sets
+            self._hist_resamp = functools.partial(
+                hdma.shard_hist_dma, interpret=interp, collective_id=1)
+            self._hist_pfb = functools.partial(
+                hdma.shard_hist_dma, interpret=interp, collective_id=2)
         else:
             self._hist_resamp = halo.shard_hist
             self._hist_pfb = halo.shard_hist
@@ -124,7 +112,10 @@ class ShardedScannerChain:
     def _state_struct(self):
         return init_scanner_state(self.resampler.hist_len, self.pfb.hist_len,
                                   self.deemph_hist_len,
-                                  waterfall=self.waterfall)
+                                  waterfall=self.waterfall,
+                                  audio_hist_len=(self.pallas_audio.hist
+                                                  if self.use_pallas
+                                                  else 4 * 128))
 
     def _out_struct(self):
         return StepOutputs(*([0] * len(StepOutputs._fields)))

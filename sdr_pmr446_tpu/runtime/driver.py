@@ -59,6 +59,7 @@ class ScannerDriver:
         # (block_index, state pytree); restore() resumes mid-capture
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
+        self._resume_skip = 0            # armed by restore(), one-shot
 
     def restore(self, path: Optional[str] = None) -> int:
         """Load a checkpoint; run() then skips the already-processed blocks
@@ -67,6 +68,7 @@ class ScannerDriver:
         self.block_index, self.state = load_state(
             path or self.checkpoint_path)
         self.subchunk = self.block_index * self.chain.block.subchunks_per_step
+        self._resume_skip = self.block_index
         log.info("restored checkpoint at block %d (%d sub-chunks)",
                  self.block_index, self.subchunk)
         return self.block_index
@@ -90,7 +92,11 @@ class ScannerDriver:
         # role the reference's audio ring plays across its two threads,
         # src/sdr_pmr446.c:903-906)
         pending = None
-        skip = self.block_index          # nonzero after restore()
+        # one-shot: only the run() immediately after restore() skips the
+        # already-processed prefix of its iterator; later run() calls on the
+        # same driver must consume their iterators from the start
+        skip = self._resume_skip
+        self._resume_skip = 0
         for i, blk in enumerate(blocks):
             if i < skip:
                 continue

@@ -34,7 +34,7 @@ class ScannerState(NamedTuple):
     lp_dc_y: jax.Array         # f32 [16]
     deemph_hist: jax.Array     # f32 [16, deemph_taps-1]
     audio_lp_hist: jax.Array   # f32 [16, 102]
-    audio_hist: jax.Array      # f32 [16, 512] raw-demod history for the
+    audio_hist: jax.Array      # f32 [16, >=512] raw-demod history for the
     #                            fused Pallas audio bank (kernels/audio_bank;
     #                            the four FIR hists above stay zero there)
     # control (squelch FSM, src/sdr_pmr446.c:827-874)
@@ -53,7 +53,8 @@ class ScannerState(NamedTuple):
 
 def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
                        deemph_hist_len: int,
-                       waterfall: int = 0) -> ScannerState:
+                       waterfall: int = 0,
+                       audio_hist_len: int = 4 * 128) -> ScannerState:
     nch = C.NUM_CHANNELS
     return ScannerState(
         dc_x=jnp.zeros((), jnp.complex64),
@@ -68,7 +69,7 @@ def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
         lp_dc_y=jnp.zeros((nch,), jnp.float32),
         deemph_hist=jnp.zeros((nch, deemph_hist_len), jnp.float32),
         audio_lp_hist=jnp.zeros((nch, C.LP_AUDIO_FILT_TAPS - 1), jnp.float32),
-        audio_hist=jnp.zeros((nch, 4 * 128), jnp.float32),
+        audio_hist=jnp.zeros((nch, audio_hist_len), jnp.float32),
         fsm_state=jnp.zeros((), jnp.int32),
         active_chan=jnp.full((), -1, jnp.int32),
         rssi=jnp.zeros((), jnp.float32),

@@ -124,7 +124,10 @@ class ScannerChain:
         return init_scanner_state(self.resampler.hist_len,
                                   self.pfb.hist_len,
                                   self.deemph_hist_len,
-                                  waterfall=self.waterfall)
+                                  waterfall=self.waterfall,
+                                  audio_hist_len=(self.pallas_audio.hist
+                                                  if self.use_pallas
+                                                  else 4 * 128))
 
     def step(self, state: ScannerState, iq: jax.Array,
              params: RuntimeParams):

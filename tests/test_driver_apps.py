@@ -196,6 +196,21 @@ def test_cli_audio_api_validation():
     assert "dummy" in audio_io.list_apis()
 
 
+def test_scanner_app_clean_cli_errors(tmp_path):
+    """Bad flag values exit 1 with a logged error, not a traceback."""
+    from sdr_pmr446_tpu.apps.sdr_pmr446 import main
+    # waterfall width whose w/4 hop doesn't divide the sub-chunk
+    assert main(["-w", "128", "--seconds", "0.1"]) == 1
+    # --resume pointing at a nonexistent checkpoint file
+    assert main(["--resume", "--checkpoint", str(tmp_path / "nope.npz"),
+                 "--seconds", "0.1"]) == 1
+    # --resume pointing at a truncated/corrupt checkpoint
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"PK\x03\x04corrupt")
+    assert main(["--resume", "--checkpoint", str(bad),
+                 "--seconds", "0.1"]) == 1
+
+
 def test_driver_checkpoint_resume_equals_uninterrupted(tmp_path):
     """Driver with periodic checkpoints, 'crashed' mid-capture and resumed
     from the checkpoint file, reproduces the uninterrupted run exactly."""
@@ -225,6 +240,28 @@ def test_driver_checkpoint_resume_equals_uninterrupted(tmp_path):
         np.concatenate([part1.active_trace, part2.active_trace]),
         full.active_trace)
     assert part1.events + part2.events == full.events
+
+
+def test_driver_two_run_calls_consume_both_iterators():
+    """Splitting a capture across two run() calls on ONE driver must equal
+    a single run: the resume-skip is armed only by restore(), not by the
+    driver having already processed blocks."""
+    iq = _demo_iq(seconds=2.0)
+    args = C.ScannerArgs(lock_mode="max")
+
+    ref = ScannerDriver(args, subchunks_per_step=5)
+    full = ref.run(iq_io.block_stream(iq, ref.block_len))
+
+    drv = ScannerDriver(args, subchunks_per_step=5)
+    half = (len(iq) // drv.block_len // 2) * drv.block_len
+    p1 = drv.run(iq_io.block_stream(iq[:half], drv.block_len))
+    p2 = drv.run(iq_io.block_stream(iq[half:], drv.block_len))
+    np.testing.assert_array_equal(
+        np.concatenate([p1.audio, p2.audio]), full.audio)
+    np.testing.assert_array_equal(
+        np.concatenate([p1.active_trace, p2.active_trace]),
+        full.active_trace)
+    assert p1.events + p2.events == full.events
 
 
 def test_scanner_app_checkpoint_flags(tmp_path):

@@ -139,14 +139,21 @@ def test_resampler_kernel_matches_op():
         np.testing.assert_allclose(np.asarray(hist_k), np.asarray(hist_ref),
                                    atol=0)
 
-@pytest.mark.parametrize("lowpass", [False, True])
-def test_audio_bank_kernel_matches_opchain(lowpass):
+@pytest.mark.parametrize("lowpass,fir_deemph", [
+    (False, False), (True, False),
+    # fir_deemph+lowpass composes 579 taps: exercises the adaptive 640-deep
+    # history (the other combos use the default 512)
+    (True, True),
+])
+def test_audio_bank_kernel_matches_opchain(lowpass, fir_deemph):
     """Fused audio bank == sequential op chain (f32 rounding level),
     including streaming across calls and tail padding."""
     from sdr_pmr446_tpu.kernels.audio_bank import (PallasAudioBank,
                                                    reference_impl)
     rng = np.random.default_rng(7)
-    bank = PallasAudioBank(lowpass=lowpass, tile_r=8, interpret=True)
+    bank = PallasAudioBank(lowpass=lowpass, fir_deemph=fir_deemph,
+                           tile_r=8, interpret=True)
+    assert bank.hist == (640 if (lowpass and fir_deemph) else 512)
     hist = bank.init()
     rhist = hist
     gain = jnp.float32(4.0)
@@ -154,7 +161,8 @@ def test_audio_bank_kernel_matches_opchain(lowpass):
         demod = jnp.asarray(rng.standard_normal((16, f)), jnp.float32)
         hist, audio, lp = bank.apply(hist, demod, gain)
         rhist, audio2, lp2 = reference_impl(rhist, demod, gain,
-                                            lowpass=lowpass)
+                                            lowpass=lowpass,
+                                            fir_deemph=fir_deemph)
         np.testing.assert_array_equal(np.asarray(hist), np.asarray(rhist))
         np.testing.assert_allclose(np.asarray(audio), np.asarray(audio2),
                                    rtol=0, atol=1e-4)

@@ -3,6 +3,11 @@
 One process, one tunnel session: both step functions compiled up front,
 then measured in alternating short segments so tunnel latency drift hits
 both equally.  Reports per-segment and median throughput.
+
+Every step gets unique arguments (rotated signal realizations + jittered
+squelch scalar) — with a single repeated block the carried histories reach
+a bit-exact fixpoint and the tunnel elides repeated executions (see
+tools/bw_check.py / bench.py::_measure).
 """
 
 import argparse
@@ -21,37 +26,46 @@ from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--subchunks-per-step", type=int, default=40)
+    p.add_argument("--subchunks-per-step", type=int, default=160)
     p.add_argument("--segments", type=int, default=6)
     p.add_argument("--iters", type=int, default=15)
+    p.add_argument("--rot", type=int, default=4,
+                   help="distinct input realizations rotated across steps")
     args = p.parse_args()
 
     k = args.subchunks_per_step
     params = make_runtime_params(C.ScannerArgs())
     n = C.BlockConfig(k).input_len
-    iq = jnp.asarray(synth.make_scanner_iq(n, channel=5, ctcss_code=12),
-                     jnp.complex64)
+    iqs = [jnp.asarray(
+        synth.make_scanner_iq(n, channel=5, ctcss_code=12, seed=s),
+        jnp.complex64) for s in range(args.rot)]
+
+    def pstep(i):
+        return params._replace(squelch_level=jnp.float32(
+            C.SDR_DEFAULT_SQUELCH_LEVEL + 1e-5 * i))
 
     chains = {}
     for name, use_pallas in (("xla", False), ("pallas", True)):
         chain = ScannerChain(C.BlockConfig(k), use_pallas=use_pallas)
         st = chain.init_state()
-        st, out = chain.step(st, iq, params)       # compile + warm
+        st, out = chain.step(st, iqs[0], pstep(0))    # compile + warm
         jax.block_until_ready(out)
-        chains[name] = (chain, st)
+        chains[name] = (chain, st, 1)                 # (chain, state, step#)
 
     results = {"xla": [], "pallas": []}
     for seg in range(args.segments):
         for name in ("xla", "pallas"):
-            chain, st = chains[name]
-            st, out = chain.step(st, iq, params)
+            chain, st, i = chains[name]
+            st, out = chain.step(st, iqs[i % args.rot], pstep(i))
+            i += 1
             jax.block_until_ready(out)             # re-warm after swap
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                st, out = chain.step(st, iq, params)
+                st, out = chain.step(st, iqs[i % args.rot], pstep(i))
+                i += 1
             jax.block_until_ready(out)
             dt = time.perf_counter() - t0
-            chains[name] = (chain, st)
+            chains[name] = (chain, st, i)
             ms = n * args.iters / dt / 1e6
             results[name].append(ms)
             print(f"seg {seg} {name:7s}: {ms:9.1f} Ms/s", flush=True)
