@@ -171,6 +171,11 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--secs", type=float, default=20.0)
+    p.add_argument("--input-format", default="cf32",
+                   choices=["cf32", "cs16", "cu8"],
+                   help="scanner configs: feed complex64 (cf32) or RAW "
+                        "wire bytes packed as f32 words, decoded on device "
+                        "(ops/decode.py) — 2-4x less input HBM traffic")
     p.add_argument("--rot", type=int, default=0,
                    help="distinct input realizations rotated across steps "
                         "(0 = warmup+iters: every step gets a brand-new "
@@ -216,17 +221,25 @@ def main() -> int:
                         [(40, True), (40, False)])
         chain = state = None
         last_err = None
+        def _stage(sig):
+            """Signal -> step input: complex64, or packed wire words with
+            the decode running on device (--input-format cs16/cu8)."""
+            if args.input_format == "cf32":
+                return jnp.asarray(sig, jnp.complex64)
+            from sdr_pmr446_tpu.ops import decode
+            return jnp.asarray(decode.pack_iq(sig, args.input_format))
+
         for k_try, use_pallas in attempts:
             try:
                 chain = ScannerChain(
                     C.BlockConfig(k_try),
                     waterfall=80 if args.config == "waterfall" else 0,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas,
+                    input_format=args.input_format)
                 state = chain.init_state()
                 n = chain.block.input_len
-                iq = jnp.asarray(
-                    synth.make_scanner_iq(n, channel=5, ctcss_code=12),
-                    jnp.complex64)
+                iq = _stage(synth.make_scanner_iq(n, channel=5,
+                                                  ctcss_code=12))
                 params = make_runtime_params(C.ScannerArgs())
                 state, out = chain.step(state, iq, params)   # compile now
                 jax.block_until_ready(out)
@@ -241,9 +254,8 @@ def main() -> int:
             raise last_err
         # every step's args are unique: rotate distinct signal realizations
         # and jitter the (traced) squelch scalar per step — see _measure
-        iqs = [jnp.asarray(
-            synth.make_scanner_iq(n, channel=5, ctcss_code=12, seed=s),
-            jnp.complex64) for s in range(n_rot)]
+        iqs = [_stage(synth.make_scanner_iq(n, channel=5, ctcss_code=12,
+                                            seed=s)) for s in range(n_rot)]
         variants = [
             (iqs[i % n_rot],
              params._replace(squelch_level=jnp.float32(

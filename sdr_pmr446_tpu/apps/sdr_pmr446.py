@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "network SDR; default: synthetic demo signal")
     p.add_argument("--input-format", type=str, default=None,
                    choices=list("cf32 fc32 cs16 sc16 cs8 cu8 rtlsdr".split()))
+    p.add_argument("--device-decode", action="store_true",
+                   help="for cs16/cu8 captures: ship the RAW wire bytes to "
+                        "the device (packed in f32 words) and decode there "
+                        "— 2-4x less host->device traffic; a zero-padded "
+                        "tail block uses bias-center bytes")
     p.add_argument("--output", type=str, default="audio.wav",
                    help="output WAV for the demodulated audio, or 'live' to "
                         "stream through the host audio sink (-b)")
@@ -134,6 +139,17 @@ def main(argv=None) -> int:
     log.info("audio sinks available: %s (using: %s)", ", ".join(avail_apis),
              ns.audio_api if ns.output == "live" else "wav file")
 
+    packed_fmt = None
+    if ns.device_decode:
+        fmt = ns.input_format or (iq_io.detect_format(ns.input)
+                                  if ns.input else "cf32")
+        packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8"}.get(fmt, fmt)
+        if (packed_fmt not in ("cs16", "cu8") or not ns.input
+                or ns.input.startswith("rtl_tcp://") or ns.faithful):
+            logging.error("--device-decode needs a cs16/cu8 capture file "
+                          "(got format %r)", fmt)
+            return 1
+
     live_source = None
     if ns.input and ns.input.startswith("rtl_tcp://"):
         if ns.faithful:
@@ -141,6 +157,24 @@ def main(argv=None) -> int:
                           "input), not usable with rtl_tcp")
             return 1
         iq = None
+    elif packed_fmt:
+        # raw wire bytes -> f32 transport words; decode happens ON DEVICE
+        from sdr_pmr446_tpu.ops import decode
+        import numpy as np
+        dtype = np.int16 if packed_fmt == "cs16" else np.uint8
+        raw = np.fromfile(ns.input, dtype=dtype)
+        raw = raw[: (len(raw) // 2) * 2]
+        n_samp = len(raw) // 2
+        log.info("read %d IQ samples (%.2f s) from %s (device decode: %s)",
+                 n_samp, n_samp / C.SDR_SAMPLERATE, ns.input, packed_fmt)
+        # pad the raw bytes to whole blocks with the format's bias-center
+        # value (cu8 zeros would decode to -1-1j, not silence)
+        blk_elems = 2 * ns.subchunks_per_step * C.SUBCHUNK_IN
+        if len(raw) % blk_elems:
+            pad = blk_elems - len(raw) % blk_elems
+            fill = 0 if packed_fmt == "cs16" else 128
+            raw = np.concatenate([raw, np.full(pad, fill, dtype)])
+        iq = decode.pack_bytes(raw, packed_fmt)
     elif ns.input:
         iq = iq_io.read_iq(ns.input, ns.input_format)
         log.info("read %d IQ samples (%.2f s) from %s", len(iq),
@@ -189,7 +223,8 @@ def main(argv=None) -> int:
 
     driver = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step,
                            checkpoint_path=ns.checkpoint,
-                           checkpoint_every=ns.checkpoint_every)
+                           checkpoint_every=ns.checkpoint_every,
+                           input_format=packed_fmt or "cf32")
     if ns.resume:
         if not ns.checkpoint:
             logging.error("--resume needs --checkpoint")
@@ -229,7 +264,7 @@ def main(argv=None) -> int:
                  C.SDR_FREQUENCY / 1e6, ns.seconds)
         blocks = live_source.blocks()
     else:
-        blocks = iq_io.block_stream(iq, driver.block_len)
+        blocks = iq_io.block_stream(iq, driver.feed_len)
 
     try:
         result = driver.run(blocks)

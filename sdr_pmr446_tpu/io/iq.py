@@ -41,7 +41,11 @@ def read_iq(path: str, fmt: str | None = None,
                       count=-1 if count is None else 2 * count)
     raw = raw[: (len(raw) // 2) * 2]
     if dtype == np.uint8:
-        x = (raw.astype(np.float32) - 127.5) / 127.5
+        # multiply by the f32 reciprocal (not divide): the exact arithmetic
+        # the native converter (native/sdrio.cpp) and the on-device decoder
+        # (ops/decode.py) use, and the one formulation XLA never rewrites —
+        # keeps host read == device decode bit-for-bit
+        x = (raw.astype(np.float32) - 127.5) * np.float32(1.0 / 127.5)
     elif scale is not None:
         x = raw.astype(np.float32) / scale
     else:

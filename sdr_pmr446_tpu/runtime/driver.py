@@ -43,12 +43,16 @@ class ScannerDriver:
                  on_subchunk: Optional[Callable] = None,
                  metrics_path: Optional[str] = None,
                  checkpoint_path: Optional[str] = None,
-                 checkpoint_every: int = 0):
+                 checkpoint_every: int = 0,
+                 input_format: str = "cf32"):
         self.args = args or C.ScannerArgs()
+        # input_format "cs16"/"cu8": run() consumes blocks of RAW wire
+        # bytes packed as f32 words (ops/decode.py) and the chain decodes
+        # on device — 2-4x less host->device traffic than cf32
         self.chain = ScannerChain(
             C.BlockConfig(subchunks_per_step),
             lowpass=self.args.lowpass, fir_deemph=self.args.fir_deemph,
-            waterfall=self.args.waterfall)
+            waterfall=self.args.waterfall, input_format=input_format)
         self.params = make_runtime_params(self.args)
         self.state = self.chain.init_state()
         self.block_index = 0
@@ -81,7 +85,14 @@ class ScannerDriver:
 
     @property
     def block_len(self) -> int:
+        """Complex samples per block (time accounting)."""
         return self.chain.block.input_len
+
+    @property
+    def feed_len(self) -> int:
+        """Array length run() expects per block: complex samples for cf32,
+        packed f32 transport words for cs16/cu8."""
+        return self.chain.step_arg_len
 
     def run(self, blocks: Iterable[np.ndarray]) -> ScanResult:
         audio, audio_sub = [], []
@@ -97,11 +108,13 @@ class ScannerDriver:
         # same driver must consume their iterators from the start
         skip = self._resume_skip
         self._resume_skip = 0
+        feed_dtype = (jnp.complex64 if self.chain.input_format == "cf32"
+                      else jnp.float32)
         for i, blk in enumerate(blocks):
             if i < skip:
                 continue
             self.state, out = self.chain.step(
-                self.state, jnp.asarray(blk, jnp.complex64), self.params)
+                self.state, jnp.asarray(blk, feed_dtype), self.params)
             if pending is not None:
                 self._drain(pending, audio, audio_sub, active, rssi, rel,
                             events, wf_rows)

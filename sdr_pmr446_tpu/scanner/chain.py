@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.taps import design as D
 from sdr_pmr446_tpu.ops import fir, iir, fm, rssi as rssi_op, spectrogram
+from sdr_pmr446_tpu.ops import decode as decode_op
 from sdr_pmr446_tpu.ops.resample import PolyResampler
 from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
 from sdr_pmr446_tpu.runtime.state import ScannerState, init_scanner_state
@@ -84,11 +85,22 @@ class ScannerChain:
                  lowpass: bool = False, fir_deemph: bool = False,
                  waterfall: int = 0, use_pallas: bool = False,
                  pallas_interpret: bool = False,
-                 pallas_tiles: tuple = (1024, 1024, 256)):
+                 pallas_tiles: tuple = (1024, 1024, 256),
+                 input_format: str = "cf32"):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
         # remote compiler, smaller ones add grid-step overhead
         self.block = block or C.BlockConfig()
+        # "cf32": step takes complex64 [input_len].  "cs16"/"cu8": step
+        # takes the capture's RAW wire bytes packed as f32 transport words
+        # ([input_len] / [input_len/2], ops/decode.py) and decodes on
+        # device — 2-4x less host->device + input-read traffic than
+        # converting on the host like the reference's CF32 stream setup
+        # (src/shared.c:54) forces.
+        self.input_format = input_format
+        if input_format != "cf32" and \
+                input_format not in decode_op.PACKED_FORMATS:
+            raise ValueError(f"unsupported input_format: {input_format!r}")
         self.lowpass = lowpass
         self.fir_deemph = fir_deemph
         self.waterfall = waterfall
@@ -129,9 +141,23 @@ class ScannerChain:
                                                   if self.use_pallas
                                                   else 4 * 128))
 
+    @property
+    def input_len(self) -> int:
+        """Complex samples consumed per step."""
+        return self.block.input_len
+
+    @property
+    def step_arg_len(self) -> int:
+        """Length of the array actually passed to step(): complex64
+        samples for cf32, packed f32 transport words otherwise."""
+        if self.input_format == "cf32":
+            return self.block.input_len
+        return decode_op.packed_len(self.block.input_len, self.input_format)
+
     def step(self, state: ScannerState, iq: jax.Array,
              params: RuntimeParams):
-        """One jitted block step; iq is [input_len] complex64."""
+        """One jitted block step; iq is [input_len] complex64 (cf32) or
+        [step_arg_len] packed f32 wire words (cs16/cu8)."""
         return self._step(state, iq, params)
 
     # ------------------------------------------------------------------
@@ -145,8 +171,12 @@ class ScannerChain:
             # ONCE, and every block-sized array between the DC blocker and
             # the audio bank stays in plane/real form — zero complex
             # materialization, zero XLA glue between kernels (VERDICT r1 #1).
-            xr = jnp.real(iq)
-            xi = jnp.imag(iq)
+            if self.input_format == "cf32":
+                xr = jnp.real(iq)
+                xi = jnp.imag(iq)
+            else:
+                # packed wire bytes -> planes directly (never complex)
+                xr, xi = decode_op.decode_planes(iq, self.input_format)
 
             # 1. IQ DC blocker: identical one-pole arithmetic on stacked
             # planes (complex z with real pole == two independent real scans)
@@ -186,6 +216,8 @@ class ScannerChain:
             if self.waterfall > 0:
                 band = jax.lax.complex(br.reshape(-1), bi.reshape(-1))
         else:
+            if self.input_format != "cf32":
+                iq = decode_op.decode_complex(iq, self.input_format)
             # 1. IQ DC blocker (exact one-pole, src/sdr_pmr446.c:422,795)
             (dc_x, dc_y), x = iir.dc_blocker_apply(
                 (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA)

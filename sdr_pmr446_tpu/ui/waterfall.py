@@ -13,8 +13,10 @@ import numpy as np
 
 from sdr_pmr446_tpu import config as C
 
-# liquid asgram's intensity ramp
-CHARSET = " ..,,-+++ooxxXX##"
+# liquid asgram's default 10-level display charset (asgramcf_create installs
+# " .,-+*&NM#" via asgram_set_display; the reference never overrides it) with
+# floor quantization of (psd - ref) / div clamped into [0, 9]
+CHARSET = " .,-+*&NM#"
 DB_REF = -40.0
 DB_DIV = 2.0
 FOOTER_TAIL_LEN = 64

@@ -309,3 +309,24 @@ def test_scan_batch_app(tmp_path):
         evs = open(os.path.join(outd, f"cap{s}.events.log")).read()
         assert f"Tuned to channel {ch}" in evs
         assert f"Acquired CTCSS code: {code}" in evs
+
+
+def test_scanner_app_device_decode_matches_host_decode(tmp_path):
+    """--device-decode on a cs16 capture produces the exact same WAV as the
+    host-converted run (decode parity end-to-end through the app)."""
+    from sdr_pmr446_tpu.apps import sdr_pmr446 as app
+    iqp = str(tmp_path / "cap.cs16")
+    iq_io.write_iq(iqp, _demo_iq(seconds=1.5), "cs16")
+    out_host = str(tmp_path / "host.wav")
+    out_dev = str(tmp_path / "dev.wav")
+    base = ["--input", iqp, "--subchunks-per-step", "5", "-p", "max"]
+    assert app.main(base + ["--output", out_host]) == 0
+    assert app.main(base + ["--output", out_dev, "--device-decode"]) == 0
+    a_host, _ = wav.read_wav(out_host)
+    a_dev, _ = wav.read_wav(out_dev)
+    np.testing.assert_array_equal(a_host, a_dev)
+    # cf32 input rejects the flag cleanly
+    iqp32 = str(tmp_path / "cap.cf32")
+    iq_io.write_iq(iqp32, _demo_iq(seconds=0.5))
+    assert app.main(["--input", iqp32, "--device-decode",
+                     "--output", str(tmp_path / "x.wav")]) == 1

@@ -199,3 +199,43 @@ class TestFm:
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-3)
         # demod recovers the message (skip first sample: zero-prev transient)
         np.testing.assert_allclose(got[1:], msg[1:], rtol=0, atol=1e-2)
+
+
+class TestDecode:
+    """On-device wire-format decode == host io/iq.py converters, bit-exact."""
+
+    @pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+    def test_decode_matches_host_reader(self, fmt, tmp_path):
+        from sdr_pmr446_tpu.ops import decode
+        from sdr_pmr446_tpu.io import iq as iq_io
+        rng = np.random.default_rng(3)
+        n = 4096
+        if fmt == "cs16":
+            raw = rng.integers(-32768, 32768, 2 * n).astype(np.int16)
+        else:
+            raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
+        path = str(tmp_path / f"cap.{fmt}")
+        raw.tofile(path)
+        want = iq_io.read_iq(path)
+        packed = decode.pack_bytes(raw, fmt)
+        assert packed.dtype == np.float32
+        xr, xi = decode.decode_planes(jnp.asarray(packed), fmt)
+        np.testing.assert_array_equal(np.asarray(xr), want.real)
+        np.testing.assert_array_equal(np.asarray(xi), want.imag)
+        z = decode.decode_complex(jnp.asarray(packed), fmt)
+        np.testing.assert_array_equal(np.asarray(z), want)
+
+    @pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+    def test_pack_iq_roundtrip(self, fmt):
+        from sdr_pmr446_tpu.ops import decode
+        rng = np.random.default_rng(4)
+        iq = (0.7 * (rng.standard_normal(1024) + 1j *
+                     rng.standard_normal(1024))).astype(np.complex64)
+        packed = decode.pack_iq(np.clip(iq.real, -0.99, 0.99) +
+                                1j * np.clip(iq.imag, -0.99, 0.99), fmt)
+        z = np.asarray(decode.decode_complex(jnp.asarray(packed), fmt))
+        tol = 1.0 / 32768.0 if fmt == "cs16" else 1.0 / 127.5
+        np.testing.assert_allclose(z.real, np.clip(iq.real, -0.99, 0.99),
+                                   atol=tol)
+        np.testing.assert_allclose(z.imag, np.clip(iq.imag, -0.99, 0.99),
+                                   atol=tol)

@@ -247,3 +247,37 @@ def test_step_size_invariance():
     np.testing.assert_allclose(o5["rssi_db"], o10["rssi_db"],
                                rtol=0, atol=2e-3)
     np.testing.assert_allclose(o5["audio"], o10["audio"], rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_packed_input_chain_equals_cf32(fmt, engine):
+    """Chain fed RAW wire bytes (decoded on device, ops/decode.py) is
+    bit-identical to the cf32 chain fed the host-converted samples."""
+    from sdr_pmr446_tpu.ops import decode
+    k = 3
+    n = 2 * C.BlockConfig(k).input_len
+    iq = synth.make_scanner_iq(n, channel=5, ctcss_code=12)
+    packed = decode.pack_iq(iq, fmt)                 # quantized wire bytes
+    xr, xi = decode.decode_planes(jnp.asarray(packed), fmt)
+    host_iq = (np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64)
+
+    kw = dict(use_pallas=(engine == "pallas"), pallas_interpret=True)
+    params = make_runtime_params(C.ScannerArgs())
+
+    ref_chain = ScannerChain(C.BlockConfig(k), **kw)
+    pkd_chain = ScannerChain(C.BlockConfig(k), input_format=fmt, **kw)
+    assert pkd_chain.step_arg_len == n // 2 // decode.PACKED_FORMATS[fmt]
+    st_r, st_p = ref_chain.init_state(), pkd_chain.init_state()
+    wlen = pkd_chain.step_arg_len
+    for i in range(2):
+        st_r, o_r = ref_chain.step(
+            st_r, jnp.asarray(host_iq[i * ref_chain.input_len:
+                                      (i + 1) * ref_chain.input_len]),
+            params)
+        st_p, o_p = pkd_chain.step(
+            st_p, jnp.asarray(packed[i * wlen:(i + 1) * wlen]), params)
+        for f in o_r._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(o_r, f)), np.asarray(getattr(o_p, f)),
+                err_msg=f"{fmt}/{engine} field {f} step {i}")
