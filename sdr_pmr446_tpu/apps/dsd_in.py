@@ -32,20 +32,48 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default="-",
                    help="output path for 48 kHz s16le audio ('-' = stdout)")
     p.add_argument("--subchunks-per-step", type=int, default=10)
+    p.add_argument("--device-decode", action="store_true",
+                   help="for cs16/cu8 captures: ship the raw wire bytes to "
+                        "the device and decode there (2-4x less "
+                        "host->device traffic)")
     return p
 
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     ns = build_parser().parse_args(argv)
-    iq = iq_io.read_iq(ns.input, ns.input_format)
-    chain = DsdInChain(subchunks_per_step=ns.subchunks_per_step)
+    packed_fmt = None
+    if ns.device_decode:
+        fmt = ns.input_format or iq_io.detect_format(ns.input)
+        packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8"}.get(fmt, fmt)
+        if packed_fmt not in ("cs16", "cu8"):
+            logging.error("--device-decode needs a cs16/cu8 capture "
+                          "(got format %r)", fmt)
+            return 1
+    chain = DsdInChain(subchunks_per_step=ns.subchunks_per_step,
+                       input_format=packed_fmt or "cf32")
+    if packed_fmt:
+        from sdr_pmr446_tpu.ops import decode
+        dtype = np.int16 if packed_fmt == "cs16" else np.uint8
+        raw = np.fromfile(ns.input, dtype=dtype)
+        raw = raw[: (len(raw) // 2) * 2]
+        blk_elems = 2 * chain.input_len
+        if len(raw) % blk_elems:
+            pad = blk_elems - len(raw) % blk_elems
+            raw = np.concatenate(
+                [raw, np.full(pad, 0 if packed_fmt == "cs16" else 128,
+                              dtype)])
+        iq = decode.pack_bytes(raw, packed_fmt)
+        feed_dtype = jnp.float32
+    else:
+        iq = iq_io.read_iq(ns.input, ns.input_format)
+        feed_dtype = jnp.complex64
     state = chain.init_state()
     out = (sys.stdout.buffer if ns.output == "-"
            else open(ns.output, "wb"))
     try:
-        for blk in iq_io.block_stream(iq, chain.input_len):
-            state, o = chain.step(state, jnp.asarray(blk, jnp.complex64))
+        for blk in iq_io.block_stream(iq, chain.step_arg_len):
+            state, o = chain.step(state, jnp.asarray(blk, feed_dtype))
             out.write(np.asarray(o.pcm).astype("<i2").tobytes())
             out.flush()
     finally:

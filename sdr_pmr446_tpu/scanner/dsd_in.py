@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.taps import design as D
 from sdr_pmr446_tpu.ops import iir, fm
+from sdr_pmr446_tpu.ops import decode as decode_op
 from sdr_pmr446_tpu.ops.resample import PolyResampler
 
 DSD_AUDIO_RATE = 48_000
@@ -68,14 +69,27 @@ class DsdOutputs(NamedTuple):
 class DsdInChain:
     """Jittable block step: (state, iq[T]) -> (state', s16 pcm [T*3/64])."""
 
-    def __init__(self, subchunks_per_step: int = 10):
+    def __init__(self, subchunks_per_step: int = 10,
+                 input_format: str = "cf32"):
         self.input_len = subchunks_per_step * C.SUBCHUNK_IN
         assert self.input_len % C.INPUT_GRANULE == 0
+        # "cs16"/"cu8": step takes raw wire bytes packed as f32 words and
+        # decodes on device (ops/decode.py) — same contract as ScannerChain
+        self.input_format = input_format
+        if input_format != "cf32" and \
+                input_format not in decode_op.PACKED_FORMATS:
+            raise ValueError(f"unsupported input_format: {input_format!r}")
         self.res1 = PolyResampler(D.resampler_taps(), C.RESAMP_L, C.RESAMP_M)
         self.res2 = PolyResampler(np.asarray(stage2_taps()), 1, 16)
         self.up = PolyResampler(np.asarray(up_taps()), 96, 25)
         self.output_len = self.input_len * 3 // 64
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    @property
+    def step_arg_len(self) -> int:
+        if self.input_format == "cf32":
+            return self.input_len
+        return decode_op.packed_len(self.input_len, self.input_format)
 
     def init_state(self) -> DsdState:
         return DsdState(
@@ -91,6 +105,8 @@ class DsdInChain:
         return self._step(state, iq)
 
     def _step_impl(self, state: DsdState, iq: jax.Array):
+        if self.input_format != "cf32":
+            iq = decode_op.decode_complex(iq, self.input_format)
         (dc_x, dc_y), x = iir.dc_blocker_apply(
             (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA)
         r1, band = self.res1.apply(state.res1_hist, x)       # 200 kHz

@@ -97,3 +97,23 @@ def test_streaming_equals_single_shot():
     # block-size invariance: same samples regardless of chunking (s16 lsb tol)
     assert streamed.shape == single.shape
     assert np.mean(np.abs(streamed.astype(int) - single.astype(int)) <= 1) > 0.999
+
+
+def test_dsd_app_device_decode_matches_host(tmp_path):
+    """dsd_in --device-decode on a cs16 capture == host-converted run."""
+    from sdr_pmr446_tpu.apps import dsd_in as app
+    from sdr_pmr446_tpu.io import iq as iq_io
+    n = 10 * C.SUBCHUNK_IN
+    t = np.arange(n) / C.SDR_SAMPLERATE
+    msg = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    iq = 0.8 * np.exp(1j * 2 * np.pi *
+                      (2000 * np.cumsum(msg) + 2500 * np.arange(n))
+                      / C.SDR_SAMPLERATE)
+    iqp = str(tmp_path / "cap.cs16")
+    iq_io.write_iq(iqp, iq, "cs16")
+    o1, o2 = str(tmp_path / "h.raw"), str(tmp_path / "d.raw")
+    base = ["--input", iqp, "--subchunks-per-step", "5"]
+    assert app.main(base + ["--output", o1]) == 0
+    assert app.main(base + ["--output", o2, "--device-decode"]) == 0
+    np.testing.assert_array_equal(np.fromfile(o1, dtype="<i2"),
+                                  np.fromfile(o2, dtype="<i2"))
