@@ -48,7 +48,40 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh shape S,T (default: all devices as streams)")
     p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
     p.add_argument("--subchunks-per-step", type=int, default=10)
+    p.add_argument("--device-decode", action="store_true",
+                   help="all captures cs16 or all cu8: ship raw wire bytes "
+                        "to the mesh and decode per time-shard on device "
+                        "(2-4x less host->device traffic)")
     return p
+
+
+class _RawBatchReader:
+    """[S, words] packed-f32 block reader over same-format raw captures."""
+
+    def __init__(self, paths, fmt):
+        self.fmt = fmt
+        self.dtype = np.int16 if fmt == "cs16" else np.uint8
+        self.fill = 0 if fmt == "cs16" else 128
+        self.files = [open(p, "rb") for p in paths]
+
+    def read_block(self, block_len):
+        """block_len complex samples per stream; returns ([S, words], got)
+        with short tails padded by the format's bias-center value."""
+        from sdr_pmr446_tpu.ops import decode
+        elems = 2 * block_len
+        rows, got = [], 0
+        for f in self.files:
+            raw = np.fromfile(f, dtype=self.dtype, count=elems)
+            got = max(got, len(raw) // 2)
+            if len(raw) < elems:
+                raw = np.concatenate(
+                    [raw, np.full(elems - len(raw), self.fill, self.dtype)])
+            rows.append(decode.pack_bytes(raw, self.fmt))
+        return np.stack(rows), got
+
+    def close(self):
+        for f in self.files:
+            f.close()
 
 
 def main(argv=None) -> int:
@@ -93,15 +126,32 @@ def main(argv=None) -> int:
         logging.error("%d captures do not divide across %d stream shards",
                       n_streams, s_axis)
         return 1
+    if ns.subchunks_per_step % t_axis != 0:
+        logging.error("--subchunks-per-step %d does not divide across %d "
+                      "time shards", ns.subchunks_per_step, t_axis)
+        return 1
     os.makedirs(ns.out_dir, exist_ok=True)
 
     args = C.ScannerArgs(
         audio_gain=ns.audio_gain, squelch_level=ns.squelch,
         lowpass=ns.lowpass, channel_mask=mask, lock_mode=ns.lock_mode)
+    fmts = [ns.format or os.path.splitext(pth)[1].lstrip(".") or "cf32"
+            for pth in paths]
+    fmts = [f if f in ("cf32", "cs16", "cu8", "cs8") else "cf32"
+            for f in fmts]
+    packed_fmt = None
+    if ns.device_decode:
+        if len(set(fmts)) != 1 or fmts[0] not in ("cs16", "cu8"):
+            logging.error("--device-decode needs all captures in ONE of "
+                          "cs16/cu8 (got: %s)", ", ".join(sorted(set(fmts))))
+            return 1
+        packed_fmt = fmts[0]
+
     mesh = make_mesh(s_axis, t_axis)
     chain = ShardedScannerChain(
         mesh, C.BlockConfig(ns.subchunks_per_step), lowpass=ns.lowpass,
         use_pallas=ns.engine == "pallas",
+        input_format=packed_fmt or "cf32",
         # Mosaic only lowers on real TPUs; elsewhere (CPU dev hosts) the
         # kernels run under the Pallas interpreter, like the halo_dma path
         pallas_interpret=jax.default_backend() != "tpu")
@@ -112,19 +162,20 @@ def main(argv=None) -> int:
     log.info("scanning %d captures on a (%d stream x %d time) mesh, "
              "%s engine", n_streams, s_axis, t_axis, ns.engine)
 
-    fmts = [ns.format or os.path.splitext(pth)[1].lstrip(".") or "cf32"
-            for pth in paths]
-    fmts = [f if f in ("cf32", "cs16", "cu8", "cs8") else "cf32"
-            for f in fmts]
-    reader = native.BatchReader(paths, fmts)
+    if packed_fmt:
+        reader = _RawBatchReader(paths, packed_fmt)
+        feed_dtype = jnp.float32
+    else:
+        reader = native.BatchReader(paths, fmts)
+        feed_dtype = jnp.complex64
     audio = [[] for _ in range(n_streams)]
     events = [[] for _ in range(n_streams)]
     subchunk = 0
     while True:
-        blk, got = reader.read_block(block_len)     # [S, block] c64
+        blk, got = reader.read_block(block_len)     # [S, block|words]
         if got == 0:
             break
-        state, out = chain.step(state, jnp.asarray(blk, jnp.complex64),
+        state, out = chain.step(state, jnp.asarray(blk, feed_dtype),
                                 params)
         host = dict(zip(out._fields, fetch(list(out))))
         for s in range(n_streams):

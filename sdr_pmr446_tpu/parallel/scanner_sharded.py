@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.taps import design as D
 from sdr_pmr446_tpu.ops import fir, fm, rssi as rssi_op, spectrogram
+from sdr_pmr446_tpu.ops import decode as decode_op
 from sdr_pmr446_tpu.ops.resample import PolyResampler
 from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
 from sdr_pmr446_tpu.runtime.state import ScannerState, init_scanner_state
@@ -45,9 +46,19 @@ class ShardedScannerChain:
     def __init__(self, mesh: Mesh, block: C.BlockConfig | None = None,
                  lowpass: bool = False, fir_deemph: bool = False,
                  waterfall: int = 0, halo_dma: bool = False,
-                 use_pallas: bool = False, pallas_interpret: bool = False):
+                 use_pallas: bool = False, pallas_interpret: bool = False,
+                 input_format: str = "cf32"):
         self.mesh = mesh
         self.block = block or C.BlockConfig()
+        # "cs16"/"cu8": step takes [S, words] raw wire bytes packed as f32
+        # transport words, decoded per time-shard on device (ops/decode.py).
+        # Word shards decode to contiguous sample shards (1 or 2 samples
+        # per word, and local word counts are even), so halo semantics are
+        # unchanged.
+        self.input_format = input_format
+        if input_format != "cf32" and \
+                input_format not in decode_op.PACKED_FORMATS:
+            raise ValueError(f"unsupported input_format: {input_format!r}")
         self.lowpass = lowpass
         self.waterfall = waterfall
         spectrogram.validate_width(waterfall)
@@ -125,9 +136,18 @@ class ShardedScannerChain:
         return jax.tree.map(
             lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape), base)
 
+    @property
+    def step_arg_len(self) -> int:
+        """Per-stream length of step()'s iq argument: complex samples for
+        cf32, packed f32 transport words for cs16/cu8."""
+        if self.input_format == "cf32":
+            return self.block.input_len
+        return decode_op.packed_len(self.block.input_len, self.input_format)
+
     def step(self, state: ScannerState, iq: jax.Array,
              params: RuntimeParams):
-        """iq: [n_streams, input_len] complex64."""
+        """iq: [n_streams, input_len] complex64 (cf32) or
+        [n_streams, step_arg_len] packed f32 wire words (cs16/cu8)."""
         return self._step(state, iq, params)
 
     # ------------------------------------------------------------------
@@ -145,6 +165,11 @@ class ShardedScannerChain:
         K = self.block.subchunks_per_step
         K_local = K // ntime
         ns = C.SUBCHUNK_AUDIO
+
+        # 0. packed wire bytes -> complex64, decoded on this time-shard's
+        # local words (contiguous samples, so the halos below are unchanged)
+        if self.input_format != "cf32":
+            iq = decode_op.decode_complex(iq, self.input_format)
 
         # 1. IQ DC blocker: exact cross-shard one-pole
         (dc_x, dc_y), x = halo.shard_dc_blocker(

@@ -330,3 +330,33 @@ def test_scanner_app_device_decode_matches_host_decode(tmp_path):
     iq_io.write_iq(iqp32, _demo_iq(seconds=0.5))
     assert app.main(["--input", iqp32, "--device-decode",
                      "--output", str(tmp_path / "x.wav")]) == 1
+
+
+def test_scan_batch_app_device_decode(tmp_path):
+    """scan_batch --device-decode (raw bytes -> per-shard device decode)
+    produces the exact same per-capture WAVs as the host-converted run."""
+    from sdr_pmr446_tpu.apps import scan_batch
+
+    caps = []
+    for s, (ch, code) in enumerate([(5, 12), (9, 20)]):
+        iq = 0.8 * synth.make_scanner_iq(10 * C.SUBCHUNK_IN, channel=ch,
+                                         ctcss_code=code, seed=s)
+        pth = str(tmp_path / f"cap{s}.cs16")
+        iq_io.write_iq(pth, iq, "cs16")
+        caps.append(pth)
+
+    d_host = str(tmp_path / "host")
+    d_dev = str(tmp_path / "dev")
+    base = caps + ["--mesh", "2,4", "--subchunks-per-step", "8"]
+    assert scan_batch.main(base + ["--out-dir", d_host]) == 0
+    assert scan_batch.main(base + ["--out-dir", d_dev,
+                                   "--device-decode"]) == 0
+    for s in range(2):
+        a, _ = wav.read_wav(os.path.join(d_host, f"cap{s}.wav"))
+        b, _ = wav.read_wav(os.path.join(d_dev, f"cap{s}.wav"))
+        np.testing.assert_array_equal(a, b)
+    # mixed/cf32 inputs reject the flag cleanly
+    iqp32 = str(tmp_path / "c.cf32")
+    iq_io.write_iq(iqp32, _demo_iq(seconds=0.5))
+    assert scan_batch.main([iqp32, "--device-decode",
+                            "--out-dir", d_dev]) == 1

@@ -389,3 +389,36 @@ def test_sharded_waterfall_equals_unsharded():
             params)
         np.testing.assert_allclose(np.asarray(out.waterfall)[0], refs[i],
                                    rtol=0, atol=1e-2)
+
+
+@pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+def test_sharded_packed_input_equals_cf32(fmt):
+    """Sharded chain fed packed wire words (decoded per time-shard on
+    device) == sharded chain fed the host-decoded complex64 — bit-exact,
+    proving word shards decode to the right contiguous sample shards."""
+    from sdr_pmr446_tpu.ops import decode
+    subchunks = 8
+    step_len = subchunks * C.SUBCHUNK_IN
+    sig = synth.make_scanner_iq(2 * step_len, channel=5, ctcss_code=12)
+    packed = decode.pack_iq(sig, fmt)
+    xr, xi = decode.decode_planes(jnp.asarray(packed), fmt)
+    host_iq = (np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64)
+
+    mesh = make_mesh(1, 4)
+    params = make_runtime_params(C.ScannerArgs())
+    ref = ShardedScannerChain(mesh, C.BlockConfig(subchunks))
+    pkd = ShardedScannerChain(mesh, C.BlockConfig(subchunks),
+                              input_format=fmt)
+    wlen = pkd.step_arg_len
+    st_r, st_p = ref.init_state(1), pkd.init_state(1)
+    for i in range(2):
+        st_r, o_r = ref.step(
+            st_r, jnp.asarray(host_iq[None, i * step_len:(i + 1) * step_len],
+                              jnp.complex64), params)
+        st_p, o_p = pkd.step(
+            st_p, jnp.asarray(packed[None, i * wlen:(i + 1) * wlen]),
+            params)
+        for f in o_r._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(o_r, f)), np.asarray(getattr(o_p, f)),
+                err_msg=f"{fmt} field {f} step {i}")
