@@ -172,7 +172,7 @@ def main() -> int:
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--secs", type=float, default=20.0)
     p.add_argument("--input-format", default="cf32",
-                   choices=["cf32", "cs16", "cu8"],
+                   choices=["cf32", "cs16", "cu8", "cs8"],
                    help="scanner configs: feed complex64 (cf32) or RAW "
                         "wire bytes packed as f32 words, decoded on device "
                         "(ops/decode.py) — 2-4x less input HBM traffic")

@@ -44,25 +44,26 @@ def main(argv=None) -> int:
     ns = build_parser().parse_args(argv)
     packed_fmt = None
     if ns.device_decode:
+        from sdr_pmr446_tpu.ops import decode
         fmt = ns.input_format or iq_io.detect_format(ns.input)
         packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8"}.get(fmt, fmt)
-        if packed_fmt not in ("cs16", "cu8"):
-            logging.error("--device-decode needs a cs16/cu8 capture "
-                          "(got format %r)", fmt)
+        if packed_fmt not in decode.PACKED_FORMATS:
+            logging.error("--device-decode needs a %s capture "
+                          "(got format %r)",
+                          "/".join(decode.PACKED_FORMATS), fmt)
             return 1
     chain = DsdInChain(subchunks_per_step=ns.subchunks_per_step,
                        input_format=packed_fmt or "cf32")
     if packed_fmt:
         from sdr_pmr446_tpu.ops import decode
-        dtype = np.int16 if packed_fmt == "cs16" else np.uint8
+        dtype = decode.WIRE_DTYPE[packed_fmt]
         raw = np.fromfile(ns.input, dtype=dtype)
         raw = raw[: (len(raw) // 2) * 2]
         blk_elems = 2 * chain.input_len
         if len(raw) % blk_elems:
             pad = blk_elems - len(raw) % blk_elems
             raw = np.concatenate(
-                [raw, np.full(pad, 0 if packed_fmt == "cs16" else 128,
-                              dtype)])
+                [raw, np.full(pad, decode.WIRE_FILL[packed_fmt], dtype)])
         iq = decode.pack_bytes(raw, packed_fmt)
         feed_dtype = jnp.float32
     else:

@@ -49,9 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
     p.add_argument("--subchunks-per-step", type=int, default=10)
     p.add_argument("--device-decode", action="store_true",
-                   help="all captures cs16 or all cu8: ship raw wire bytes "
-                        "to the mesh and decode per time-shard on device "
-                        "(2-4x less host->device traffic)")
+                   help="all captures in ONE of cs16/cu8/cs8: ship raw wire "
+                        "bytes to the mesh and decode per time-shard on "
+                        "device (2-4x less host->device traffic)")
     return p
 
 
@@ -59,9 +59,10 @@ class _RawBatchReader:
     """[S, words] packed-f32 block reader over same-format raw captures."""
 
     def __init__(self, paths, fmt):
+        from sdr_pmr446_tpu.ops import decode
         self.fmt = fmt
-        self.dtype = np.int16 if fmt == "cs16" else np.uint8
-        self.fill = 0 if fmt == "cs16" else 128
+        self.dtype = decode.WIRE_DTYPE[fmt]
+        self.fill = decode.WIRE_FILL[fmt]
         self.files = [open(p, "rb") for p in paths]
 
     def read_block(self, block_len):
@@ -141,9 +142,12 @@ def main(argv=None) -> int:
             for f in fmts]
     packed_fmt = None
     if ns.device_decode:
-        if len(set(fmts)) != 1 or fmts[0] not in ("cs16", "cu8"):
+        from sdr_pmr446_tpu.ops import decode
+        if len(set(fmts)) != 1 or fmts[0] not in decode.PACKED_FORMATS:
             logging.error("--device-decode needs all captures in ONE of "
-                          "cs16/cu8 (got: %s)", ", ".join(sorted(set(fmts))))
+                          "%s (got: %s)",
+                          "/".join(decode.PACKED_FORMATS),
+                          ", ".join(sorted(set(fmts))))
             return 1
         packed_fmt = fmts[0]
 

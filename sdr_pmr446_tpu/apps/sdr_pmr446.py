@@ -141,13 +141,15 @@ def main(argv=None) -> int:
 
     packed_fmt = None
     if ns.device_decode:
+        from sdr_pmr446_tpu.ops import decode
         fmt = ns.input_format or (iq_io.detect_format(ns.input)
                                   if ns.input else "cf32")
         packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8"}.get(fmt, fmt)
-        if (packed_fmt not in ("cs16", "cu8") or not ns.input
+        if (packed_fmt not in decode.PACKED_FORMATS or not ns.input
                 or ns.input.startswith("rtl_tcp://") or ns.faithful):
-            logging.error("--device-decode needs a cs16/cu8 capture file "
-                          "(got format %r)", fmt)
+            logging.error("--device-decode needs a %s capture file "
+                          "(got format %r)",
+                          "/".join(decode.PACKED_FORMATS), fmt)
             return 1
 
     live_source = None
@@ -161,19 +163,19 @@ def main(argv=None) -> int:
         # raw wire bytes -> f32 transport words; decode happens ON DEVICE
         from sdr_pmr446_tpu.ops import decode
         import numpy as np
-        dtype = np.int16 if packed_fmt == "cs16" else np.uint8
+        dtype = decode.WIRE_DTYPE[packed_fmt]
         raw = np.fromfile(ns.input, dtype=dtype)
         raw = raw[: (len(raw) // 2) * 2]
         n_samp = len(raw) // 2
         log.info("read %d IQ samples (%.2f s) from %s (device decode: %s)",
                  n_samp, n_samp / C.SDR_SAMPLERATE, ns.input, packed_fmt)
-        # pad the raw bytes to whole blocks with the format's bias-center
+        # pad the raw bytes to whole blocks with the format's near-zero
         # value (cu8 zeros would decode to -1-1j, not silence)
         blk_elems = 2 * ns.subchunks_per_step * C.SUBCHUNK_IN
         if len(raw) % blk_elems:
             pad = blk_elems - len(raw) % blk_elems
-            fill = 0 if packed_fmt == "cs16" else 128
-            raw = np.concatenate([raw, np.full(pad, fill, dtype)])
+            raw = np.concatenate(
+                [raw, np.full(pad, decode.WIRE_FILL[packed_fmt], dtype)])
         iq = decode.pack_bytes(raw, packed_fmt)
     elif ns.input:
         iq = iq_io.read_iq(ns.input, ns.input_format)

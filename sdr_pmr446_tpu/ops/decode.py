@@ -14,8 +14,8 @@ uint8 bitcasts, so it lowers on every backend (CPU test mesh, Mosaic-era
 TPUs) without relying on sub-word bitcast support.
 
 Scale conventions match io/iq.py exactly: cs16 -> /32768.0,
-cu8 -> (u - 127.5) * (1/127.5), so device decode == host read_iq
-bit-for-bit (test-enforced, including under jit fusion).
+cu8 -> (u - 127.5) * (1/127.5), cs8 -> /128.0, so device decode ==
+host read_iq bit-for-bit (test-enforced, including under jit fusion).
 """
 
 from __future__ import annotations
@@ -24,27 +24,31 @@ import numpy as np
 import jax.numpy as jnp
 
 #: formats decodable on device; values = complex samples per f32 word
-PACKED_FORMATS = {"cs16": 1, "cu8": 2}
+PACKED_FORMATS = {"cs16": 1, "cu8": 2, "cs8": 2}
+
+#: the raw element dtype on the wire for each packed format
+WIRE_DTYPE = {"cs16": np.int16, "cu8": np.uint8, "cs8": np.int8}
+
+#: per-element padding value for short tails: the wire value nearest 0.0
+#: after decode (cu8 is biased — zero BYTES would decode to -1-1j)
+WIRE_FILL = {"cs16": 0, "cu8": 128, "cs8": 0}
 
 
 # ---------------------------------------------------------------- host side
 def pack_bytes(raw: np.ndarray, fmt: str) -> np.ndarray:
     """View a raw interleaved capture array as f32 transport words.
 
-    cs16: int16 [2N] (I,Q interleaved) -> f32 [N]   (1 sample / word)
-    cu8:  uint8 [2N] (I,Q interleaved) -> f32 [N/2] (2 samples / word)
+    cs16:    int16 [2N] (I,Q interleaved) -> f32 [N]   (1 sample / word)
+    cu8/cs8: u/int8 [2N] (I,Q interleaved) -> f32 [N/2] (2 samples / word)
 
     Zero-copy reinterpretation (little-endian, as written by rtl_sdr and
     SoapySDR); trailing elements that don't fill a word are dropped.
     """
-    if fmt == "cs16":
-        raw = np.ascontiguousarray(raw, dtype=np.int16)
-        raw = raw[: (raw.shape[0] // 2) * 2]
-    elif fmt == "cu8":
-        raw = np.ascontiguousarray(raw, dtype=np.uint8)
-        raw = raw[: (raw.shape[0] // 4) * 4]
-    else:
+    if fmt not in PACKED_FORMATS:
         raise ValueError(f"not a packed format: {fmt!r}")
+    raw = np.ascontiguousarray(raw, dtype=WIRE_DTYPE[fmt])
+    elems_per_word = 4 // raw.itemsize
+    raw = raw[: (raw.shape[0] // elems_per_word) * elems_per_word]
     return raw.view(np.float32)
 
 
@@ -61,6 +65,8 @@ def pack_iq(iq: np.ndarray, fmt: str) -> np.ndarray:
         raw = np.clip(inter * 32768.0, -32768, 32767).astype(np.int16)
     elif fmt == "cu8":
         raw = np.clip(inter * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    elif fmt == "cs8":
+        raw = np.clip(inter * 128.0, -128, 127).astype(np.int8)
     else:
         raise ValueError(f"not a packed format: {fmt!r}")
     return pack_bytes(raw, fmt)
@@ -90,13 +96,19 @@ def decode_planes(packed: jnp.ndarray, fmt: str):
         xr = lo.astype(jnp.float32) * (1.0 / 32768.0)
         xi = hi.astype(jnp.float32) * (1.0 / 32768.0)
         return xr, xi
-    if fmt == "cu8":
+    if fmt in ("cu8", "cs8"):
         # bytes low->high on the wire: i0, q0, i1, q1
         b = [jnp.bitwise_and(jnp.right_shift(w, jnp.uint32(8 * k)),
-                             jnp.uint32(0xFF)).astype(jnp.float32)
+                             jnp.uint32(0xFF)).astype(jnp.int32)
              for k in range(4)]
+        if fmt == "cs8":
+            # sign-extend 8 -> 32
+            b = [jnp.bitwise_xor(v, 0x80) - 0x80 for v in b]
+        b = [v.astype(jnp.float32) for v in b]
         xr = jnp.stack([b[0], b[2]], axis=-1).reshape(-1)
         xi = jnp.stack([b[1], b[3]], axis=-1).reshape(-1)
+        if fmt == "cs8":
+            return xr * (1.0 / 128.0), xi * (1.0 / 128.0)
         # multiply by the f32 reciprocal: jit-stable (XLA rewrites division
         # by a non-power-of-two constant, shifting results 1 ulp) and
         # bit-exact vs io/iq.py + native/sdrio.cpp, which use the same form

@@ -204,7 +204,7 @@ class TestFm:
 class TestDecode:
     """On-device wire-format decode == host io/iq.py converters, bit-exact."""
 
-    @pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+    @pytest.mark.parametrize("fmt", ["cs16", "cu8", "cs8"])
     def test_decode_matches_host_reader(self, fmt, tmp_path):
         from sdr_pmr446_tpu.ops import decode
         from sdr_pmr446_tpu.io import iq as iq_io
@@ -212,6 +212,8 @@ class TestDecode:
         n = 4096
         if fmt == "cs16":
             raw = rng.integers(-32768, 32768, 2 * n).astype(np.int16)
+        elif fmt == "cs8":
+            raw = rng.integers(-128, 128, 2 * n).astype(np.int8)
         else:
             raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
         path = str(tmp_path / f"cap.{fmt}")
@@ -225,7 +227,7 @@ class TestDecode:
         z = decode.decode_complex(jnp.asarray(packed), fmt)
         np.testing.assert_array_equal(np.asarray(z), want)
 
-    @pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+    @pytest.mark.parametrize("fmt", ["cs16", "cu8", "cs8"])
     def test_pack_iq_roundtrip(self, fmt):
         from sdr_pmr446_tpu.ops import decode
         rng = np.random.default_rng(4)
@@ -234,7 +236,8 @@ class TestDecode:
         packed = decode.pack_iq(np.clip(iq.real, -0.99, 0.99) +
                                 1j * np.clip(iq.imag, -0.99, 0.99), fmt)
         z = np.asarray(decode.decode_complex(jnp.asarray(packed), fmt))
-        tol = 1.0 / 32768.0 if fmt == "cs16" else 1.0 / 127.5
+        tol = {"cs16": 1.0 / 32768.0, "cu8": 1.0 / 127.5,
+               "cs8": 1.0 / 128.0}[fmt]
         np.testing.assert_allclose(z.real, np.clip(iq.real, -0.99, 0.99),
                                    atol=tol)
         np.testing.assert_allclose(z.imag, np.clip(iq.imag, -0.99, 0.99),

@@ -391,7 +391,7 @@ def test_sharded_waterfall_equals_unsharded():
                                    rtol=0, atol=1e-2)
 
 
-@pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+@pytest.mark.parametrize("fmt", ["cs16", "cu8", "cs8"])
 def test_sharded_packed_input_equals_cf32(fmt):
     """Sharded chain fed packed wire words (decoded per time-shard on
     device) == sharded chain fed the host-decoded complex64 — bit-exact,

@@ -64,14 +64,18 @@ def run_chain(k, iters, warmup, rot, use_pallas, time_it):
     from sdr_pmr446_tpu.runtime.transfer import fetch
     import numpy as np
 
-    def fetch_csum(arr, tries=4):
+    def fetch_csum(arr, tries=8):
+        # tunnel transfers after chain execution are extremely flaky: a
+        # SUCCESSFUL fetch has been observed to take >2 min, and failures
+        # come back as UNIMPLEMENTED after ~1-3 min.  Retry with backoff —
+        # the checksum is 4 floats, so the only cost is patience.
         last = None
-        for _ in range(tries):
+        for t in range(tries):
             try:
                 return np.asarray(fetch([arr])[0], np.float64)
             except Exception as e:          # tunnel transfers are flaky
                 last = e
-                time.sleep(1.0)
+                time.sleep(min(2.0 ** t, 60.0))
         print(f"checksum fetch failed: {last}", file=sys.stderr)
         return np.full(4, np.nan)
 
