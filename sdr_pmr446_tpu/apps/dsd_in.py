@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default="-",
                    help="output path for 48 kHz s16le audio ('-' = stdout)")
     p.add_argument("--subchunks-per-step", type=int, default=10)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="blocks fused into one device dispatch via lax.scan "
+                        "(amortizes per-dispatch overhead; output within "
+                        "1 int16 LSB of 1)")
     p.add_argument("--device-decode", action="store_true",
                    help="for cs16/cu8 captures: ship the raw wire bytes to "
                         "the device and decode there (2-4x less "
@@ -72,9 +76,22 @@ def main(argv=None) -> int:
     state = chain.init_state()
     out = (sys.stdout.buffer if ns.output == "-"
            else open(ns.output, "wb"))
+    n_fuse = max(1, ns.steps_per_dispatch)
     try:
+        group = []
         for blk in iq_io.block_stream(iq, chain.step_arg_len):
-            state, o = chain.step(state, jnp.asarray(blk, feed_dtype))
+            group.append(jnp.asarray(blk, feed_dtype))
+            if len(group) < n_fuse:
+                continue
+            if len(group) == 1:
+                state, o = chain.step(state, group[0])
+            else:
+                state, o = chain.multi_step(state, jnp.stack(group))
+            group = []
+            out.write(np.asarray(o.pcm).astype("<i2").tobytes())
+            out.flush()
+        for blk in group:               # tail blocks, singly
+            state, o = chain.step(state, blk)
             out.write(np.asarray(o.pcm).astype("<i2").tobytes())
             out.flush()
     finally:

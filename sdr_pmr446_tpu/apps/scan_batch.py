@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh shape S,T (default: all devices as streams)")
     p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
     p.add_argument("--subchunks-per-step", type=int, default=10)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="blocks fused into one device dispatch via lax.scan "
+                        "(amortizes per-dispatch overhead; decisions "
+                        "identical to 1, audio to f32 rounding)")
     p.add_argument("--device-decode", action="store_true",
                    help="all captures in ONE of cs16/cu8/cs8: ship raw wire "
                         "bytes to the mesh and decode per time-shard on "
@@ -162,7 +166,6 @@ def main(argv=None) -> int:
     params = make_runtime_params(args)
     state = chain.init_state(n_streams)
     block_len = chain.block.input_len
-    k = chain.block.subchunks_per_step
     log.info("scanning %d captures on a (%d stream x %d time) mesh, "
              "%s engine", n_streams, s_axis, t_axis, ns.engine)
 
@@ -175,15 +178,26 @@ def main(argv=None) -> int:
     audio = [[] for _ in range(n_streams)]
     events = [[] for _ in range(n_streams)]
     subchunk = 0
-    while True:
+    n_fuse = max(1, ns.steps_per_dispatch)
+    group = []                # blocks awaiting one fused dispatch
+    eof = False
+    while not eof:
         blk, got = reader.read_block(block_len)     # [S, block|words]
         if got == 0:
-            break
-        state, out = chain.step(state, jnp.asarray(blk, feed_dtype),
-                                params)
+            eof = True
+        else:
+            eof = got < block_len
+            group.append(jnp.asarray(blk, feed_dtype))
+        if not group or (len(group) < n_fuse and not eof):
+            continue
+        if len(group) == 1:
+            state, out = chain.step(state, group[0], params)
+        else:
+            state, out = chain.multi_step(state, jnp.stack(group), params)
+        group = []
         host = dict(zip(out._fields, fetch(list(out))))
         for s in range(n_streams):
-            for i in range(k):
+            for i in range(host["active_chan"].shape[1]):
                 if host["audio_valid"][s][i]:
                     audio[s].append(host["audio"][s][i])
                 if host["ev_tuned"][s][i]:
@@ -200,9 +214,7 @@ def main(argv=None) -> int:
                         f"subchunk {subchunk + i}: Acquired CTCSS code: "
                         f"{host['ct_max_idx'][s][i] + 1} (frequency: "
                         f"{host['ct_freq'][s][i]:3.2f}Hz)")
-        subchunk += k
-        if got < block_len:
-            break
+        subchunk += host["active_chan"].shape[1]
     reader.close()
 
     for s, pth in enumerate(paths):

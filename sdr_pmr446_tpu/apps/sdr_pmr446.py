@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seconds", type=float, default=5.0,
                    help="synthetic source duration")
     p.add_argument("--subchunks-per-step", type=int, default=10)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="blocks fused into one device dispatch via lax.scan "
+                        "(amortizes per-dispatch overhead in streaming runs; "
+                        "decisions identical to 1, audio to f32 rounding)")
     p.add_argument("--fir-deemph", action="store_true",
                    help="use the FIR de-emphasis variant (APP_FIR_DEEMPH)")
     p.add_argument("--faithful", action="store_true",
@@ -226,7 +230,8 @@ def main(argv=None) -> int:
     driver = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step,
                            checkpoint_path=ns.checkpoint,
                            checkpoint_every=ns.checkpoint_every,
-                           input_format=packed_fmt or "cf32")
+                           input_format=packed_fmt or "cf32",
+                           steps_per_dispatch=ns.steps_per_dispatch)
     if ns.resume:
         if not ns.checkpoint:
             logging.error("--resume needs --checkpoint")

@@ -119,6 +119,21 @@ class ShardedScannerChain:
                            check_vma=False)
         self._step = jax.jit(fn, donate_argnums=(0,))
 
+        def multi_impl(state, iqs, params):
+            # lax.scan over the shard_mapped step: S block dispatches fused
+            # into one program, state (incl. halos/FSM) carried sequentially
+            def body(st, iq):
+                return fn(st, iq, params)
+
+            state, outs = jax.lax.scan(body, state, iqs)
+            # [S_steps, n_streams, K, ...] -> [n_streams, S_steps*K, ...]
+            return state, jax.tree.map(
+                lambda v: jnp.moveaxis(v, 0, 1).reshape(
+                    (v.shape[1], v.shape[0] * v.shape[2]) + v.shape[3:]),
+                outs)
+
+        self._multi_step = jax.jit(multi_impl, donate_argnums=(0,))
+
     # -- pytree structure helpers (specs need matching treedefs) ----------
     def _state_struct(self):
         return init_scanner_state(self.resampler.hist_len, self.pfb.hist_len,
@@ -149,6 +164,15 @@ class ShardedScannerChain:
         """iq: [n_streams, input_len] complex64 (cf32) or
         [n_streams, step_arg_len] packed f32 wire words (cs16/cu8)."""
         return self._step(state, iq, params)
+
+    def multi_step(self, state: ScannerState, iqs: jax.Array,
+                   params: RuntimeParams):
+        """S stacked blocks in one dispatch: iqs [S, n_streams,
+        step_arg_len]; output leaves come back [n_streams, S*K, ...] —
+        per stream and in order, equal to S step() calls (decisions
+        exactly, floats to f32 rounding; tests/test_multistep.py — see
+        runtime/fuse.py for the rationale)."""
+        return self._multi_step(state, iqs, params)
 
     # ------------------------------------------------------------------
     def _step_shard(self, state: ScannerState, iq: jax.Array,

@@ -44,7 +44,8 @@ class ScannerDriver:
                  metrics_path: Optional[str] = None,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 0,
-                 input_format: str = "cf32"):
+                 input_format: str = "cf32",
+                 steps_per_dispatch: int = 1):
         self.args = args or C.ScannerArgs()
         # input_format "cs16"/"cu8": run() consumes blocks of RAW wire
         # bytes packed as f32 words (ops/decode.py) and the chain decodes
@@ -64,6 +65,12 @@ class ScannerDriver:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
         self._resume_skip = 0            # armed by restore(), one-shot
+        # dispatch S blocks per jitted call (chain.multi_step lax.scan):
+        # amortizes the per-dispatch runtime floor S-fold in streaming
+        # deployments; decisions/events equal S single steps exactly,
+        # audio to f32 rounding (test-enforced).  Checkpoints land on
+        # megastep boundaries.
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
 
     def restore(self, path: Optional[str] = None) -> int:
         """Load a checkpoint; run() then skips the already-processed blocks
@@ -110,11 +117,30 @@ class ScannerDriver:
         self._resume_skip = 0
         feed_dtype = (jnp.complex64 if self.chain.input_format == "cf32"
                       else jnp.float32)
+        S = self.steps_per_dispatch
+        group: List[jnp.ndarray] = []      # blocks awaiting one megastep
         for i, blk in enumerate(blocks):
             if i < skip:
                 continue
-            self.state, out = self.chain.step(
-                self.state, jnp.asarray(blk, feed_dtype), self.params)
+            if S > 1:
+                group.append(jnp.asarray(blk, feed_dtype))
+                if len(group) < S:
+                    continue
+                self.state, out = self.chain.multi_step(
+                    self.state, jnp.stack(group), self.params)
+                group = []
+            else:
+                self.state, out = self.chain.step(
+                    self.state, jnp.asarray(blk, feed_dtype), self.params)
+            if pending is not None:
+                self._drain(pending, audio, audio_sub, active, rssi, rel,
+                            events, wf_rows)
+            pending = out
+            self.block_index += 1 if S == 1 else S
+            self._maybe_checkpoint()
+        # tail blocks that didn't fill a megastep run as single steps
+        for blk in group:
+            self.state, out = self.chain.step(self.state, blk, self.params)
             if pending is not None:
                 self._drain(pending, audio, audio_sub, active, rssi, rel,
                             events, wf_rows)

@@ -130,7 +130,9 @@ class ScannerChain:
             self.deemph_taps = D.deemph_fir_equiv().astype(np.float32)
         self.deemph_hist_len = self.deemph_taps.shape[0] - 1
 
+        from sdr_pmr446_tpu.runtime.fuse import fused_steps
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._multi_step = fused_steps(self._step_impl)
 
     def init_state(self) -> ScannerState:
         return init_scanner_state(self.resampler.hist_len,
@@ -159,6 +161,21 @@ class ScannerChain:
         """One jitted block step; iq is [input_len] complex64 (cf32) or
         [step_arg_len] packed f32 wire words (cs16/cu8)."""
         return self._step(state, iq, params)
+
+    def multi_step(self, state: ScannerState, iqs: jax.Array,
+                   params: RuntimeParams):
+        """S stacked blocks in ONE dispatch: lax.scan over the block step.
+
+        ``iqs`` is [S, step_arg_len].  Returns (state', outputs) with every
+        output leaf flattened to [S*K, ...] — in order, equal to S
+        successive step() calls (decisions exactly, floats to f32 rounding;
+        test-enforced).  Streaming deployments use
+        this to amortize the per-dispatch host/runtime floor over S blocks
+        (the per-step fixed cost is the TPU analog of the reference's
+        per-chunk loop overhead, src/sdr_pmr446.c:788-790); the FSM stays
+        sequential ACROSS blocks because the scan carries the state pytree.
+        """
+        return self._multi_step(state, iqs, params)
 
     # ------------------------------------------------------------------
     def _step_impl(self, state: ScannerState, iq: jax.Array,

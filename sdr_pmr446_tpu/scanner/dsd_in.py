@@ -83,7 +83,9 @@ class DsdInChain:
         self.res2 = PolyResampler(np.asarray(stage2_taps()), 1, 16)
         self.up = PolyResampler(np.asarray(up_taps()), 96, 25)
         self.output_len = self.input_len * 3 // 64
+        from sdr_pmr446_tpu.runtime.fuse import fused_steps
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._multi_step = fused_steps(self._step_impl)
 
     @property
     def step_arg_len(self) -> int:
@@ -103,6 +105,11 @@ class DsdInChain:
 
     def step(self, state: DsdState, iq: jax.Array):
         return self._step(state, iq)
+
+    def multi_step(self, state: DsdState, iqs: jax.Array):
+        """S stacked blocks in one dispatch; pcm flattened to [S*out_len]
+        — equal to S step() calls within 1 int16 LSB (runtime/fuse.py)."""
+        return self._multi_step(state, iqs)
 
     def _step_impl(self, state: DsdState, iq: jax.Array):
         if self.input_format != "cf32":

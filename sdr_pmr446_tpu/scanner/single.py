@@ -65,7 +65,9 @@ class SingleChannelChain:
         f_off = (channel - 1) * C.CHANNEL_WIDTH_HZ - 93_750.0
         self.omega = 2.0 * np.pi * f_off / C.SDR_RESAMPLERATE
         self.phase_period = 32
+        from sdr_pmr446_tpu.runtime.fuse import fused_steps
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._multi_step = fused_steps(self._step_impl)
 
     def init_state(self) -> SingleState:
         return SingleState(
@@ -81,6 +83,11 @@ class SingleChannelChain:
 
     def step(self, state: SingleState, iq: jax.Array):
         return self._step(state, iq)
+
+    def multi_step(self, state: SingleState, iqs: jax.Array):
+        """S stacked blocks in one dispatch; audio flattened to [S*T_audio]
+        — equal to S step() calls within f32 rounding (runtime/fuse.py)."""
+        return self._multi_step(state, iqs)
 
     def _step_impl(self, state: SingleState, iq: jax.Array):
         (dc_x, dc_y), x = iir.dc_blocker_apply(
