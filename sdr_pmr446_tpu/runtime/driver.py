@@ -26,6 +26,27 @@ from sdr_pmr446_tpu.scanner.chain import (ScannerChain, StepOutputs,
 log = logging.getLogger("sdr_pmr446")
 
 
+def _device_prefetch(blocks: Iterable[np.ndarray], dtype, depth: int):
+    """Stage input blocks on device ``depth`` ahead of consumption.
+
+    jax.device_put enqueues the host->device copy asynchronously, so while
+    the chain computes block i the transfer of block i+1 (and i+2, ...) is
+    already in flight — the H2D analog of the reference decoupling its
+    blocking SDR read from the audio thread via ring buffers
+    (src/sdr_pmr446.c:789,903-906).  Values are unchanged: this yields the
+    same arrays, just device-resident earlier.
+    """
+    import collections
+    import jax
+    q = collections.deque()
+    for blk in blocks:
+        q.append(jax.device_put(jnp.asarray(blk, dtype)))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 @dataclasses.dataclass
 class ScanResult:
     audio: np.ndarray            # concatenated active-channel audio @12.5 kHz
@@ -45,7 +66,8 @@ class ScannerDriver:
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 0,
                  input_format: str = "cf32",
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1,
+                 prefetch_depth: int = 2):
         self.args = args or C.ScannerArgs()
         # input_format "cs16"/"cu8": run() consumes blocks of RAW wire
         # bytes packed as f32 words (ops/decode.py) and the chain decodes
@@ -71,6 +93,9 @@ class ScannerDriver:
         # audio to f32 rounding (test-enforced).  Checkpoints land on
         # megastep boundaries.
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        # device-stage this many input blocks ahead (H2D overlaps compute);
+        # 0/1 disables the read-ahead
+        self.prefetch_depth = max(1, int(prefetch_depth))
 
     def restore(self, path: Optional[str] = None) -> int:
         """Load a checkpoint; run() then skips the already-processed blocks
@@ -118,12 +143,18 @@ class ScannerDriver:
         feed_dtype = (jnp.complex64 if self.chain.input_format == "cf32"
                       else jnp.float32)
         S = self.steps_per_dispatch
+
+        def _after_skip(it):
+            for i, b in enumerate(it):
+                if i >= skip:
+                    yield b
+
+        staged = _device_prefetch(_after_skip(blocks), feed_dtype,
+                                  self.prefetch_depth)
         group: List[jnp.ndarray] = []      # blocks awaiting one megastep
-        for i, blk in enumerate(blocks):
-            if i < skip:
-                continue
+        for blk in staged:
             if S > 1:
-                group.append(jnp.asarray(blk, feed_dtype))
+                group.append(blk)
                 if len(group) < S:
                     continue
                 self.state, out = self.chain.multi_step(
@@ -131,7 +162,7 @@ class ScannerDriver:
                 group = []
             else:
                 self.state, out = self.chain.step(
-                    self.state, jnp.asarray(blk, feed_dtype), self.params)
+                    self.state, blk, self.params)
             if pending is not None:
                 self._drain(pending, audio, audio_sub, active, rssi, rel,
                             events, wf_rows)

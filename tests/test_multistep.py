@@ -175,6 +175,19 @@ def test_single_and_dsd_multi_step():
     assert float(np.mean(diff.astype(np.float64) ** 2)) <= sig_p * 1e-9
 
 
+def test_driver_prefetch_depth_equivalence():
+    # device prefetch stages the same arrays earlier; results are identical
+    k = 2
+    iq = _blocks(4, k).reshape(-1)
+    r1 = ScannerDriver(subchunks_per_step=k, prefetch_depth=1).run(
+        iq_io.block_stream(iq, k * C.SUBCHUNK_IN))
+    r4 = ScannerDriver(subchunks_per_step=k, prefetch_depth=4).run(
+        iq_io.block_stream(iq, k * C.SUBCHUNK_IN))
+    assert r1.events == r4.events
+    assert np.array_equal(r1.active_trace, r4.active_trace)
+    assert np.array_equal(r1.audio, r4.audio)
+
+
 def test_multi_step_packed_input():
     # megastep over raw cs16 wire words decodes identically per block
     from sdr_pmr446_tpu.ops import decode
