@@ -10,6 +10,13 @@ a bit-exact fixpoint and the tunnel elides repeated executions (see
 tools/bw_check.py / bench.py::_measure).
 """
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import argparse
 import time
 

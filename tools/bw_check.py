@@ -24,6 +24,13 @@ numbers implying more traffic than the probe sustains must not be
 recorded.
 """
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import argparse
 import json
 import sys

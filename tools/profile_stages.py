@@ -6,6 +6,13 @@ include dispatch overhead, so they over-count vs the fused chain — use for
 RELATIVE comparison only.
 """
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import argparse
 import time
 

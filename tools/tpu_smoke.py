@@ -1,5 +1,12 @@
 """On-TPU end-to-end smoke: full driver scan on synthetic IQ, verify
 events + audio SNR on host (through the f32 transport encoding)."""
+
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import time, sys
 import numpy as np
 import jax

@@ -18,6 +18,13 @@ The TPU run spawns the CPU reference itself (subprocess) unless
 --no-ref is given.
 """
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import argparse
 import json
 import os
