@@ -76,7 +76,7 @@ def _spin_fn(dim):
     return jax.jit(spin)
 
 
-def main() -> int:
+def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--k", type=int, default=10,
                    help="sub-chunks per step (CPU replay cost scales with "
@@ -89,7 +89,7 @@ def main() -> int:
     p.add_argument("--inject-error", action="store_true",
                    help="self-test: corrupt the device checksum and check "
                         "the verifier FLAGS it")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
     try:
