@@ -127,6 +127,10 @@ def main(argv=None) -> int:
                 s_axis = cand
                 break
         t_axis = 1
+    if s_axis * t_axis > len(jax.devices()):
+        logging.error("mesh %d,%d needs %d devices, host has %d",
+                      s_axis, t_axis, s_axis * t_axis, len(jax.devices()))
+        return 1
     if n_streams % s_axis != 0:
         logging.error("%d captures do not divide across %d stream shards",
                       n_streams, s_axis)
@@ -142,8 +146,17 @@ def main(argv=None) -> int:
         lowpass=ns.lowpass, channel_mask=mask, lock_mode=ns.lock_mode)
     fmts = [ns.format or os.path.splitext(pth)[1].lstrip(".") or "cf32"
             for pth in paths]
-    fmts = [f if f in ("cf32", "cs16", "cu8", "cs8") else "cf32"
-            for f in fmts]
+    # accept the same aliases the single-capture app does; unknown
+    # extensions (".bin", ".dat", ...) default to cf32 like io/iq.py,
+    # but an EXPLICIT unknown --format is an error, not silent cf32
+    alias = {"sc16": "cs16", "rtlsdr": "cu8", "fc32": "cf32"}
+    fmts = [alias.get(f, f) for f in fmts]
+    known = ("cf32", "cs16", "cu8", "cs8")
+    if ns.format and fmts[0] not in known:
+        logging.error("unknown --format %r (supported: %s + aliases "
+                      "sc16/rtlsdr/fc32)", ns.format, "/".join(known))
+        return 1
+    fmts = [f if f in known else "cf32" for f in fmts]
     packed_fmt = None
     if ns.device_decode:
         from sdr_pmr446_tpu.ops import decode
@@ -217,8 +230,17 @@ def main(argv=None) -> int:
         subchunk += host["active_chan"].shape[1]
     reader.close()
 
+    # unique output stems: same-named captures from different directories
+    # must not overwrite each other's outputs
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    seen: set = set()
+    for s, st in enumerate(stems):
+        while st in seen:
+            st = f"{st}.{s}"
+        stems[s] = st
+        seen.add(st)
     for s, pth in enumerate(paths):
-        stem = os.path.splitext(os.path.basename(pth))[0]
+        stem = stems[s]
         out_wav = os.path.join(ns.out_dir, f"{stem}.wav")
         a = (np.concatenate(audio[s]) if audio[s]
              else np.zeros(0, np.float32))

@@ -149,8 +149,17 @@ def main(argv=None) -> int:
         fmt = ns.input_format or (iq_io.detect_format(ns.input)
                                   if ns.input else "cf32")
         packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8"}.get(fmt, fmt)
-        if (packed_fmt not in decode.PACKED_FORMATS or not ns.input
-                or ns.input.startswith("rtl_tcp://") or ns.faithful):
+        if not ns.input or ns.input.startswith("rtl_tcp://"):
+            logging.error("--device-decode needs a capture FILE "
+                          "(synthetic/rtl_tcp inputs have no wire bytes "
+                          "to ship)")
+            return 1
+        if ns.faithful:
+            logging.error("--device-decode is not available with "
+                          "--faithful (the validation chain takes "
+                          "complex64 input)")
+            return 1
+        if packed_fmt not in decode.PACKED_FORMATS:
             logging.error("--device-decode needs a %s capture file "
                           "(got format %r)",
                           "/".join(decode.PACKED_FORMATS), fmt)
@@ -273,21 +282,24 @@ def main(argv=None) -> int:
     else:
         blocks = iq_io.block_stream(iq, driver.feed_len)
 
+    interrupted = False
     try:
         result = driver.run(blocks)
     except KeyboardInterrupt:
         # graceful teardown like the reference's SIGINT handler
         # (src/sdr_pmr446.c:190-199,933-940): stop cleanly, keep nothing
         log.info("Signal caught, exiting!")
-        if live_sink is not None:
-            live_sink.close()
+        interrupted = True
+    finally:
+        # ALWAYS release the audio subprocess and the rtl_tcp socket —
+        # also on reader-thread/driver errors, not just SIGINT/success
         if live_source is not None:
             live_source.close()
+        if live_sink is not None:
+            live_sink.close()
+    if interrupted:
         return 130
-    if live_source is not None:
-        live_source.close()
     if live_sink is not None:
-        live_sink.close()
         log.info("streamed %d audio samples (%.2f s) live", len(result.audio),
                  len(result.audio) / C.AUDIO_SAMPLERATE)
     else:

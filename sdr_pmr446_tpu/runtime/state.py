@@ -78,7 +78,8 @@ def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
         ct_detected=jnp.zeros((), jnp.bool_),
         ct_max_idx=jnp.zeros((), jnp.int32),
         ct_freq=jnp.full((), -1.0, jnp.float32),
-        wf_hist=jnp.zeros((waterfall // 2,), jnp.complex64),
+        # waterfall <= 0 means "off" everywhere (chain guards on > 0)
+        wf_hist=jnp.zeros((max(waterfall, 0) // 2,), jnp.complex64),
     )
 
 

@@ -120,7 +120,7 @@ def main():
     print(f"audio-branch dc blocker  : {ms:7.3f} ms", flush=True)
 
     # stage 6: rssi + fsm + select (everything after the kernels)
-    from sdr_pmr446_tpu.scanner.fsm import FsmCarry, fsm_ctcss_scan_v2
+    from sdr_pmr446_tpu.scanner.fsm import FsmCarry, fsm_ctcss_scan_v3
 
     @jax.jit
     def stage_fsm(mag, lp_dcb, params):
@@ -142,7 +142,7 @@ def main():
                          jnp.full((), -1.0, jnp.float32))
         lp_blocks = jnp.moveaxis(
             lp_dcb.reshape(C.NUM_CHANNELS, k, ns), 0, 1)
-        return fsm_ctcss_scan_v2(carry, rssi_db, lp_blocks,
+        return fsm_ctcss_scan_v3(carry, rssi_db, lp_blocks,
                                  params.channel_mask, params.squelch_level,
                                  params.lock_max)
 
