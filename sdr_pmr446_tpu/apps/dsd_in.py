@@ -94,6 +94,17 @@ def main(argv=None) -> int:
             state, o = chain.step(state, blk)
             out.write(np.asarray(o.pcm).astype("<i2").tobytes())
             out.flush()
+    except BrokenPipeError:
+        # the downstream consumer (dsd/play, reference README.md:43-46)
+        # closed its end: exit gracefully like the reference's ignored
+        # SIGPIPE + flag (src/sdr_pmr446.c:190-199)
+        logging.info("downstream pipe closed, exiting")
+        try:        # keep interpreter shutdown from re-raising EPIPE
+            import os as _o
+            _o.dup2(_o.open(_o.devnull, _o.O_WRONLY), sys.stdout.fileno())
+        except OSError:
+            pass
+        return 0
     finally:
         if out is not sys.stdout.buffer:
             out.close()

@@ -64,7 +64,7 @@ class RtlTcpClient:
                  timeout: float = 10.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.settimeout(timeout)
-        hdr = self._recv_exact(12)
+        hdr = self._recv_exact(12, retry_on_timeout=False)
         if hdr[:4] != MAGIC:
             self.sock.close()
             raise RuntimeError(
@@ -84,10 +84,22 @@ class RtlTcpClient:
     def command(self, opcode: int, arg: int) -> None:
         self.sock.sendall(struct.pack(">BI", opcode, arg & 0xFFFFFFFF))
 
-    def _recv_exact(self, n: int) -> bytes:
+    def _recv_exact(self, n: int, retry_on_timeout: bool = True) -> bytes:
         buf = bytearray()
         while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
+            try:
+                chunk = self.sock.recv(n - len(buf))
+            except socket.timeout:
+                if not retry_on_timeout:
+                    raise
+                # transient stall: log and keep waiting, like the
+                # reference's read<0 -> log & continue loop
+                # (src/sdr_pmr446.c:791-794); a CLOSED connection still
+                # ends the stream via the empty-recv path below
+                import logging
+                logging.getLogger("rtl_tcp").warning(
+                    "rtl_tcp read timeout; retrying")
+                continue
             if not chunk:
                 break
             buf.extend(chunk)

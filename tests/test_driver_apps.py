@@ -360,3 +360,23 @@ def test_scan_batch_app_device_decode(tmp_path):
     iq_io.write_iq(iqp32, _demo_iq(seconds=0.5))
     assert scan_batch.main([iqp32, "--device-decode",
                             "--out-dir", d_dev]) == 1
+
+
+def test_dsd_app_survives_closed_pipe(tmp_path):
+    """Reference parity: dsd_in pipes into dsd/play and exits gracefully
+    when the consumer hangs up (ignored SIGPIPE, src/sdr_pmr446.c:190-199);
+    the app must exit 0, not crash with BrokenPipeError."""
+    import subprocess
+    import sys as _sys
+    iq = synth.make_scanner_iq(2 * C.SUBCHUNK_IN, channel=8)
+    cap = os.path.join(tmp_path, "cap.cf32")
+    iq_io.write_iq(cap, iq, "cf32")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    cmd = (f"{_sys.executable} -m sdr_pmr446_tpu.apps.dsd_in "
+           f"--input {cap} --output - --subchunks-per-step 1 "
+           f"| head -c 100 >/dev/null; exit ${{PIPESTATUS[0]}}")
+    proc = subprocess.run(["/bin/bash", "-c", cmd], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "downstream pipe closed" in proc.stderr

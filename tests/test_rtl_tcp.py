@@ -157,3 +157,48 @@ def test_scanner_app_rtl_tcp_end_to_end(tmp_path):
     assert len(audio) > 0
     snr = synth.tone_snr_db(audio[2 * 1225:], 1000.0)
     assert snr > 25.0
+
+
+def test_rtl_tcp_client_rides_out_transient_stalls():
+    """A stall longer than the socket timeout must NOT end the stream
+    (reference behavior: read errors log & continue, src/sdr_pmr446.c:
+    791-794); only a closed connection ends it."""
+    import time
+    n = 2000
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 256, 2 * n, dtype=np.uint8).tobytes()
+    half = len(payload) // 2
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(MAGIC + struct.pack(">II", 5, 29))
+        conn.recv(4 * 5)                      # setup commands
+        conn.sendall(payload[:half])
+        time.sleep(0.7)                       # > client timeout: stall
+        conn.sendall(payload[half:])
+        conn.shutdown(socket.SHUT_WR)
+        try:
+            while conn.recv(4096):
+                pass
+        except OSError:
+            pass
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    cli = RtlTcpClient("127.0.0.1", port, timeout=0.2)
+    x, got = cli.read_block(n)
+    assert got == n                           # stall bridged, not EOF
+    want = native.convert_iq(np.frombuffer(payload, np.uint8), "cu8")
+    np.testing.assert_array_equal(x, want)
+    # a CLOSED connection still ends the stream
+    x2, got2 = cli.read_block(100)
+    assert got2 == 0
+    cli.close()
+    t.join(timeout=5)
