@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--lock-mode", choices=["start", "max"],
                    default="start")
     p.add_argument("-l", "--lowpass", action="store_true")
+    p.add_argument("-w", "--waterfall", type=int, default=0,
+                   help="per-capture ASCII waterfall of this width, written "
+                        "to <stem>.waterfall.log")
     p.add_argument("--mesh", type=str, default="",
                    help="mesh shape S,T (default: all devices as streams)")
     p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
@@ -168,11 +171,20 @@ def main(argv=None) -> int:
             return 1
         packed_fmt = fmts[0]
 
+    if ns.waterfall > 0:
+        from sdr_pmr446_tpu.ops import spectrogram
+        try:
+            spectrogram.validate_width(ns.waterfall)
+        except ValueError as e:
+            logging.error("%s", e)
+            return 1
+
     mesh = make_mesh(s_axis, t_axis)
     chain = ShardedScannerChain(
         mesh, C.BlockConfig(ns.subchunks_per_step), lowpass=ns.lowpass,
         use_pallas=ns.engine == "pallas",
         input_format=packed_fmt or "cf32",
+        waterfall=max(ns.waterfall, 0),
         # Mosaic only lowers on real TPUs; elsewhere (CPU dev hosts) the
         # kernels run under the Pallas interpreter, like the halo_dma path
         pallas_interpret=jax.default_backend() != "tpu")
@@ -190,6 +202,9 @@ def main(argv=None) -> int:
         feed_dtype = jnp.complex64
     audio = [[] for _ in range(n_streams)]
     events = [[] for _ in range(n_streams)]
+    wf_lines = [[] for _ in range(n_streams)] if ns.waterfall > 0 else None
+    if wf_lines is not None:
+        from sdr_pmr446_tpu.ui import waterfall as wf_ui
     subchunk = 0
     n_fuse = max(1, ns.steps_per_dispatch)
     group = []                # blocks awaiting one fused dispatch
@@ -227,6 +242,10 @@ def main(argv=None) -> int:
                         f"subchunk {subchunk + i}: Acquired CTCSS code: "
                         f"{host['ct_max_idx'][s][i] + 1} (frequency: "
                         f"{host['ct_freq'][s][i]:3.2f}Hz)")
+                if wf_lines is not None:
+                    wf_lines[s].append(wf_ui.render_waterfall_line(
+                        host["waterfall"][s][i],
+                        float(host["rel_rssi"][s][i])))
         subchunk += host["active_chan"].shape[1]
     reader.close()
 
@@ -248,6 +267,11 @@ def main(argv=None) -> int:
         out_log = os.path.join(ns.out_dir, f"{stem}.events.log")
         with open(out_log, "w") as f:
             f.write("\n".join(events[s]) + ("\n" if events[s] else ""))
+        if wf_lines is not None:
+            with open(os.path.join(ns.out_dir,
+                                   f"{stem}.waterfall.log"), "w") as f:
+                f.write("\n".join(wf_lines[s])
+                        + ("\n" if wf_lines[s] else ""))
         log.info("%s: %d audio samples (%.2f s), %d events -> %s",
                  stem, len(a), len(a) / C.AUDIO_SAMPLERATE, len(events[s]),
                  out_wav)

@@ -296,9 +296,14 @@ def test_scan_batch_app(tmp_path):
 
     outd = str(tmp_path / "scans")
     rc = scan_batch.main(caps + ["--out-dir", outd, "--mesh", "2,4",
-                                 "--subchunks-per-step", "8"])
+                                 "--subchunks-per-step", "8",
+                                 "--steps-per-dispatch", "2", "-w", "64"])
     assert rc == 0
     for s, (ch, code) in enumerate([(5, 12), (9, 20)]):
+        wf = open(os.path.join(outd, f"cap{s}.waterfall.log")).read()
+        lines = [ln for ln in wf.splitlines() if ln]
+        assert len(lines) == 16 and all(
+            ln.startswith(" > ") and "max SNR:" in ln for ln in lines)
         audio, rate = wav.read_wav(os.path.join(outd, f"cap{s}.wav"))
         assert rate == C.AUDIO_SAMPLERATE and len(audio) > 0
         # evaluate inside the capture's real 10 sub-chunks (the zero-padded
