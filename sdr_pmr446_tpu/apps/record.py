@@ -33,11 +33,14 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--squelch", type=float,
                    default=C.SDR_DEFAULT_SQUELCH_LEVEL)
     p.add_argument("--subchunks-per-step", type=int, default=10)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="blocks fused into one device dispatch (lax.scan)")
     ns = p.parse_args(argv)
 
     iq = iq_io.read_iq(ns.input, ns.input_format)
     args = C.ScannerArgs(squelch_level=ns.squelch)
-    drv = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step)
+    drv = ScannerDriver(args, subchunks_per_step=ns.subchunks_per_step,
+                        steps_per_dispatch=ns.steps_per_dispatch)
     res = drv.run(iq_io.block_stream(iq, drv.block_len))
 
     if len(res.audio) == 0:
@@ -53,6 +56,7 @@ def main(argv=None) -> int:
             seg_starts.append(i)
     seg_starts.append(len(subs))
 
+    os.makedirs(ns.outdir, exist_ok=True)
     stamp = datetime.datetime.now().strftime("%d_%m_%Y_%H_%M_%S")
     written = []
     for k in range(len(seg_starts) - 1):

@@ -90,7 +90,9 @@ class FaithfulScannerChain:
         self.lp_taps = D.audio_lp_taps().astype(np.float32)
         b, a = D.deemph_iir_coeffs()
         self.de_b0, self.de_b1, self.de_a1 = float(b[0]), float(b[1]), float(a[1])
+        from sdr_pmr446_tpu.runtime.fuse import fused_steps
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._multi_step = fused_steps(self._step_impl)
 
     @property
     def input_len(self) -> int:
@@ -122,6 +124,13 @@ class FaithfulScannerChain:
     def step(self, state: FaithfulState, iq: jax.Array,
              params: RuntimeParams):
         return self._step(state, iq, params)
+
+    def multi_step(self, state: FaithfulState, iqs: jax.Array,
+                   params: RuntimeParams):
+        """S stacked blocks in one dispatch, outputs flattened to
+        [S*K, ...] — decisions equal to S step() calls exactly, floats to
+        f32 rounding (runtime/fuse.py)."""
+        return self._multi_step(state, iqs, params)
 
     # ------------------------------------------------------------------
     def _step_impl(self, state: FaithfulState, iq: jax.Array,

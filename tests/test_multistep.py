@@ -175,6 +175,27 @@ def test_single_and_dsd_multi_step():
     assert float(np.mean(diff.astype(np.float64) ** 2)) <= sig_p * 1e-9
 
 
+def test_faithful_multi_step():
+    from sdr_pmr446_tpu.scanner.faithful import FaithfulScannerChain
+    k, s = 2, 2
+    chain = FaithfulScannerChain(subchunks_per_step=k)
+    params = make_runtime_params(C.ScannerArgs())
+    blks = _blocks(s, k, seed=21)
+    st_a = chain.init_state()
+    outs = []
+    for i in range(s):
+        st_a, o = chain.step(st_a, jnp.asarray(blks[i], jnp.complex64),
+                             params)
+        outs.append(o)
+    st_b = chain.init_state()
+    st_b, fused = chain.multi_step(st_b, jnp.asarray(blks, jnp.complex64),
+                                   params)
+    for f, field in zip(fused, fused._fields):
+        ref = np.concatenate([np.asarray(getattr(o, field)) for o in outs])
+        _assert_leaf(f, ref, field)
+    _assert_int_state_equal(st_a, st_b)
+
+
 def test_driver_prefetch_depth_equivalence():
     # device prefetch stages the same arrays earlier; results are identical
     k = 2
