@@ -33,7 +33,7 @@ import time
 
 
 def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
-             inner=1, variants=None, drain=True):
+             inner=1, variants=None, drain=True, repeats=3):
     """Time `step` over per-call-UNIQUE executions, bounded by a DRAIN op.
 
     Two dev-tunnel pathologies are countered here (both diagnosed with
@@ -121,24 +121,136 @@ def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
         print(f"bench: drain solo times {[round(s * 1e3, 2) for s in solos]}"
               f" ms (median {t_solo * 1e3:.2f})", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    done = 0
-    while done < iters and time.perf_counter() - t0 < secs:
-        state, out = step(state, *variants[(warmup + done) % len(variants)])
-        done += 1
-    if drain:
-        jax.block_until_ready(out)
-        dt_ready = time.perf_counter() - t0
-        jax.block_until_ready(drain_fn(state, out, x_big))
-        dt_drained = time.perf_counter() - t0
-        dt = dt_drained - t_solo
-        print(f"bench: {done} steps, ready {dt_ready * 1e3:.2f} ms, "
-              f"drained {dt_drained * 1e3:.2f} ms, recorded "
-              f"{dt * 1e3:.2f} ms", file=sys.stderr)
-    else:
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-    return n_samples_per_step * inner * done / dt / 1e6
+    # several timed regions, best rate kept: the tunnel's dispatch
+    # pipeline drifts several-fold between regions (RESULTS.md), slow
+    # regions are host/tunnel stalls, and fast fictions are handled by
+    # the envelope cap in main()
+    rates = []
+    for rep in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        done = 0
+        while done < iters and time.perf_counter() - t0 < secs:
+            state, out = step(state,
+                              *variants[(warmup + done) % len(variants)])
+            done += 1
+        if drain:
+            jax.block_until_ready(out)
+            dt_ready = time.perf_counter() - t0
+            jax.block_until_ready(drain_fn(state, out, x_big))
+            dt_drained = time.perf_counter() - t0
+            dt = dt_drained - t_solo
+            print(f"bench: rep {rep}: {done} steps, ready "
+                  f"{dt_ready * 1e3:.2f} ms, drained "
+                  f"{dt_drained * 1e3:.2f} ms, recorded {dt * 1e3:.2f} ms",
+                  file=sys.stderr)
+        else:
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+        rates.append(n_samples_per_step * inner * done / dt / 1e6)
+    return max(rates)
+
+
+#: last value-verified, FETCH-anchored HBM read envelope measured on this
+#: chip class (bench.py --envelope-probe-only, 2026-08-17: 773 GB/s over
+#: 157 GB with 37 ms RTT subtracted; RESULTS.md) — the fallback cap when
+#: the live probe cannot produce a sound number
+DEFAULT_ENVELOPE_GBPS = 773.0
+
+#: least HBM bytes per input sample ANY implementation of the chain's
+#: front end must move: the input read (8/4/2 B by wire format) plus the
+#: DC-blocker's plane write + read-back (8+8 B — the first stage that
+#: cannot fuse into its consumer, ops/iir.py's two-level scan); every
+#: later stage adds >= 0.  Dividing the envelope by this gives the most
+#: generous physically-possible throughput (tools/traffic_model.py puts
+#: realistic fused traffic at 16-35 B/sample).
+MIN_TRAFFIC_B_PER_SAMPLE = {"cf32": 24.0, "cs16": 20.0,
+                            "cu8": 18.0, "cs8": 18.0}
+
+
+def _envelope_probe_main(mb=512, iters=300) -> int:
+    """Subprocess body: fetch-anchored, value-verified read-BW probe.
+
+    Runs in its OWN process because on the dev tunnel (a) ready signals
+    can be early even for single-op reduces — so the timed region must
+    end at the FETCH, which cannot return before the value exists — and
+    (b) a fetch poisons later big-program executes in the same process,
+    so the bench chain must never share a process with it.
+    Prints one JSON line {"gbps": ...} or {"gbps": null, "why": ...}.
+    """
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.runtime.transfer import fetch
+
+    def fail(why):
+        print(json.dumps({"gbps": None, "why": why}))
+        return 0
+
+    n = mb * (1 << 20) // 4
+    host_x = np.random.default_rng(7).standard_normal(n).astype(np.float32)
+    x = jnp.asarray(host_x)
+
+    @jax.jit
+    def step(s, x):
+        return s + jnp.sum(x) * (1.0 + 1e-6 * s[0])
+
+    try:
+        s = step(jnp.zeros((8,), jnp.float32), x)
+        jax.block_until_ready(s)
+        fetch([s])                      # warm the fetch path
+        rtts = []
+        for _ in range(3):              # round trip on drained state
+            t0 = time.perf_counter()
+            fetch([s])
+            rtts.append(time.perf_counter() - t0)
+        rtt = min(rtts)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = step(s, x)
+        got = float(np.asarray(fetch([s])[0], np.float64)[0])
+        dt = time.perf_counter() - t0 - rtt
+    except Exception as e:              # tunnel transfer/execute failure
+        return fail(f"probe error: {e}")
+
+    big_s = float(np.sum(host_x, dtype=np.float64))
+    exp = 0.0
+    for _ in range(iters + 1):
+        exp = exp + big_s * (1.0 + 1e-6 * exp)
+    if abs(big_s) < 100.0 or abs(got - exp) > 0.5 * abs(big_s):
+        return fail(f"value check failed (got {got}, expected {exp})")
+    if dt <= max(3.0 * rtt, 1e-3):
+        return fail(f"fetch RTT {rtt * 1e3:.1f} ms dominates the timed "
+                    f"region {dt * 1e3:.1f} ms")
+    gbps = mb * (1 << 20) * iters / dt / 1e9
+    if gbps > 4000.0:                   # beyond any real single chip
+        return fail(f"implausible {gbps:.0f} GB/s — timing unsound")
+    print(json.dumps({"gbps": round(gbps, 1), "rtt_ms": round(rtt * 1e3, 2),
+                      "dt_ms": round(dt * 1e3, 1)}))
+    return 0
+
+
+def _read_envelope_gbps():
+    """Fresh-subprocess probe -> GB/s, or None if it cannot certify one."""
+    import os
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--envelope-probe-only"],
+            capture_output=True, text=True, timeout=900)
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        print(f"bench: envelope probe subprocess failed: {e}",
+              file=sys.stderr)
+        return None
+    if res.get("gbps") is None:
+        print(f"bench: envelope probe unsound: {res.get('why')}",
+              file=sys.stderr)
+        return None
+    print(f"bench: HBM read envelope {res['gbps']} GB/s (fetch-anchored, "
+          f"value-verified; rtt {res.get('rtt_ms')} ms)", file=sys.stderr)
+    return float(res["gbps"])
 
 
 def _input_variants(make_iq, rest, n_variants=4):
@@ -176,6 +288,12 @@ def main() -> int:
                    help="scanner configs: feed complex64 (cf32) or RAW "
                         "wire bytes packed as f32 words, decoded on device "
                         "(ops/decode.py) — 2-4x less input HBM traffic")
+    p.add_argument("--no-envelope-cap", action="store_true",
+                   help="skip the value-verified HBM-envelope probe and "
+                        "report the raw loop rate even when it exceeds "
+                        "the chip's input-read speed of light")
+    p.add_argument("--envelope-probe-only", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--rot", type=int, default=0,
                    help="distinct input realizations rotated across steps "
                         "(0 = warmup+iters: every step gets a brand-new "
@@ -191,9 +309,22 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if args.envelope_probe_only:        # subprocess mode (fetches allowed)
+        return _envelope_probe_main()
     import jax.numpy as jnp
     from sdr_pmr446_tpu import config as C
     from sdr_pmr446_tpu.io import synth
+
+    # envelope cap: live probe in a FRESH subprocess (its fetch would
+    # poison this process's chain executes); fall back to the last
+    # value-verified measurement of this chip class when unsound
+    envelope_gbps = None
+    if not args.no_envelope_cap:
+        envelope_gbps = _read_envelope_gbps()
+        if envelope_gbps is None:
+            envelope_gbps = DEFAULT_ENVELOPE_GBPS
+            print(f"bench: using fallback envelope "
+                  f"{envelope_gbps} GB/s (RESULTS.md)", file=sys.stderr)
 
     k = args.subchunks_per_step
     # distinct input realizations rotated across steps; default: one per
@@ -363,6 +494,21 @@ def main() -> int:
 
     msps = _measure(step, state, inputs, n, args.iters, args.warmup,
                     args.secs, inner=args.inner, variants=variants)
+    if envelope_gbps is not None:
+        # cap at the minimum-traffic speed of light: the chain must at
+        # least read its input and round-trip the DC-blocker planes, so
+        # any higher loop rate is the dispatch pipeline, not compute
+        # (RESULTS.md methodology, automated).
+        min_b = MIN_TRAFFIC_B_PER_SAMPLE[
+            getattr(args, "input_format", "cf32")]
+        bound = envelope_gbps * 1e9 / min_b / 1e6
+        if msps > bound:
+            print(f"bench: loop rate {msps:.0f} exceeds the minimum-"
+                  f"traffic SOL bound {bound:.0f} Msamples/s "
+                  f"({min_b:.0f} B/sample at {envelope_gbps:.0f} GB/s); "
+                  f"recording the bound", file=sys.stderr)
+            msps = bound
+            metric += " (HBM-envelope-capped)"
     print(json.dumps({
         "metric": metric,
         "value": round(msps, 1),
