@@ -27,7 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--frequency", type=float, default=160.0e6,
                    help="receive frequency (metadata for file sources)")
     p.add_argument("--input", type=str, required=True,
-                   help="IQ capture file at 1.024 Msps")
+                   help="IQ capture file at 1.024 Msps, or "
+                        "rtl_tcp://host[:port] for a live network SDR "
+                        "tuned to -f (like the reference's live Soapy "
+                        "source, src/dsd_in.c:151)")
+    p.add_argument("--seconds", type=float, default=10.0,
+                   help="live (rtl_tcp) capture duration")
     p.add_argument("--input-format", type=str, default=None)
     p.add_argument("--output", type=str, default="-",
                    help="output path for 48 kHz s16le audio ('-' = stdout)")
@@ -46,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     ns = build_parser().parse_args(argv)
+    live = ns.input.startswith("rtl_tcp://")
+    if live and ns.device_decode:
+        logging.error("--device-decode needs a capture file, not a live "
+                      "rtl_tcp stream")
+        return 1
     packed_fmt = None
     if ns.device_decode:
         from sdr_pmr446_tpu.ops import decode
@@ -58,7 +68,21 @@ def main(argv=None) -> int:
             return 1
     chain = DsdInChain(subchunks_per_step=ns.subchunks_per_step,
                        input_format=packed_fmt or "cf32")
-    if packed_fmt:
+    live_source = None
+    if live:
+        # live network SDR at the -f frequency (reference init_soapy role,
+        # src/dsd_in.c:151,26-27); cu8 -> cf32 through the native engine
+        from sdr_pmr446_tpu.io.rtl_tcp import RtlTcpSource
+        n_blocks = max(1, int(ns.seconds * 1_024_000) // chain.input_len)
+        live_source = RtlTcpSource(
+            ns.input, chain.input_len, frequency=ns.frequency,
+            gain_db=ns.gain, max_samples=n_blocks * chain.input_len)
+        logging.info("streaming live from %s (tuner: %s, %.3f MHz, "
+                     "%.0f s)", ns.input, live_source.client.tuner_name,
+                     ns.frequency / 1e6, ns.seconds)
+        blocks = live_source.blocks()
+        feed_dtype = jnp.complex64
+    elif packed_fmt:
         from sdr_pmr446_tpu.ops import decode
         dtype = decode.WIRE_DTYPE[packed_fmt]
         raw = np.fromfile(ns.input, dtype=dtype)
@@ -73,13 +97,15 @@ def main(argv=None) -> int:
     else:
         iq = iq_io.read_iq(ns.input, ns.input_format)
         feed_dtype = jnp.complex64
+    if not live:
+        blocks = iq_io.block_stream(iq, chain.step_arg_len)
     state = chain.init_state()
     out = (sys.stdout.buffer if ns.output == "-"
            else open(ns.output, "wb"))
     n_fuse = max(1, ns.steps_per_dispatch)
     try:
         group = []
-        for blk in iq_io.block_stream(iq, chain.step_arg_len):
+        for blk in blocks:
             group.append(jnp.asarray(blk, feed_dtype))
             if len(group) < n_fuse:
                 continue
@@ -106,6 +132,8 @@ def main(argv=None) -> int:
             pass
         return 0
     finally:
+        if live_source is not None:
+            live_source.close()
         if out is not sys.stdout.buffer:
             out.close()
     logging.info("Exiting")

@@ -202,3 +202,22 @@ def test_rtl_tcp_client_rides_out_transient_stalls():
     assert got2 == 0
     cli.close()
     t.join(timeout=5)
+
+
+def test_dsd_in_app_live_rtl_tcp(tmp_path):
+    """dsd_in over a live rtl_tcp stream: tunes to -f, streams one block,
+    emits 48 kHz s16 (the reference dsd_in's live role, src/dsd_in.c:151)."""
+    from sdr_pmr446_tpu.apps import dsd_in as app
+    n = C.SUBCHUNK_IN
+    srv = FakeRtlTcpServer(n)
+    outp = str(tmp_path / "pcm.s16")
+    rc = app.main(["--input", f"rtl_tcp://127.0.0.1:{srv.port}",
+                   "--output", outp, "--subchunks-per-step", "1",
+                   "--seconds", "0.098", "-f", "160000000"])
+    assert rc == 0
+    pcm = np.fromfile(outp, np.int16)
+    assert len(pcm) == n * 3 // 64
+    assert (CMD_SET_FREQ, 160_000_000) in srv.commands
+    # --device-decode is file-only
+    assert app.main(["--input", "rtl_tcp://127.0.0.1:1",
+                     "--device-decode", "--output", outp]) == 1
