@@ -54,6 +54,16 @@ class ShardedDsdInChain:
                            out_specs=out_specs, check_vma=False)
         self._step = jax.jit(fn, donate_argnums=(0,))
 
+        def multi_impl(state, iqs):
+            state, outs = jax.lax.scan(fn, state, iqs)
+            # [S, n_streams, T_out] -> [n_streams, S*T_out]
+            return state, jax.tree.map(
+                lambda v: jnp.moveaxis(v, 0, 1).reshape(
+                    (v.shape[1], v.shape[0] * v.shape[2]) + v.shape[3:]),
+                outs)
+
+        self._multi_step = jax.jit(multi_impl, donate_argnums=(0,))
+
     def _init_one(self) -> DsdState:
         return DsdState(
             dc_x=jnp.zeros((), jnp.complex64),
@@ -71,6 +81,12 @@ class ShardedDsdInChain:
 
     def step(self, state: DsdState, iq: jax.Array):
         return self._step(state, iq)
+
+    def multi_step(self, state: DsdState, iqs: jax.Array):
+        """S stacked blocks ([S, n_streams, input_len]) in one dispatch;
+        pcm comes back [n_streams, S*output_len] — per stream equal to S
+        step() calls within 1 int16 LSB (runtime/fuse.py rationale)."""
+        return self._multi_step(state, iqs)
 
     def _step_shard(self, state: DsdState, iq: jax.Array):
         return jax.vmap(self._step_one)(state, iq)

@@ -209,6 +209,33 @@ def test_driver_prefetch_depth_equivalence():
     assert np.array_equal(r1.audio, r4.audio)
 
 
+def test_dsd_sharded_multi_step():
+    from sdr_pmr446_tpu.parallel.dsd_sharded import ShardedDsdInChain
+    from sdr_pmr446_tpu.parallel.scanner_sharded import make_mesh
+    k, s, n_streams = 2, 2, 2
+    mesh = make_mesh(2, 2)
+    chain = ShardedDsdInChain(mesh, subchunks_per_step=k)
+    fs = C.SDR_SAMPLERATE
+    t = np.arange(s * chain.input_len) / fs
+    msg = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    fmiq = np.exp(1j * 2 * np.pi
+                  * (2000.0 * np.cumsum(msg) + 300.0 * np.arange(len(t)))
+                  / fs).astype(np.complex64)
+    blks = np.stack([fmiq.reshape(s, chain.input_len)] * n_streams, axis=1)
+
+    st_a = chain.init_state(n_streams)
+    ref = []
+    for i in range(s):
+        st_a, o = chain.step(st_a, jnp.asarray(blks[i], jnp.complex64))
+        ref.append(np.asarray(o.pcm))
+    st_b = chain.init_state(n_streams)
+    st_b, fused = chain.multi_step(st_b, jnp.asarray(blks, jnp.complex64))
+    want = np.concatenate(ref, axis=1).astype(np.int64)
+    got = np.asarray(fused.pcm, np.int64)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() <= 1
+
+
 def test_multi_step_packed_input():
     # megastep over raw cs16 wire words decodes identically per block
     from sdr_pmr446_tpu.ops import decode
