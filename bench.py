@@ -124,14 +124,18 @@ def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
     # several timed regions, best rate kept: the tunnel's dispatch
     # pipeline drifts several-fold between regions (RESULTS.md), slow
     # regions are host/tunnel stalls, and fast fictions are handled by
-    # the envelope cap in main()
+    # the envelope cap in main().  The variant index advances GLOBALLY
+    # across regions — the per-step-unique jitter must never repeat, or
+    # the later regions would be elidable repeats of the first and
+    # max(rates) would select exactly that fiction.
     rates = []
     for rep in range(max(1, repeats)):
         t0 = time.perf_counter()
         done = 0
         while done < iters and time.perf_counter() - t0 < secs:
-            state, out = step(state,
-                              *variants[(warmup + done) % len(variants)])
+            state, out = step(
+                state,
+                *variants[(warmup + rep * iters + done) % len(variants)])
             done += 1
         if drain:
             jax.block_until_ready(out)
@@ -281,6 +285,8 @@ def main() -> int:
                         "recorded metric — is honest single-dispatch "
                         "streaming.")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--repeats", type=int, default=3,
+                   help="timed regions; the best rate is recorded (envelope-capped)")
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--secs", type=float, default=20.0)
     p.add_argument("--input-format", default="cf32",
@@ -326,6 +332,10 @@ def main() -> int:
             print(f"bench: using fallback envelope "
                   f"{envelope_gbps} GB/s (RESULTS.md)", file=sys.stderr)
 
+    if args.input_format != "cf32" and args.config not in (
+            "scanner", "scanner-pallas", "waterfall"):
+        print("bench: --input-format only applies to the scanner configs; "
+              "this chain is fed cf32", file=sys.stderr)
     k = args.subchunks_per_step
     # distinct input realizations rotated across steps; default: one per
     # step, so no two executions ever share an input block
@@ -391,7 +401,7 @@ def main() -> int:
             (iqs[i % n_rot],
              params._replace(squelch_level=jnp.float32(
                  C.SDR_DEFAULT_SQUELCH_LEVEL + 1e-5 * i)))
-            for i in range(args.warmup + args.iters)]
+            for i in range(args.warmup + args.repeats * args.iters)]
         inputs = (iq, params)
         step = chain.step
         metric = {
@@ -420,7 +430,7 @@ def main() -> int:
         iqs = [jnp.asarray(synth.make_scanner_iq(n, channel=5, seed=s),
                            jnp.complex64) for s in range(n_rot)]
         variants = [(iqs[i % n_rot], jnp.complex64(1e-7 * (i + 1)))
-                    for i in range(args.warmup + args.iters)]
+                    for i in range(args.warmup + args.repeats * args.iters)]
         inputs = (iq, jnp.complex64(0.0))
         metric = "single-channel NBFM chain input throughput per chip"
     elif args.config == "batch8":
@@ -470,7 +480,7 @@ def main() -> int:
             (iqs[i % n_rot],
              params8._replace(squelch_level=jnp.float32(
                  C.SDR_DEFAULT_SQUELCH_LEVEL + 1e-5 * i)))
-            for i in range(args.warmup + args.iters)]
+            for i in range(args.warmup + args.repeats * args.iters)]
         inputs = (iq, params8)
         step = chain.step
         metric = "16ch scanner chain, 8-stream batch, aggregate per chip"
@@ -488,19 +498,25 @@ def main() -> int:
         iqs = [jnp.asarray(synth.make_scanner_iq(n, channel=8, seed=s),
                            jnp.complex64) for s in range(n_rot)]
         variants = [(iqs[i % n_rot], jnp.complex64(1e-7 * (i + 1)))
-                    for i in range(args.warmup + args.iters)]
+                    for i in range(args.warmup + args.repeats * args.iters)]
         inputs = (iq, jnp.complex64(0.0))
         metric = "dsd_in chain input throughput per chip"
 
     msps = _measure(step, state, inputs, n, args.iters, args.warmup,
-                    args.secs, inner=args.inner, variants=variants)
+                    args.secs, inner=args.inner, variants=variants,
+                    repeats=args.repeats)
     if envelope_gbps is not None:
         # cap at the minimum-traffic speed of light: the chain must at
         # least read its input and round-trip the DC-blocker planes, so
         # any higher loop rate is the dispatch pipeline, not compute
         # (RESULTS.md methodology, automated).
-        min_b = MIN_TRAFFIC_B_PER_SAMPLE[
-            getattr(args, "input_format", "cf32")]
+        # only the scanner-family configs honor --input-format; the other
+        # chains are always fed complex64, so their minimum traffic is
+        # the cf32 one regardless of the flag
+        fmt_for_cap = (args.input_format if args.config in
+                       ("scanner", "scanner-pallas", "waterfall")
+                       else "cf32")
+        min_b = MIN_TRAFFIC_B_PER_SAMPLE[fmt_for_cap]
         bound = envelope_gbps * 1e9 / min_b / 1e6
         if msps > bound:
             print(f"bench: loop rate {msps:.0f} exceeds the minimum-"

@@ -72,8 +72,10 @@ def main(argv=None) -> int:
     if live:
         # live network SDR at the -f frequency (reference init_soapy role,
         # src/dsd_in.c:151,26-27); cu8 -> cf32 through the native engine
+        from sdr_pmr446_tpu import config as C
         from sdr_pmr446_tpu.io.rtl_tcp import RtlTcpSource
-        n_blocks = max(1, int(ns.seconds * 1_024_000) // chain.input_len)
+        n_blocks = max(1, int(ns.seconds * C.SDR_SAMPLERATE)
+                       // chain.input_len)
         live_source = RtlTcpSource(
             ns.input, chain.input_len, frequency=ns.frequency,
             gain_db=ns.gain, max_samples=n_blocks * chain.input_len)
@@ -127,7 +129,9 @@ def main(argv=None) -> int:
         logging.info("downstream pipe closed, exiting")
         try:        # keep interpreter shutdown from re-raising EPIPE
             import os as _o
-            _o.dup2(_o.open(_o.devnull, _o.O_WRONLY), sys.stdout.fileno())
+            fd = _o.open(_o.devnull, _o.O_WRONLY)
+            _o.dup2(fd, sys.stdout.fileno())
+            _o.close(fd)
         except OSError:
             pass
         return 0

@@ -206,6 +206,7 @@ def main(argv=None) -> int:
     if wf_lines is not None:
         from sdr_pmr446_tpu.ui import waterfall as wf_ui
     subchunk = 0
+    total_got = 0             # real samples read (longest capture)
     n_fuse = max(1, ns.steps_per_dispatch)
     group = []                # blocks awaiting one fused dispatch
     eof = False
@@ -214,6 +215,7 @@ def main(argv=None) -> int:
         if got == 0:
             eof = True
         else:
+            total_got += got
             eof = got < block_len
             group.append(jnp.asarray(blk, feed_dtype))
         if not group or (len(group) < n_fuse and not eof):
@@ -268,10 +270,14 @@ def main(argv=None) -> int:
         with open(out_log, "w") as f:
             f.write("\n".join(events[s]) + ("\n" if events[s] else ""))
         if wf_lines is not None:
+            # drop rows of the zero-padded tail: only sub-chunks that
+            # contain actually-read samples get a spectrum line (the
+            # reference prints one row per received chunk)
+            real_sub = -(-total_got // C.SUBCHUNK_IN)
             with open(os.path.join(ns.out_dir,
                                    f"{stem}.waterfall.log"), "w") as f:
-                f.write("\n".join(wf_lines[s])
-                        + ("\n" if wf_lines[s] else ""))
+                rows = wf_lines[s][:real_sub]
+                f.write("\n".join(rows) + ("\n" if rows else ""))
         log.info("%s: %d audio samples (%.2f s), %d events -> %s",
                  stem, len(a), len(a) / C.AUDIO_SAMPLERATE, len(events[s]),
                  out_wav)

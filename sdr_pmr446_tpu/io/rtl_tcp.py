@@ -64,12 +64,15 @@ class RtlTcpClient:
                  timeout: float = 10.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.settimeout(timeout)
-        hdr = self._recv_exact(12, retry_on_timeout=False)
-        if hdr[:4] != MAGIC:
-            self.sock.close()
-            raise RuntimeError(
-                f"not an rtl_tcp server (magic {hdr[:4]!r})")
-        self.tuner_type, self.gain_count = struct.unpack(">II", hdr[4:])
+        try:
+            hdr = self._recv_exact(12, retry_on_timeout=False)
+            if len(hdr) < 12 or hdr[:4] != MAGIC:
+                raise RuntimeError(
+                    f"not an rtl_tcp server (header {hdr[:4]!r})")
+            self.tuner_type, self.gain_count = struct.unpack(">II", hdr[4:])
+        except Exception:
+            self.sock.close()           # no leaked connection on bad hosts
+            raise
         self.tuner_name = TUNER_NAMES.get(self.tuner_type, "UNKNOWN")
         # same setup order as init_soapy (src/shared.c:44-61):
         # rate -> frequency -> gain

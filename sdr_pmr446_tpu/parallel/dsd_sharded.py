@@ -53,16 +53,8 @@ class ShardedDsdInChain:
         fn = jax.shard_map(self._step_shard, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
         self._step = jax.jit(fn, donate_argnums=(0,))
-
-        def multi_impl(state, iqs):
-            state, outs = jax.lax.scan(fn, state, iqs)
-            # [S, n_streams, T_out] -> [n_streams, S*T_out]
-            return state, jax.tree.map(
-                lambda v: jnp.moveaxis(v, 0, 1).reshape(
-                    (v.shape[1], v.shape[0] * v.shape[2]) + v.shape[3:]),
-                outs)
-
-        self._multi_step = jax.jit(multi_impl, donate_argnums=(0,))
+        from sdr_pmr446_tpu.runtime.fuse import fused_sharded_steps
+        self._multi_step = fused_sharded_steps(fn)
 
     def _init_one(self) -> DsdState:
         return DsdState(

@@ -118,21 +118,8 @@ class ShardedScannerChain:
                            in_specs=in_specs, out_specs=out_specs,
                            check_vma=False)
         self._step = jax.jit(fn, donate_argnums=(0,))
-
-        def multi_impl(state, iqs, params):
-            # lax.scan over the shard_mapped step: S block dispatches fused
-            # into one program, state (incl. halos/FSM) carried sequentially
-            def body(st, iq):
-                return fn(st, iq, params)
-
-            state, outs = jax.lax.scan(body, state, iqs)
-            # [S_steps, n_streams, K, ...] -> [n_streams, S_steps*K, ...]
-            return state, jax.tree.map(
-                lambda v: jnp.moveaxis(v, 0, 1).reshape(
-                    (v.shape[1], v.shape[0] * v.shape[2]) + v.shape[3:]),
-                outs)
-
-        self._multi_step = jax.jit(multi_impl, donate_argnums=(0,))
+        from sdr_pmr446_tpu.runtime.fuse import fused_sharded_steps
+        self._multi_step = fused_sharded_steps(fn)
 
     # -- pytree structure helpers (specs need matching treedefs) ----------
     def _state_struct(self):

@@ -43,3 +43,29 @@ def fused_steps(step_impl, donate: bool = True):
         return state, jax.tree.map(_flatten_leading, outs)
 
     return jax.jit(impl, donate_argnums=(0,) if donate else ())
+
+
+def _flatten_stream_major(v: jax.Array) -> jax.Array:
+    """[S_steps, n_streams, K, ...] -> [n_streams, S_steps*K, ...]."""
+    return jax.numpy.moveaxis(v, 0, 1).reshape(
+        (v.shape[1], v.shape[0] * v.shape[2]) + v.shape[3:])
+
+
+def fused_sharded_steps(step_fn, donate: bool = True):
+    """Megastep for shard_mapped chains: lax.scan over the sharded step.
+
+    ``step_fn(state, x, *args)`` is the (already shard_mapped, un-jitted)
+    per-block step over [n_streams, ...] inputs; the fused version takes
+    xs [S, n_streams, ...] and returns outputs reordered stream-major to
+    [n_streams, S*K, ...] — per stream, the in-order concatenation of the
+    S per-step outputs.
+    """
+
+    def impl(state, xs, *args):
+        def body(st, x):
+            return step_fn(st, x, *args)
+
+        state, outs = jax.lax.scan(body, state, xs)
+        return state, jax.tree.map(_flatten_stream_major, outs)
+
+    return jax.jit(impl, donate_argnums=(0,) if donate else ())

@@ -302,7 +302,9 @@ def test_scan_batch_app(tmp_path):
     for s, (ch, code) in enumerate([(5, 12), (9, 20)]):
         wf = open(os.path.join(outd, f"cap{s}.waterfall.log")).read()
         lines = [ln for ln in wf.splitlines() if ln]
-        assert len(lines) == 16 and all(
+        # 10 real sub-chunks per capture: the zero-padded tail of the
+        # final block must NOT produce fabricated spectrum rows
+        assert len(lines) == 10 and all(
             ln.startswith(" > ") and "max SNR:" in ln for ln in lines)
         audio, rate = wav.read_wav(os.path.join(outd, f"cap{s}.wav"))
         assert rate == C.AUDIO_SAMPLERATE and len(audio) > 0
