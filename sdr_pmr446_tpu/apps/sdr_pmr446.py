@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(block index, carried state) for failure recovery")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="blocks between checkpoints (with --checkpoint)")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"],
+                   default="npz",
+                   help="npz single file, or orbax directory (the JAX-"
+                        "ecosystem standard, sharded-array-aware)")
     p.add_argument("--resume", action="store_true",
                    help="restore --checkpoint and continue mid-capture")
     return p
@@ -240,7 +244,8 @@ def main(argv=None) -> int:
                            checkpoint_path=ns.checkpoint,
                            checkpoint_every=ns.checkpoint_every,
                            input_format=packed_fmt or "cf32",
-                           steps_per_dispatch=ns.steps_per_dispatch)
+                           steps_per_dispatch=ns.steps_per_dispatch,
+                           checkpoint_backend=ns.checkpoint_backend)
     if ns.resume:
         if not ns.checkpoint:
             logging.error("--resume needs --checkpoint")

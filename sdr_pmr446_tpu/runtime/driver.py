@@ -67,7 +67,8 @@ class ScannerDriver:
                  checkpoint_every: int = 0,
                  input_format: str = "cf32",
                  steps_per_dispatch: int = 1,
-                 prefetch_depth: int = 2):
+                 prefetch_depth: int = 2,
+                 checkpoint_backend: str = "npz"):
         self.args = args or C.ScannerArgs()
         # input_format "cs16"/"cu8": run() consumes blocks of RAW wire
         # bytes packed as f32 words (ops/decode.py) and the chain decodes
@@ -86,6 +87,10 @@ class ScannerDriver:
         # (block_index, state pytree); restore() resumes mid-capture
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
+        # "npz" (single-file) or "orbax" (directory; the JAX-ecosystem
+        # standard — sharded-array-aware for multi-host deployments)
+        assert checkpoint_backend in ("npz", "orbax")
+        self.checkpoint_backend = checkpoint_backend
         self._resume_skip = 0            # armed by restore(), one-shot
         # dispatch S blocks per jitted call (chain.multi_step lax.scan):
         # amortizes the per-dispatch runtime floor S-fold in streaming
@@ -100,9 +105,11 @@ class ScannerDriver:
     def restore(self, path: Optional[str] = None) -> int:
         """Load a checkpoint; run() then skips the already-processed blocks
         of its input iterator.  Returns the restored block index."""
-        from sdr_pmr446_tpu.runtime.state import load_state
-        self.block_index, self.state = load_state(
-            path or self.checkpoint_path)
+        from sdr_pmr446_tpu.runtime import state as state_io
+        load = (state_io.load_state_orbax
+                if self.checkpoint_backend == "orbax"
+                else state_io.load_state)
+        self.block_index, self.state = load(path or self.checkpoint_path)
         self.subchunk = self.block_index * self.chain.block.subchunks_per_step
         self._resume_skip = self.block_index
         log.info("restored checkpoint at block %d (%d sub-chunks)",
@@ -112,8 +119,11 @@ class ScannerDriver:
     def _maybe_checkpoint(self) -> None:
         if (self.checkpoint_path and self.checkpoint_every
                 and self.block_index % self.checkpoint_every == 0):
-            from sdr_pmr446_tpu.runtime.state import save_state
-            save_state(self.checkpoint_path, self.block_index, self.state)
+            from sdr_pmr446_tpu.runtime import state as state_io
+            save = (state_io.save_state_orbax
+                    if self.checkpoint_backend == "orbax"
+                    else state_io.save_state)
+            save(self.checkpoint_path, self.block_index, self.state)
 
     @property
     def block_len(self) -> int:

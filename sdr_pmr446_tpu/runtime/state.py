@@ -96,3 +96,55 @@ def load_state(path: str) -> tuple[int, ScannerState]:
     n = len(ScannerState._fields)
     vals = [jnp.asarray(z[f"s{i}"]) for i in range(n)]
     return int(z["block_index"]), ScannerState(*vals)
+
+
+# ------------------------------------------------------------- orbax backend
+def save_state_orbax(path: str, block_index: int, state) -> None:
+    """Orbax checkpoint: the production/multi-host-idiomatic backend.
+
+    Same contract as save_state (complete resume point, SURVEY.md §5) but
+    stored as an Orbax StandardCheckpoint — sharded arrays save without a
+    host gather on real meshes, and the format is the JAX-ecosystem
+    standard.  ``path`` is a directory.  Works for any chain's state
+    pytree, not just ScannerState.
+    """
+    import json
+    import os
+    import orbax.checkpoint as ocp
+    from sdr_pmr446_tpu.runtime.transfer import fetch
+    host = [np.asarray(v) for v in fetch(list(state))]
+    # orbax refuses zero-size arrays (e.g. wf_hist with the waterfall
+    # off): store their (shape, dtype) as metadata instead
+    leaves, empties = {}, {}
+    for i, v in enumerate(host):
+        if v.size == 0:
+            empties[f"s{i}"] = [list(v.shape), str(v.dtype)]
+        else:
+            leaves[f"s{i}"] = v
+    meta = np.frombuffer(json.dumps(empties).encode(), np.uint8).copy()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path),
+                   {"block_index": np.int64(block_index),
+                    "leaves": leaves, "empties": meta},
+                   force=True)
+
+
+def load_state_orbax(path: str, state_cls=ScannerState):
+    """Restore (block_index, state) from an Orbax checkpoint directory."""
+    import json
+    import os
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    empties = json.loads(bytes(np.asarray(tree["empties"],
+                                          np.uint8)).decode())
+    n = len(state_cls._fields)
+    vals = []
+    for i in range(n):
+        key = f"s{i}"
+        if key in empties:
+            shape, dtype = empties[key]
+            vals.append(jnp.zeros(tuple(shape), dtype))
+        else:
+            vals.append(jnp.asarray(tree["leaves"][key]))
+    return int(tree["block_index"]), state_cls(*vals)

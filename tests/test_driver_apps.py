@@ -387,3 +387,42 @@ def test_dsd_app_survives_closed_pipe(tmp_path):
                           capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "downstream pipe closed" in proc.stderr
+
+
+def test_orbax_checkpoint_roundtrip_and_resume(tmp_path):
+    """Orbax backend: bit-exact state roundtrip, and a driver resumed from
+    an orbax checkpoint continues identically to the npz backend."""
+    import itertools
+    from sdr_pmr446_tpu.runtime.state import (save_state_orbax,
+                                              load_state_orbax)
+    iq = _demo_iq(seconds=1.5)
+    args = C.ScannerArgs(lock_mode="max")
+
+    ref = ScannerDriver(args, subchunks_per_step=5)
+    full = ref.run(iq_io.block_stream(iq, ref.block_len))
+
+    ckpt = str(tmp_path / "ck_orbax")
+    drv1 = ScannerDriver(args, subchunks_per_step=5, checkpoint_path=ckpt,
+                         checkpoint_every=1, checkpoint_backend="orbax")
+    part1 = drv1.run(itertools.islice(
+        iq_io.block_stream(iq, drv1.block_len), 1))
+
+    # raw roundtrip is bit-exact
+    bi, st = load_state_orbax(ckpt)
+    assert bi == 1
+    for a, b, name in zip(st, drv1.state, st._fields):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    save_state_orbax(str(tmp_path / "ck2"), bi, st)
+    bi2, st2 = load_state_orbax(str(tmp_path / "ck2"))
+    assert bi2 == bi
+    for a, b in zip(st, st2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    drv2 = ScannerDriver(args, subchunks_per_step=5, checkpoint_path=ckpt,
+                         checkpoint_backend="orbax")
+    assert drv2.restore() == 1
+    part2 = drv2.run(iq_io.block_stream(iq, drv2.block_len))
+    np.testing.assert_array_equal(
+        np.concatenate([part1.audio, part2.audio]), full.audio)
+    assert part1.events + part2.events == full.events
