@@ -242,3 +242,26 @@ class TestDecode:
                                    atol=tol)
         np.testing.assert_allclose(z.imag, np.clip(iq.imag, -0.99, 0.99),
                                    atol=tol)
+
+
+def test_decode_fuzz_all_byte_values():
+    """Device decode == host converters over RANDOM wire bytes covering
+    the full value range of every packed format (not just quantized
+    signal fixtures) — including extreme/boundary byte patterns."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.ops import decode
+    from sdr_pmr446_tpu.io import native
+
+    rng = np.random.default_rng(123)
+    for fmt in ("cs16", "cu8", "cs8"):
+        dtype = decode.WIRE_DTYPE[fmt]
+        info = np.iinfo(dtype)
+        raw = rng.integers(info.min, info.max + 1, 4096, dtype=dtype)
+        # force the boundary values in
+        raw[:4] = [info.min, info.max, 0, info.max if fmt == "cu8" else -1]
+        want = native.convert_iq(raw, fmt)
+        packed = decode.pack_bytes(raw, fmt)
+        got = np.asarray(decode.decode_complex(jnp.asarray(packed), fmt))
+        np.testing.assert_array_equal(got, want.astype(np.complex64),
+                                      err_msg=fmt)
