@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "to <stem>.waterfall.log")
     p.add_argument("--mesh", type=str, default="",
                    help="mesh shape S,T (default: all devices as streams)")
+    p.add_argument("--coordinator", type=str, default="",
+                   help="multi-host: coordinator host:port; run one "
+                        "process per host with --num-processes/"
+                        "--process-id (captures must be on a shared "
+                        "filesystem; process 0 writes the outputs)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
     p.add_argument("--subchunks-per-step", type=int, default=10)
     p.add_argument("--steps-per-dispatch", type=int, default=1,
@@ -111,9 +118,16 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     from sdr_pmr446_tpu.io import native, wav
     from sdr_pmr446_tpu.parallel.scanner_sharded import (ShardedScannerChain,
-                                                         make_mesh)
+                                                         make_mesh,
+                                                         STREAM_AXIS,
+                                                         TIME_AXIS)
     from sdr_pmr446_tpu.scanner.chain import make_runtime_params
     from sdr_pmr446_tpu.runtime.transfer import fetch
+
+    multihost = bool(ns.coordinator)
+    if multihost:
+        from sdr_pmr446_tpu.parallel import distributed as dist
+        dist.initialize(ns.coordinator, ns.num_processes, ns.process_id)
 
     paths = ns.captures
     n_streams = len(paths)
@@ -179,7 +193,11 @@ def main(argv=None) -> int:
             logging.error("%s", e)
             return 1
 
-    mesh = make_mesh(s_axis, t_axis)
+    if multihost:
+        mesh = dist.global_mesh(s_axis, t_axis,
+                                axis_names=(STREAM_AXIS, TIME_AXIS))
+    else:
+        mesh = make_mesh(s_axis, t_axis)
     chain = ShardedScannerChain(
         mesh, C.BlockConfig(ns.subchunks_per_step), lowpass=ns.lowpass,
         use_pallas=ns.engine == "pallas",
@@ -189,7 +207,19 @@ def main(argv=None) -> int:
         # kernels run under the Pallas interpreter, like the halo_dma path
         pallas_interpret=jax.default_backend() != "tpu")
     params = make_runtime_params(args)
-    state = chain.init_state(n_streams)
+    if multihost:
+        # globally-sharded initial state: every process materializes only
+        # the stream shards its devices address
+        from jax.sharding import PartitionSpec as P
+        specs = jax.tree.map(lambda _: P(STREAM_AXIS),
+                             chain._state_struct())
+        host0 = jax.tree.map(
+            lambda a: np.broadcast_to(
+                np.asarray(a), (n_streams,) + np.asarray(a).shape).copy(),
+            chain._state_struct())
+        state = dist.globalize_pytree(mesh, specs, host0)
+    else:
+        state = chain.init_state(n_streams)
     block_len = chain.block.input_len
     log.info("scanning %d captures on a (%d stream x %d time) mesh, "
              "%s engine", n_streams, s_axis, t_axis, ns.engine)
@@ -217,15 +247,36 @@ def main(argv=None) -> int:
         else:
             total_got += got
             eof = got < block_len
-            group.append(jnp.asarray(blk, feed_dtype))
+            # multihost: keep blocks as host numpy and globalize at
+            # dispatch so each process ships only its addressable shards
+            group.append(np.asarray(blk) if multihost
+                         else jnp.asarray(blk, feed_dtype))
         if not group or (len(group) < n_fuse and not eof):
             continue
-        if len(group) == 1:
+        if multihost:
+            from jax.sharding import PartitionSpec as P
+            if len(group) == 1:
+                x = dist.make_global_array(
+                    mesh, P(STREAM_AXIS, TIME_AXIS), group[0])
+                state, out = chain.step(state, x, params)
+            else:
+                xs = dist.make_global_array(
+                    mesh, P(None, STREAM_AXIS, TIME_AXIS), np.stack(group))
+                state, out = chain.multi_step(state, xs, params)
+        elif len(group) == 1:
             state, out = chain.step(state, group[0], params)
         else:
             state, out = chain.multi_step(state, jnp.stack(group), params)
         group = []
-        host = dict(zip(out._fields, fetch(list(out))))
+        if multihost:
+            # audio-rate outputs are tiny; gather them everywhere and let
+            # process 0 do the writing
+            from jax.experimental import multihost_utils
+            host = {f: np.asarray(
+                multihost_utils.process_allgather(v, tiled=True))
+                for f, v in zip(out._fields, out)}
+        else:
+            host = dict(zip(out._fields, fetch(list(out))))
         for s in range(n_streams):
             for i in range(host["active_chan"].shape[1]):
                 if host["audio_valid"][s][i]:
@@ -250,6 +301,11 @@ def main(argv=None) -> int:
                         float(host["rel_rssi"][s][i])))
         subchunk += host["active_chan"].shape[1]
     reader.close()
+
+    if multihost and ns.process_id != 0:
+        log.info("process %d done (process 0 writes the outputs)",
+                 ns.process_id)
+        return 0
 
     # unique output stems: same-named captures from different directories
     # must not overwrite each other's outputs
