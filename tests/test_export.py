@@ -13,8 +13,6 @@ def test_exported_scanner_step_roundtrip(tmp_path):
     from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
 
     out = str(tmp_path / "scanner_k1.jaxexport")
-    ns = export_chain.build_parser().parse_args(
-        ["--config", "scanner", "-k", "1", "--out", out])
     assert export_chain.main(["--config", "scanner", "-k", "1",
                               "--out", out]) == 0
 
@@ -32,7 +30,7 @@ def test_exported_scanner_step_roundtrip(tmp_path):
     for a, b, name in zip(out_live, out_exp, out_live._fields):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
-    del ns
+    del st_live, st_exp
 
 
 def test_exported_dsd_step_roundtrip(tmp_path):
