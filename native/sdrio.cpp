@@ -166,6 +166,10 @@ size_t sdrio_reader_read(SdrReader* rd, float* dst, size_t n_samples) {
   }
   size_t got = fread(rd->raw, 1, want_bytes, rd->f);
   size_t got_floats = got / elem;
+  // a file truncated mid-sample leaves an orphan I value: drop it so the
+  // zero-filled region really is zero (parity with the NumPy fallback,
+  // which truncates to an even element count)
+  got_floats &= ~static_cast<size_t>(1);
   switch (rd->fmt) {
     case 0: memcpy(dst, rd->raw, got_floats * sizeof(float)); break;
     case 1: sdrio_convert_cs16(reinterpret_cast<int16_t*>(rd->raw), dst,
@@ -255,13 +259,19 @@ void sdrio_wav_write(SdrWav* w, const float* samples, size_t n) {
     while (done < n) {
       size_t chunk = n - done < 4096 ? n - done : 4096;
       sdrio_convert_f32_to_s16(samples + done, buf, chunk, 32767.0f);
-      fwrite(buf, 2, chunk, w->f);
+      size_t wrote = fwrite(buf, 2, chunk, w->f);
+      w->data_bytes += static_cast<uint64_t>(2 * wrote);
+      if (wrote < chunk) {  // disk full/IO error: header must only claim
+        fprintf(stderr, "sdrio_wav: short write (disk full?)\n");
+        return;             // bytes actually on disk
+      }
       done += chunk;
-      w->data_bytes += static_cast<uint64_t>(2 * chunk);
     }
   } else {
-    fwrite(samples, 4, n, w->f);
-    w->data_bytes += static_cast<uint64_t>(4 * n);
+    size_t wrote = fwrite(samples, 4, n, w->f);
+    w->data_bytes += static_cast<uint64_t>(4 * wrote);
+    if (wrote < n)
+      fprintf(stderr, "sdrio_wav: short write (disk full?)\n");
   }
 }
 
@@ -280,15 +290,54 @@ void sdrio_wav_close(SdrWav* w) {
 // convert formats concurrently)
 // ---------------------------------------------------------------------------
 
+#include <condition_variable>
+#include <mutex>
 #include <thread>
 #include <vector>
 
 extern "C" {
 
+// Persistent worker pool: batch_read runs once per streamed block, so
+// per-call thread create/join (tens of microseconds each at multi-GB/s
+// ingest rates) is avoidable overhead — workers are created in
+// sdrio_batch_open and parked on a condition variable between jobs.
 struct SdrBatchReader {
   std::vector<SdrReader*> readers;
-  size_t n_streams;
+  size_t n_streams = 0;
+
+  std::vector<std::thread> pool;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  std::atomic<size_t> next{0};
+  size_t running = 0;           // workers still on the current job
+  uint64_t job_id = 0;
+  bool shutdown = false;
+  float* dst = nullptr;
+  size_t n_samples = 0;
+  std::vector<size_t> got;
 };
+
+static void batch_worker(SdrBatchReader* b) {
+  uint64_t seen = 0;
+  for (;;) {
+    {
+      std::unique_lock<std::mutex> lk(b->mu);
+      b->cv_work.wait(lk, [&] { return b->shutdown || b->job_id != seen; });
+      if (b->shutdown) return;
+      seen = b->job_id;
+    }
+    size_t stride = 2 * b->n_samples;
+    size_t i;
+    while ((i = b->next.fetch_add(1)) < b->n_streams) {
+      b->got[i] = sdrio_reader_read(b->readers[i], b->dst + i * stride,
+                                    b->n_samples);
+    }
+    {
+      std::lock_guard<std::mutex> lk(b->mu);
+      if (--b->running == 0) b->cv_done.notify_all();
+    }
+  }
+}
 
 SdrBatchReader* sdrio_batch_open(const char** paths, const int* fmts,
                                  size_t n_streams) {
@@ -303,36 +352,44 @@ SdrBatchReader* sdrio_batch_open(const char** paths, const int* fmts,
     }
     b->readers.push_back(r);
   }
+  b->got.assign(n_streams, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t n_workers = n_streams < (hw ? hw : 1) ? n_streams : (hw ? hw : 1);
+  for (size_t w = 0; w < n_workers; ++w)
+    b->pool.emplace_back(batch_worker, b);
   return b;
 }
 
 // dst: [n_streams, 2*n_samples] floats. Returns the max sample count
 // produced across streams (0 = all at EOF); short streams zero-fill.
 size_t sdrio_batch_read(SdrBatchReader* b, float* dst, size_t n_samples) {
-  std::vector<size_t> got(b->n_streams, 0);
-  size_t stride = 2 * n_samples;
-  unsigned hw = std::thread::hardware_concurrency();
-  size_t n_workers = b->n_streams < (hw ? hw : 1)
-                         ? b->n_streams : (hw ? hw : 1);
-  std::vector<std::thread> workers;
-  std::atomic<size_t> next{0};
-  for (size_t w = 0; w < n_workers; ++w) {
-    workers.emplace_back([&]() {
-      size_t i;
-      while ((i = next.fetch_add(1)) < b->n_streams) {
-        got[i] = sdrio_reader_read(b->readers[i], dst + i * stride,
-                                   n_samples);
-      }
-    });
+  {
+    std::lock_guard<std::mutex> lk(b->mu);
+    b->dst = dst;
+    b->n_samples = n_samples;
+    std::fill(b->got.begin(), b->got.end(), 0);
+    b->next.store(0);
+    b->running = b->pool.size();
+    ++b->job_id;
   }
-  for (auto& t : workers) t.join();
+  b->cv_work.notify_all();
+  {
+    std::unique_lock<std::mutex> lk(b->mu);
+    b->cv_done.wait(lk, [&] { return b->running == 0; });
+  }
   size_t mx = 0;
-  for (size_t v : got) mx = v > mx ? v : mx;
+  for (size_t v : b->got) mx = v > mx ? v : mx;
   return mx;
 }
 
 void sdrio_batch_close(SdrBatchReader* b) {
   if (!b) return;
+  {
+    std::lock_guard<std::mutex> lk(b->mu);
+    b->shutdown = true;
+  }
+  b->cv_work.notify_all();
+  for (auto& t : b->pool) t.join();
   for (auto* r : b->readers) sdrio_reader_close(r);
   delete b;
 }

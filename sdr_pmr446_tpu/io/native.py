@@ -97,6 +97,9 @@ class RingBuffer:
         self.capacity = capacity
         if _lib is not None:
             self._h = _lib.sdrio_ring_create(capacity)
+            if not self._h:
+                raise MemoryError(
+                    f"sdrio_ring_create({capacity}) failed")
             self._np = None
         else:
             self._h = None
@@ -155,7 +158,18 @@ def convert_iq(raw: np.ndarray, fmt: str) -> np.ndarray:
     the native reader's got_floats/2 behavior.
     """
     code = _FMT_CODES[fmt]
-    raw = np.asarray(raw)[: (np.asarray(raw).size // 2) * 2]
+    expected = {0: np.float32, 1: np.int16, 2: np.uint8, 3: np.int8}[code]
+    raw = np.asarray(raw)
+    if raw.dtype != expected:
+        # a uint8 buffer is raw WIRE BYTES: reinterpret (the frombuffer
+        # pattern); anything else is a value cast.  Without this the
+        # native converters would read raw.size elements of the WRONG
+        # width — an out-of-bounds read for e.g. uint8 data + fmt cs16.
+        if raw.dtype == np.uint8 and expected is not np.uint8:
+            raw = np.frombuffer(raw.tobytes(), dtype=expected)
+        else:
+            raw = raw.astype(expected)
+    raw = raw[: raw.size // 2 * 2]
     if code == 0:
         f = np.ascontiguousarray(raw, dtype=np.float32)
     elif _lib is not None:
@@ -224,6 +238,8 @@ class WavWriter:
         if _lib is not None:
             self._h = _lib.sdrio_wav_open(path.encode(), sample_rate,
                                           1 if s16 else 0)
+            if not self._h:
+                raise OSError(f"cannot open WAV for writing: {path}")
             self._buf = None
         else:
             self._h = None

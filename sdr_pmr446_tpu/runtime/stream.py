@@ -48,17 +48,20 @@ class StreamingSource:
             self._pump_inner()
         except BaseException as e:           # propagate to the consumer
             self._error = e
+        finally:
+            # ALWAYS signal the consumer — also on close()-requested stop,
+            # which previously left blocks() spinning on a never-set event
             self._eof.set()
 
     def _pump_inner(self):
         while not self._stop.is_set():
             block, got = self.reader.read_block(self.read_chunk)
             if got == 0:
-                self._eof.set()
                 return
-            inter = np.empty(2 * got, np.float32)
-            inter[0::2] = block.real[:got]
-            inter[1::2] = block.imag[:got]
+            # contiguous complex64 viewed as f32 IS the interleaved I/Q
+            # layout the ring holds — zero-copy, no re-interleave pass
+            inter = np.ascontiguousarray(
+                block[:got], np.complex64).view(np.float32)
             written = 0
             while written < inter.size and not self._stop.is_set():
                 w = self.ring.write(inter[written:])
@@ -67,7 +70,6 @@ class StreamingSource:
                     # ring full: wait for the consumer
                     self._stop.wait(0.001)
             if got < self.read_chunk:
-                self._eof.set()
                 return
 
     def blocks(self) -> Iterator[np.ndarray]:
@@ -76,18 +78,25 @@ class StreamingSource:
             self._thread.start()
             self._started = True
         need = 2 * self.block_len
+
+        def to_c64(raw):
+            # interleaved f32 -> complex64 reinterpretation (zero-copy)
+            return np.ascontiguousarray(raw, np.float32).view(np.complex64)
+
         while True:
             if self.ring.size() >= need:
-                raw = self.ring.read(need)
-                yield (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+                yield to_c64(self.ring.read(need))
             elif self._eof.is_set():
                 if self._error is not None:
                     raise RuntimeError("reader thread failed") from self._error
-                rem = self.ring.size()
-                if rem == 0:
+                # the pump may have written several blocks' worth between
+                # our size() check and the eof flag: drain FULL blocks
+                # first, then the zero-padded tail
+                while self.ring.size() >= need:
+                    yield to_c64(self.ring.read(need))
+                if self.ring.size() == 0:
                     return
-                raw = self.ring.read(need)      # zero-fills shortfall
-                yield (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+                yield to_c64(self.ring.read(need))  # zero-fills shortfall
                 return
             else:
                 self._eof.wait(0.001)

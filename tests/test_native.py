@@ -146,3 +146,41 @@ def test_batch_reader(io_mode, tmp_path):
         got = np.concatenate([b1[s], b2[s][:2000]])
         np.testing.assert_allclose(got, data[s], atol=2e-4)
         np.testing.assert_array_equal(b2[s][2000:], 0)
+
+
+def test_streaming_source_emits_all_tail_blocks():
+    """A reader that delivers several blocks' worth in one chunk before
+    EOF must yield EVERY block (the eof branch drains full blocks before
+    the zero-padded tail — data between the consumer's size check and the
+    eof flag was previously droppable)."""
+    import numpy as np
+    from sdr_pmr446_tpu.runtime.stream import StreamingSource
+
+    data = (np.arange(3500, dtype=np.float32)
+            + 1j * (1.0 + np.arange(3500, dtype=np.float32))).astype(
+        np.complex64)
+
+    class ChunkyReader:
+        def __init__(self):
+            self.sent = False
+
+        def read_block(self, n):
+            if self.sent:
+                return np.zeros(n, np.complex64), 0
+            self.sent = True
+            out = np.zeros(n, np.complex64)
+            out[:len(data)] = data
+            return out, len(data)
+
+        def close(self):
+            pass
+
+    src = StreamingSource.__new__(StreamingSource)
+    StreamingSource._init_with_reader(src, ChunkyReader(), 1000,
+                                      read_chunk=4096)
+    blocks = list(src.blocks())
+    src.close()
+    assert len(blocks) == 4                    # 3 full + zero-padded tail
+    got = np.concatenate(blocks)
+    np.testing.assert_array_equal(got[:3500], data)
+    np.testing.assert_array_equal(got[3500:], np.zeros(500, np.complex64))
