@@ -238,21 +238,9 @@ def main(argv=None) -> int:
     subchunk = 0
     total_got = 0             # real samples read (longest capture)
     n_fuse = max(1, ns.steps_per_dispatch)
-    group = []                # blocks awaiting one fused dispatch
-    eof = False
-    while not eof:
-        blk, got = reader.read_block(block_len)     # [S, block|words]
-        if got == 0:
-            eof = True
-        else:
-            total_got += got
-            eof = got < block_len
-            # multihost: keep blocks as host numpy and globalize at
-            # dispatch so each process ships only its addressable shards
-            group.append(np.asarray(blk) if multihost
-                         else jnp.asarray(blk, feed_dtype))
-        if not group or (len(group) < n_fuse and not eof):
-            continue
+
+    def _dispatch(group):
+        nonlocal state
         if multihost:
             from jax.sharding import PartitionSpec as P
             if len(group) == 1:
@@ -267,7 +255,10 @@ def main(argv=None) -> int:
             state, out = chain.step(state, group[0], params)
         else:
             state, out = chain.multi_step(state, jnp.stack(group), params)
-        group = []
+        return out
+
+    def _drain(out):
+        nonlocal subchunk
         if multihost:
             # audio-rate outputs are tiny; gather them everywhere and let
             # process 0 do the writing
@@ -300,6 +291,33 @@ def main(argv=None) -> int:
                         host["waterfall"][s][i],
                         float(host["rel_rssi"][s][i])))
         subchunk += host["active_chan"].shape[1]
+
+    # software pipelining (same as runtime/driver.py): drain megastep i
+    # only after dispatching i+1, so host-side fetch/render overlaps the
+    # device compute of the next megastep
+    group = []                # blocks awaiting one fused dispatch
+    pending = None
+    eof = False
+    while not eof:
+        blk, got = reader.read_block(block_len)     # [S, block|words]
+        if got == 0:
+            eof = True
+        else:
+            total_got += got
+            eof = got < block_len
+            # multihost: keep blocks as host numpy and globalize at
+            # dispatch so each process ships only its addressable shards
+            group.append(np.asarray(blk) if multihost
+                         else jnp.asarray(blk, feed_dtype))
+        if not group or (len(group) < n_fuse and not eof):
+            continue
+        out = _dispatch(group)
+        group = []
+        if pending is not None:
+            _drain(pending)
+        pending = out
+    if pending is not None:
+        _drain(pending)
     reader.close()
 
     if multihost and ns.process_id != 0:
