@@ -86,7 +86,7 @@ class ScannerChain:
                  waterfall: int = 0, use_pallas: bool = False,
                  pallas_interpret: bool = False,
                  pallas_tiles: tuple = (1024, 1024, 256),
-                 input_format: str = "cf32"):
+                 input_format: str = "cf32", fuse_dc: bool = True):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
         # remote compiler, smaller ones add grid-step overhead
@@ -106,6 +106,9 @@ class ScannerChain:
         self.waterfall = waterfall
         spectrogram.validate_width(waterfall)
         self.use_pallas = use_pallas
+        # fuse the IQ DC blocker INTO the resampler kernel (front-end HBM
+        # traffic 24 -> 8 B/sample, NEXT.md #0); same math to f32 rounding
+        self.fuse_dc = fuse_dc and use_pallas
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
@@ -113,8 +116,13 @@ class ScannerChain:
             res_tile, pfb_tile, audio_tile = pallas_tiles
             self.pallas_pfb = PallasPfbDemod(tile_f=pfb_tile,
                                              interpret=pallas_interpret)
-            self.pallas_resampler = PallasResampler(
-                tile_f=res_tile, interpret=pallas_interpret)
+            if self.fuse_dc:
+                from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
+                self.pallas_front = PallasFrontEnd(
+                    interpret=pallas_interpret)
+            else:
+                self.pallas_resampler = PallasResampler(
+                    tile_f=res_tile, interpret=pallas_interpret)
             self.pallas_audio = PallasAudioBank(
                 lowpass=lowpass, fir_deemph=fir_deemph, tile_r=audio_tile,
                 interpret=pallas_interpret)
@@ -135,7 +143,11 @@ class ScannerChain:
         self._multi_step = fused_steps(self._step_impl)
 
     def init_state(self) -> ScannerState:
-        return init_scanner_state(self.resampler.hist_len,
+        # the fused front end carries 384 DC-blocked samples (3 x 128 rows)
+        # instead of the unfused 345 raw-input tail
+        resamp_hist_len = (self.pallas_front.hist_len if self.fuse_dc
+                           else self.resampler.hist_len)
+        return init_scanner_state(resamp_hist_len,
                                   self.pfb.hist_len,
                                   self.deemph_hist_len,
                                   waterfall=self.waterfall,
@@ -195,18 +207,29 @@ class ScannerChain:
                 # packed wire bytes -> planes directly (never complex)
                 xr, xi = decode_op.decode_planes(iq, self.input_format)
 
-            # 1. IQ DC blocker: identical one-pole arithmetic on stacked
-            # planes (complex z with real pole == two independent real scans)
-            st = (jnp.stack([jnp.real(state.dc_x), jnp.imag(state.dc_x)]),
-                  jnp.stack([jnp.real(state.dc_y), jnp.imag(state.dc_y)]))
-            (ndx, ndy), xp = iir.dc_blocker_apply(
-                st, jnp.stack([xr, xi]), C.DC_BLOCK_ALPHA)
-            dc_x = jax.lax.complex(ndx[0], ndx[1])
-            dc_y = jax.lax.complex(ndy[0], ndy[1])
+            if self.fuse_dc:
+                # 1+2. fused IQ DC blocker + 25/128 polyphase resampler: the
+                # one-pole recurrence runs INSIDE the resampler kernel as
+                # row-local matmuls + a triangular carry matmul, so the
+                # blocked planes never round-trip HBM (kernels/front_end.py)
+                dc_x, dc_y, resamp_hist, br, bi = \
+                    self.pallas_front.apply_planes(
+                        state.dc_x, state.dc_y, state.resamp_hist, xr, xi)
+            else:
+                # 1. IQ DC blocker: identical one-pole arithmetic on stacked
+                # planes (complex z with real pole == two independent scans)
+                st = (jnp.stack([jnp.real(state.dc_x),
+                                 jnp.imag(state.dc_x)]),
+                      jnp.stack([jnp.real(state.dc_y),
+                                 jnp.imag(state.dc_y)]))
+                (ndx, ndy), xp = iir.dc_blocker_apply(
+                    st, jnp.stack([xr, xi]), C.DC_BLOCK_ALPHA)
+                dc_x = jax.lax.complex(ndx[0], ndx[1])
+                dc_y = jax.lax.complex(ndy[0], ndy[1])
 
-            # 2. 25/128 polyphase resampler (plane in, plane out)
-            resamp_hist, br, bi = self.pallas_resampler.apply_planes(
-                state.resamp_hist, xp[0], xp[1])
+                # 2. 25/128 polyphase resampler (plane in, plane out)
+                resamp_hist, br, bi = self.pallas_resampler.apply_planes(
+                    state.resamp_hist, xp[0], xp[1])
 
             # 3-5. fused NCO + PFB + |y| + NBFM discriminator kernel
             demod, mag, pfb_hist, parity, demod_prev = \

@@ -1,0 +1,101 @@
+"""Fused DC-blocker + resampler kernel (kernels/front_end.py) correctness.
+
+Interpret mode vs the pure-JAX op chain (ops/iir + ops/resample).  The fused
+kernel re-orders the recurrence's f32 summations (matmul form vs sequential
+scan), so equality is held to an SNR bound rather than bit-exactness —
+>100 dB, far beyond the chain's acceptance bounds.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.kernels.front_end import (PallasFrontEnd, reference_impl,
+                                              pick_tile, HIST)
+
+
+def _snr_db(ref, err):
+    p_ref = float(np.sum(np.abs(ref) ** 2))
+    p_err = float(np.sum(np.abs(err) ** 2))
+    return 10.0 * np.log10(p_ref / max(p_err, 1e-30))
+
+
+def test_pick_tile():
+    assert pick_tile(784, 512) == 392
+    assert pick_tile(40 * 784, 448) == 448
+    assert pick_tile(16, 512) == 16
+    assert 448 * (20 * 784 // 448) == 20 * 784   # divides K=20 rows
+    with pytest.raises(ValueError):
+        pick_tile(12, 512)
+
+
+def test_front_end_matches_opchain_streaming():
+    """3 streamed blocks, multiple grid tiles, DC offset in the input."""
+    rng = np.random.default_rng(0)
+    fe = PallasFrontEnd(tile_rows=64, interpret=True)
+    dcx, dcy, hist = fe.init_state()
+    rdcx, rdcy, rhist = dcx, dcy, hist
+    t = 128 * 112                       # 112 rows -> 2 tiles of 56
+    for blk in range(3):
+        x = jnp.asarray((rng.standard_normal(t)
+                         + 1j * rng.standard_normal(t)
+                         + (0.3 + 0.2j)).astype(np.complex64))
+        dcx, dcy, hist, yr, yi = fe.apply_planes(
+            dcx, dcy, hist, jnp.real(x), jnp.imag(x))
+        band = jax.lax.complex(yr, yi).reshape(-1)
+        rdcx, rdcy, rhist, rband = reference_impl(rdcx, rdcy, rhist, x)
+        assert band.shape == rband.shape
+        assert _snr_db(np.asarray(rband),
+                       np.asarray(band - rband)) > 100.0, f"block {blk}"
+        # carried state: DC scalars + y-space history track the op chain
+        assert abs(complex(dcx) - complex(rdcx)) < 1e-5
+        assert abs(complex(dcy) - complex(rdcy)) < 1e-5
+        assert float(jnp.max(jnp.abs(hist - rhist))) < 1e-5
+
+
+def test_front_end_complex_wrapper_and_geometry():
+    rng = np.random.default_rng(1)
+    fe = PallasFrontEnd(tile_rows=448, interpret=True)
+    dcx, dcy, hist = fe.init_state()
+    assert hist.shape == (HIST,)
+    t = C.SUBCHUNK_IN                   # one real sub-chunk (784 rows)
+    x = jnp.asarray((rng.standard_normal(t) + 1j * rng.standard_normal(t)
+                     ).astype(np.complex64))
+    dcx2, dcy2, hist2, band = fe.apply(dcx, dcy, hist, x)
+    assert band.shape == (C.SUBCHUNK_RESAMP,)
+    _, _, _, rband = reference_impl(dcx, dcy, hist, x)
+    assert _snr_db(np.asarray(rband), np.asarray(band - rband)) > 100.0
+
+
+def test_scanner_chain_fused_dc_matches_std():
+    """Full scanner with fuse_dc=True == standard XLA chain (interpret)."""
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+    from sdr_pmr446_tpu.io import synth
+
+    iq = synth.make_scanner_iq(2 * 2 * C.SUBCHUNK_IN, channel=5,
+                               ctcss_code=12)
+    params = make_runtime_params(C.ScannerArgs())
+    outs = {}
+    for mode in ["std", "fused"]:
+        chain = ScannerChain(C.BlockConfig(2), use_pallas=(mode == "fused"),
+                             pallas_interpret=True, fuse_dc=True)
+        assert chain.fuse_dc == (mode == "fused")
+        st = chain.init_state()
+        step = chain.block.input_len
+        res = []
+        for i in range(2):
+            st, o = chain.step(st, jnp.asarray(
+                iq[i * step:(i + 1) * step], jnp.complex64), params)
+            res.append(o)
+        outs[mode] = res
+    for o1, o2 in zip(outs["std"], outs["fused"]):
+        np.testing.assert_array_equal(np.asarray(o1.active_chan),
+                                      np.asarray(o2.active_chan))
+        np.testing.assert_array_equal(np.asarray(o1.ct_detected),
+                                      np.asarray(o2.ct_detected))
+        np.testing.assert_allclose(np.asarray(o1.rssi_db),
+                                   np.asarray(o2.rssi_db), rtol=0, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(o1.audio),
+                                   np.asarray(o2.audio), rtol=0, atol=1e-3)

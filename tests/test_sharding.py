@@ -289,8 +289,10 @@ def test_sharded_pallas_equals_unsharded_pallas():
     iq = synth.make_scanner_iq(2 * step_len, channel=5, ctcss_code=12)
     params = make_runtime_params(C.ScannerArgs())
 
+    # fuse_dc=False: the sharded chain runs the unfused DC blocker (plane
+    # scan + affine shard carry), so compare against the same arithmetic
     ref_chain = ScannerChain(C.BlockConfig(K), use_pallas=True,
-                             pallas_interpret=True)
+                             pallas_interpret=True, fuse_dc=False)
     st1 = ref_chain.init_state()
     refs = []
     for i in range(2):
