@@ -160,15 +160,21 @@ def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
 #: the live probe cannot produce a sound number
 DEFAULT_ENVELOPE_GBPS = 773.0
 
-#: least HBM bytes per input sample ANY implementation of the chain's
-#: front end must move: the input read (8/4/2 B by wire format) plus the
-#: DC-blocker's plane write + read-back (8+8 B — the first stage that
-#: cannot fuse into its consumer, ops/iir.py's two-level scan); every
-#: later stage adds >= 0.  Dividing the envelope by this gives the most
-#: generous physically-possible throughput (tools/traffic_model.py puts
-#: realistic fused traffic at 16-35 B/sample).
+#: least HBM bytes per input sample the CURRENT chain demonstrably moves
+#: (a lower bound on its real traffic, so envelope/min_b is an upper
+#: bound on its achievable rate — tools/traffic_model.py).
+#:
+#: cf32/cs16/cu8/cs8 paths: input read (8/4/2/2 B by wire format) plus the
+#: DC-blocker's plane write + read-back (8+8 B: on these paths the
+#: recurrence runs as ops/iir.py's XLA scan between kernels).
+#:
+#: cf32w (the cf32 WIRE layout, consumed in place by the fused
+#: DC+resampler kernel, kernels/front_end.py): the full per-boundary
+#: model — input read 8 B, band planes out+in, pfb demod+|y| out, rssi
+#: read, audio-bank in/out, lp-DC scan in/out, CTCSS + select reads —
+#: totals 19.7 B/sample (tools/traffic_model.py fused_front_end=True).
 MIN_TRAFFIC_B_PER_SAMPLE = {"cf32": 24.0, "cs16": 20.0,
-                            "cu8": 18.0, "cs8": 18.0}
+                            "cu8": 18.0, "cs8": 18.0, "cf32w": 19.7}
 
 
 def _envelope_probe_main(mb=512, iters=300) -> int:
@@ -289,11 +295,14 @@ def main() -> int:
                    help="timed regions; the best rate is recorded (envelope-capped)")
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--secs", type=float, default=20.0)
-    p.add_argument("--input-format", default="cf32",
-                   choices=["cf32", "cs16", "cu8", "cs8"],
-                   help="scanner configs: feed complex64 (cf32) or RAW "
-                        "wire bytes packed as f32 words, decoded on device "
-                        "(ops/decode.py) — 2-4x less input HBM traffic")
+    p.add_argument("--input-format", default="cf32w",
+                   choices=["cf32", "cf32w", "cs16", "cu8", "cs8"],
+                   help="scanner configs: feed complex64 (cf32), the same "
+                        "capture's wire bytes as interleaved f32 consumed "
+                        "in place by the fused front end (cf32w, the "
+                        "default — byte-identical input, zero host "
+                        "conversion), or packed cs16/cu8/cs8 wire bytes "
+                        "decoded on device (ops/decode.py)")
     p.add_argument("--no-envelope-cap", action="store_true",
                    help="skip the value-verified HBM-envelope probe and "
                         "report the raw loop rate even when it exceeds "

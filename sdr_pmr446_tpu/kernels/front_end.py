@@ -9,19 +9,27 @@ resampler kernel, so the front end's HBM traffic is the 8 B/sample input
 read plus the 25/128-rate band write — nothing else.
 
 The recurrence y[n] = p*y[n-1] + g*(x[n] - x[n-1]) is TPU-hostile only in
-its per-sample form.  On 128-sample rows it is three MXU/VPU steps, all
-O(row) work (same two-level decomposition as ops/iir.py, re-expressed as
-matmuls so the whole thing lives in one kernel invocation):
+its per-sample form.  On 128-sample rows it is three MXU steps, all O(row)
+work (same two-level decomposition as ops/iir.py, re-expressed as matmuls
+so the whole thing lives in one kernel invocation):
 
-  1. row-local zero-state response:  ylocal = x @ W1 - x_last_prev * u0,
+  1. row-local zero-state response:  ylocal = x @ W1 - prev_col @ u0,
      where W1[m, j] = g*(p^(j-m) - p^(j-m-1)) folds the backward difference
-     AND the p-power convolution into one [128, 128] constant (the boundary
-     term u0 = g*p^(0..127) carries each row's x[-1] from the previous row);
+     AND the p-power convolution into one [128, 128] constant; the boundary
+     column prev_col[r] = x[r-1, 127] comes from a sublane row-shift of x
+     (scratch-carried across tiles) hit with a one-hot selector matmul;
   2. row carries: carry[r] = sum_{r'<r} p^(128(r-1-r')) * yend[r'] + Y0*p^(128r)
      — one [tile, tile] lower-triangular constant matmul against the rows'
-     local endpoints (Y0 = the DC carry into the tile, held in VMEM scratch
-     across the sequential TPU grid);
-  3. y = ylocal + carry * p^(j+1)  (one broadcast multiply-add).
+     local endpoints (Y0 = the DC carry into the tile, VMEM scratch across
+     the sequential TPU grid);
+  3. y = ylocal + carry @ pj  (a k=1 outer-product matmul).
+
+Mosaic layout rules shape the implementation (learned the hard way — the
+first version died in `tpu.concatenate` layout inference): vector-value
+slices must keep lane offset 0 or a 128-multiple, so every "previous
+sample" access is a FULL-ROW sublane shift (the proven pfb_demod carry
+idiom) followed by a one-hot selector matmul, never a lane-127 column
+slice; broadcasts of [tile,1]/[1,128] operands are written as k=1 matmuls.
 
 The resampler math is identical to kernels/resample_kernel.py except the
 window history convention: carried history is 384 = 3x128 DC-BLOCKED samples
@@ -29,6 +37,13 @@ window history convention: carried history is 384 = 3x128 DC-BLOCKED samples
 grid and the 3-row look-behind comes from VMEM scratch instead of host-side
 look-ahead slices.  The polyphase kernel matrix is left-padded by
 384 - 345 = 39 zero rows.
+
+Two input layouts share the math:
+  - apply_planes: xr/xi f32 planes (fed by ops/decode.py packed decodes);
+  - apply_interleaved: the cf32 WIRE itself — interleaved (re, im) f32,
+    byte-identical to a complex64 capture — de-interleaved inside the
+    first matmul (W1 placed on even/odd rows of a [256, 128] constant), so
+    the front end's only input traffic is the 8 B/sample wire read.
 
 Exactness: the same arithmetic fixed point as the sequential recurrence up
 to f32 rounding (summation order differs from ops/iir.py's scan, so outputs
@@ -58,28 +73,39 @@ W_PAD = (HIST_ROWS + 1) * M   # 512-wide window; true 468 window at rows 39+
 
 _P = 1.0 - C.DC_BLOCK_ALPHA
 _G = (1.0 + _P) / 2.0
+_PJ_LAST = float(_P ** M)     # pj[M-1] = p^M: the row-end carry decay
 
 
 @functools.lru_cache(maxsize=None)
-def _row_consts() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(W1 [128,128], u0+pj rows [2,128], K2 [512,25]) f32 constants."""
+def _row_consts() -> dict:
+    """f32 constants shared by both bodies (keyed by name)."""
     j = np.arange(M, dtype=np.float64)
     # U[m, j] = p^(j-m) for j >= m (zero-state response of the pole)
     diff = j[None, :] - j[:, None]
     u = np.where(diff >= 0, _P ** np.maximum(diff, 0), 0.0)
     ushift = np.vstack([u[1:], np.zeros((1, M))])
-    w1 = _G * (u - ushift)
-    u0 = _G * u[0]                        # boundary term row
-    pj = _P ** (j + 1.0)                  # carry decay row
+    w1 = (_G * (u - ushift)).astype(np.float32)            # [M, M]
+    u0 = (_G * u[0])[None, :].astype(np.float32)           # [1, M]
+    pj = (_P ** (j + 1.0))[None, :].astype(np.float32)     # [1, M]
     k = _kernel_matrix(tuple(D.resampler_taps().tolist()), L, M)  # [25, 468]
     hist_len = len(D.resampler_taps()) // L - 1                   # 345
     left_pad = HIST - hist_len                                    # 39
     assert 0 <= left_pad and left_pad + k.shape[1] <= W_PAD
-    k2 = np.zeros((W_PAD, L), dtype=np.float64)
+    k2 = np.zeros((W_PAD, L), dtype=np.float32)
     k2[left_pad:left_pad + k.shape[1], :] = k.T
-    return (w1.astype(np.float32),
-            np.stack([u0, pj]).astype(np.float32),
-            k2.astype(np.float32))
+    e_last = np.zeros((M, 1), dtype=np.float32)            # selects col M-1
+    e_last[M - 1, 0] = 1.0
+    # interleaved layout: W1 on even rows -> re plane, odd rows -> im plane
+    wcat_r = np.zeros((2 * M, M), dtype=np.float32)
+    wcat_i = np.zeros((2 * M, M), dtype=np.float32)
+    wcat_r[0::2, :] = w1
+    wcat_i[1::2, :] = w1
+    ew_r = np.zeros((2 * M, 1), dtype=np.float32)          # selects re x[127]
+    ew_i = np.zeros((2 * M, 1), dtype=np.float32)          # selects im x[127]
+    ew_r[2 * M - 2, 0] = 1.0
+    ew_i[2 * M - 1, 0] = 1.0
+    return dict(w1=w1, u0=u0, pj=pj, k2=k2, e_last=e_last,
+                wcat_r=wcat_r, wcat_i=wcat_i, ew_r=ew_r, ew_i=ew_i)
 
 
 @functools.lru_cache(maxsize=None)
@@ -108,10 +134,52 @@ def pick_tile(rows: int, requested: int) -> int:
     return best
 
 
-def _body(xr_ref, xi_ref, hr_ref, hi_ref, scal_ref,
-          w1_ref, rows_ref, tt_ref, pvec_ref, k2_ref,
-          yr_out, yi_out, ohr, ohi, oscal,
-          yh_r, yh_i, sc, win_r, win_i):
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _plane_rest(ylocal, yprev_11, yh, win, y_out,
+                tt, pvec, pj_ref, k2_ref, e_last):
+    """Steps 2-3 + resampler matmul for one plane.
+
+    Returns (y rows [tile, M], ylast column [tile, 1] = y[:, M-1])."""
+    tile = y_out.shape[0]
+    yend = _dot(ylocal, e_last)                           # [tile, 1]
+    carry = _dot(tt, yend) + _dot(pvec, yprev_11)         # [tile, 1]
+    y = ylocal + _dot(carry, pj_ref[:])
+    # resampler windows: 3-row look-behind + this tile's rows (sublane
+    # shifts of a row-aligned concat — the proven pfb_demod idiom)
+    ycat = jnp.concatenate([yh[:, :], y], axis=0)         # [tile+3, 128]
+    for i in range(HIST_ROWS + 1):
+        win[:, i * M:(i + 1) * M] = ycat[i:i + tile, :]
+    y_out[:, :] = _dot(win[:], k2_ref[:])
+    ylast = yend + carry * _PJ_LAST                       # y[:, M-1] column
+    return y, ylast
+
+
+def _ylocal(x, xprev_rows, w1_ref, u0_ref, e_last):
+    """Step 1 for one plane from full rows (no lane-offset slices)."""
+    prev_col = _dot(xprev_rows, e_last)                   # x[r-1, M-1]
+    return _dot(x, w1_ref[:]) - _dot(prev_col, u0_ref[:])
+
+
+def _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc,
+                   ohr, ohi, ocy):
+    """Final block state -> scratch (next grid step) + whole-block outputs."""
+    tile = y_r.shape[0]
+    yh_r[:, :] = y_r[tile - HIST_ROWS:, :]
+    yh_i[:, :] = y_i[tile - HIST_ROWS:, :]
+    ysc[0:1, 0:1] = yl_r[tile - 1:tile, :]
+    ysc[1:2, 0:1] = yl_i[tile - 1:tile, :]
+    ohr[:, :] = yh_r[:, :]
+    ohi[:, :] = yh_i[:, :]
+    ocy[:, :] = ysc[:, :]
+
+
+def _body(xr_ref, xi_ref, hr_ref, hi_ref, cx_ref, cy_ref,
+          w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref, el_ref,
+          yr_out, yi_out, ohr, ohi, ocy,
+          yh_r, yh_i, xrow, ysc, win_r, win_i):
     tile = yr_out.shape[0]
     s = pl.program_id(0)
 
@@ -119,46 +187,67 @@ def _body(xr_ref, xi_ref, hr_ref, hi_ref, scal_ref,
     def _():
         yh_r[:, :] = hr_ref[:, :]
         yh_i[:, :] = hi_ref[:, :]
-        sc[:, :] = scal_ref[:, :]
+        xrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
 
-    u0 = rows_ref[0:1, :]
-    pj = rows_ref[1:2, :]
-    w1 = w1_ref[:]
     tt = tt_ref[:]
     pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    # previous-sample rows: scratch row + sublane shift (per plane the
+    # carried row lives in xrow rows 0/1)
+    xprev_r = jnp.concatenate([xrow[0:1, :], xr[:tile - 1, :]], axis=0)
+    xprev_i = jnp.concatenate([xrow[1:2, :], xi[:tile - 1, :]], axis=0)
+    yloc_r = _ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
+    yloc_i = _ylocal(xi, xprev_i, w1_ref, u0_ref, e_last)
 
-    def plane(x_ref, xprev_11, yprev_11, yh, win, y_out):
-        x = x_ref[:]
-        # x[-1] per row: previous row's last sample (cross-tile from scratch)
-        prev_last = jnp.concatenate(
-            [xprev_11, x[:tile - 1, M - 1:M]], axis=0)       # [tile, 1]
-        ylocal = (jnp.dot(x, w1, preferred_element_type=jnp.float32)
-                  - prev_last * u0)
-        yend = ylocal[:, M - 1:M]                             # [tile, 1]
-        carry = (jnp.dot(tt, yend, preferred_element_type=jnp.float32)
-                 + yprev_11 * pvec)                           # [tile, 1]
-        y = ylocal + carry * pj
-        # resampler windows: 3-row look-behind + this tile's rows
-        ycat = jnp.concatenate([yh[:, :], y], axis=0)         # [tile+3, 128]
-        for i in range(HIST_ROWS + 1):
-            win[:, i * M:(i + 1) * M] = ycat[i:i + tile, :]
-        y_out[:, :] = jnp.dot(win[:], k2_ref[:],
-                              preferred_element_type=jnp.float32)
-        return x, y
+    y_r, yl_r = _plane_rest(yloc_r, ysc[0:1, 0:1], yh_r, win_r, yr_out,
+                            tt, pvec, pj_ref, k2_ref, e_last)
+    y_i, yl_i = _plane_rest(yloc_i, ysc[1:2, 0:1], yh_i, win_i, yi_out,
+                            tt, pvec, pj_ref, k2_ref, e_last)
 
-    xr, y_r = plane(xr_ref, sc[0:1, 0:1], sc[2:3, 0:1], yh_r, win_r, yr_out)
-    xi, y_i = plane(xi_ref, sc[1:2, 0:1], sc[3:4, 0:1], yh_i, win_i, yi_out)
+    xrow[0:1, :] = xr[tile - 1:tile, :]
+    xrow[1:2, :] = xi[tile - 1:tile, :]
+    _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi, ocy)
 
-    # carries into the next (sequential) grid step = the final block state
-    yh_r[:, :] = y_r[tile - HIST_ROWS:, :]
-    yh_i[:, :] = y_i[tile - HIST_ROWS:, :]
-    sc[0:1, 0:1] = xr[tile - 1:tile, M - 1:M]
-    sc[1:2, 0:1] = xi[tile - 1:tile, M - 1:M]
-    sc[2:3, 0:1] = y_r[tile - 1:tile, M - 1:M]
-    sc[3:4, 0:1] = y_i[tile - 1:tile, M - 1:M]
-    ohr[:, :] = yh_r[:, :]
-    ohi[:, :] = yh_i[:, :]
-    oscal[:, :] = sc[:, :]
+
+def _body_ilv(xw_ref, hr_ref, hi_ref, cx_ref, cy_ref,
+              wcr_ref, wci_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
+              el_ref, ewr_ref, ewi_ref,
+              yr_out, yi_out, ohr, ohi, ocy,
+              yh_r, yh_i, xwrow, ysc, win_r, win_i):
+    """Interleaved-input variant: xw is the cf32 wire block as f32 rows of
+    (re, im) pairs [tile, 2M]; the de-interleave rides the first matmuls
+    (wcat_r/wcat_i place W1 on even/odd rows), so no plane split ever
+    reaches HBM."""
+    tile = yr_out.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        yh_r[:, :] = hr_ref[:, :]
+        yh_i[:, :] = hi_ref[:, :]
+        xwrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    xw = xw_ref[:]
+    xwprev = jnp.concatenate([xwrow[0:1, :], xw[:tile - 1, :]], axis=0)
+    prev_r = _dot(xwprev, ewr_ref[:])                     # x[r-1,127] re
+    prev_i = _dot(xwprev, ewi_ref[:])
+    yloc_r = _dot(xw, wcr_ref[:]) - _dot(prev_r, u0_ref[:])
+    yloc_i = _dot(xw, wci_ref[:]) - _dot(prev_i, u0_ref[:])
+
+    y_r, yl_r = _plane_rest(yloc_r, ysc[0:1, 0:1], yh_r, win_r, yr_out,
+                            tt, pvec, pj_ref, k2_ref, e_last)
+    y_i, yl_i = _plane_rest(yloc_i, ysc[1:2, 0:1], yh_i, win_i, yi_out,
+                            tt, pvec, pj_ref, k2_ref, e_last)
+
+    xwrow[0:1, :] = xw[tile - 1:tile, :]
+    _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi, ocy)
 
 
 class PallasFrontEnd:
@@ -175,7 +264,7 @@ class PallasFrontEnd:
     def __init__(self, tile_rows: int = 448, interpret: bool = False):
         self.tile_rows = tile_rows
         self.interpret = interpret
-        self.w1, self.rows2, self.k2 = _row_consts()
+        self.consts = _row_consts()
 
     def init_state(self):
         z = jnp.zeros((), jnp.complex64)
@@ -184,11 +273,128 @@ class PallasFrontEnd:
     def apply(self, dc_x: jax.Array, dc_y: jax.Array, hist: jax.Array,
               x: jax.Array):
         """Complex convenience wrapper: x [T] c64 -> band [T*25/128] c64."""
-        ndx, ndy, nh, yr, yi = self.apply_planes(
-            dc_x, dc_y, hist,
-            jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32))
+        ndx, ndy, nh, yr, yi = self.apply_iq(dc_x, dc_y, hist, x)
         band = jax.lax.complex(yr, yi).reshape(-1)
         return ndx, ndy, nh, band
+
+    def apply_iq(self, dc_x: jax.Array, dc_y: jax.Array,
+                 hist: jax.Array, iq: jax.Array):
+        """Complex input via the interleaved kernel: iq [T] c64 is
+        interleaved to wire layout in XLA (one fused pass — XLA has no
+        complex->f32 bitcast), then consumed by apply_interleaved.  Feed
+        the capture's wire bytes directly (input_format "cf32w") to skip
+        even that pass."""
+        xw = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1).reshape(-1)
+        return self.apply_interleaved(dc_x, dc_y, hist,
+                                      xw.astype(jnp.float32))
+
+    def _hist_planes(self, hist):
+        hr = jnp.real(hist).astype(jnp.float32).reshape(HIST_ROWS, M)
+        hi = jnp.imag(hist).astype(jnp.float32).reshape(HIST_ROWS, M)
+        return hr, hi
+
+    @staticmethod
+    def _cy_rows(dc_y):
+        """[2, M] whose lane-0 entries are (re, im) of the y[-1] carry."""
+        col = jnp.stack([jnp.real(dc_y),
+                         jnp.imag(dc_y)]).astype(jnp.float32)[:, None]
+        return col * np.eye(1, M, dtype=np.float32)       # zeros past lane 0
+
+    def _call(self, body, x_rows: tuple, x_width: int, rows: int,
+              hr, hi, cx_row, cy, wconsts: tuple):
+        """Shared pallas_call plumbing for both input layouts."""
+        cn = self.consts
+        tile = pick_tile(rows, self.tile_rows)
+        n_tiles = rows // tile
+        tt, pvec = _tile_consts(tile)
+
+        grid_block = lambda shape: pl.BlockSpec(
+            shape, lambda s: (s, 0), memory_space=pltpu.VMEM)
+        whole = lambda shape: pl.BlockSpec(
+            shape, lambda s: (0, 0), memory_space=pltpu.VMEM)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        yr_o, yi_o, ohr, ohi, ocy = pl.pallas_call(
+            body,
+            grid=(n_tiles,),
+            in_specs=[grid_block((tile, x_width))] * len(x_rows) + [
+                whole((HIST_ROWS, M)),            # hist re
+                whole((HIST_ROWS, M)),            # hist im
+                whole((cx_row.shape[0], x_width)),  # x[-1] carry row(s)
+                whole((2, M)),                    # y[-1] carry rows
+            ] + [vmem() for _ in wconsts] + [
+                vmem(),                           # u0
+                vmem(),                           # pj
+                vmem(),                           # tt
+                vmem(),                           # pvec
+                vmem(),                           # k2
+                vmem(),                           # e_last
+            ] + ([vmem(), vmem()] if body is _body_ilv else []),
+            out_specs=[
+                grid_block((tile, L)),
+                grid_block((tile, L)),
+                whole((HIST_ROWS, M)),
+                whole((HIST_ROWS, M)),
+                whole((2, M)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, L), jnp.float32),
+                jax.ShapeDtypeStruct((rows, L), jnp.float32),
+                jax.ShapeDtypeStruct((HIST_ROWS, M), jnp.float32),
+                jax.ShapeDtypeStruct((HIST_ROWS, M), jnp.float32),
+                jax.ShapeDtypeStruct((2, M), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((HIST_ROWS, M), jnp.float32),
+                pltpu.VMEM((HIST_ROWS, M), jnp.float32),
+                pltpu.VMEM((cx_row.shape[0], x_width), jnp.float32),
+                pltpu.VMEM((2, M), jnp.float32),
+                pltpu.VMEM((tile, W_PAD), jnp.float32),
+                pltpu.VMEM((tile, W_PAD), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )(*x_rows, hr, hi, cx_row, cy,
+          *(jnp.asarray(w) for w in wconsts),
+          jnp.asarray(cn["u0"]), jnp.asarray(cn["pj"]),
+          jnp.asarray(tt), jnp.asarray(pvec), jnp.asarray(cn["k2"]),
+          jnp.asarray(cn["e_last"]),
+          *([jnp.asarray(cn["ew_r"]), jnp.asarray(cn["ew_i"])]
+            if body is _body_ilv else []))
+
+        new_dc_y = jax.lax.complex(ocy[0, 0], ocy[1, 0])
+        new_hist = jax.lax.complex(ohr.reshape(-1), ohi.reshape(-1))
+        return new_dc_y, new_hist, yr_o, yi_o
+
+    def apply_interleaved(self, dc_x: jax.Array, dc_y: jax.Array,
+                          hist: jax.Array, xw: jax.Array):
+        """xw [2T] f32, the cf32 WIRE layout (re,im interleaved — exactly
+        the bytes of a complex64 capture), T % 128 == 0, consumed IN
+        PLACE: rows of (re,im) pairs are de-interleaved inside the
+        kernel's first matmul, so the front end's only HBM traffic is the
+        8 B/sample input read plus the 25/128-rate band write — no plane
+        split, no DC-blocked round trip.
+
+        Returns (dc_x', dc_y', hist', yr [T//128, 25], yi [T//128, 25]).
+        """
+        t2 = xw.shape[-1]
+        assert t2 % (2 * M) == 0, t2
+        rows = t2 // (2 * M)
+        xw_rows = xw.reshape(rows, 2 * M)
+        hr, hi = self._hist_planes(hist)
+        # x[-1] carry row: (re, im) of dc_x at the last two lanes, where the
+        # ew selectors look after the sublane row-shift
+        cx = jnp.stack([jnp.real(dc_x), jnp.imag(dc_x)]).astype(jnp.float32)
+        sel = np.zeros((2, 2 * M), dtype=np.float32)
+        sel[0, 2 * M - 2] = 1.0
+        sel[1, 2 * M - 1] = 1.0
+        cx_row = (cx[:, None] * sel).sum(axis=0, keepdims=True)   # [1, 2M]
+        ndy, nh, yr, yi = self._call(
+            _body_ilv, (xw_rows,), 2 * M, rows, hr, hi, cx_row,
+            self._cy_rows(dc_y),
+            (self.consts["wcat_r"], self.consts["wcat_i"]))
+        # the new x[-1] is simply the block's last input sample
+        new_dc_x = jax.lax.complex(xw[t2 - 2], xw[t2 - 1])
+        return new_dc_x, ndy, nh, yr, yi
 
     def apply_planes(self, dc_x: jax.Array, dc_y: jax.Array,
                      hist: jax.Array, xr: jax.Array, xi: jax.Array):
@@ -200,69 +406,19 @@ class PallasFrontEnd:
         t = xr.shape[-1]
         assert t % M == 0, t
         rows = t // M
-        tile = pick_tile(rows, self.tile_rows)
-        n_tiles = rows // tile
-        tt, pvec = _tile_consts(tile)
-
-        hr = jnp.real(hist).astype(jnp.float32).reshape(HIST_ROWS, M)
-        hi = jnp.imag(hist).astype(jnp.float32).reshape(HIST_ROWS, M)
-        scal = jnp.broadcast_to(
-            jnp.stack([jnp.real(dc_x), jnp.imag(dc_x),
-                       jnp.real(dc_y), jnp.imag(dc_y)]
-                      ).astype(jnp.float32)[:, None], (4, M))
         xr_rows = xr.reshape(rows, M)
         xi_rows = xi.reshape(rows, M)
-
-        grid_block = lambda shape: pl.BlockSpec(
-            shape, lambda s: (s, 0), memory_space=pltpu.VMEM)
-        whole = lambda shape: pl.BlockSpec(
-            shape, lambda s: (0, 0), memory_space=pltpu.VMEM)
-
-        yr_o, yi_o, ohr, ohi, oscal = pl.pallas_call(
-            _body,
-            grid=(n_tiles,),
-            in_specs=[
-                grid_block((tile, M)),            # xr rows
-                grid_block((tile, M)),            # xi rows
-                whole((HIST_ROWS, M)),            # hist re
-                whole((HIST_ROWS, M)),            # hist im
-                whole((4, M)),                    # dc scalars
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # w1
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # u0/pj rows
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # tt
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # pvec
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # k2
-            ],
-            out_specs=[
-                grid_block((tile, L)),
-                grid_block((tile, L)),
-                whole((HIST_ROWS, M)),
-                whole((HIST_ROWS, M)),
-                whole((4, M)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((rows, L), jnp.float32),
-                jax.ShapeDtypeStruct((rows, L), jnp.float32),
-                jax.ShapeDtypeStruct((HIST_ROWS, M), jnp.float32),
-                jax.ShapeDtypeStruct((HIST_ROWS, M), jnp.float32),
-                jax.ShapeDtypeStruct((4, M), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((HIST_ROWS, M), jnp.float32),
-                pltpu.VMEM((HIST_ROWS, M), jnp.float32),
-                pltpu.VMEM((4, M), jnp.float32),
-                pltpu.VMEM((tile, W_PAD), jnp.float32),
-                pltpu.VMEM((tile, W_PAD), jnp.float32),
-            ],
-            interpret=self.interpret,
-        )(xr_rows, xi_rows, hr, hi, scal,
-          jnp.asarray(self.w1), jnp.asarray(self.rows2),
-          jnp.asarray(tt), jnp.asarray(pvec), jnp.asarray(self.k2))
-
-        new_dc_x = jax.lax.complex(oscal[0, 0], oscal[1, 0])
-        new_dc_y = jax.lax.complex(oscal[2, 0], oscal[3, 0])
-        new_hist = jax.lax.complex(ohr.reshape(-1), ohi.reshape(-1))
-        return new_dc_x, new_dc_y, new_hist, yr_o, yi_o
+        hr, hi = self._hist_planes(hist)
+        # x[-1] carry rows (re, im): value at lane M-1, where e_last looks
+        cx = jnp.stack([jnp.real(dc_x), jnp.imag(dc_x)]).astype(jnp.float32)
+        sel = np.zeros((1, M), dtype=np.float32)
+        sel[0, M - 1] = 1.0
+        cx_rows = cx[:, None] * sel                               # [2, M]
+        ndy, nh, yr, yi = self._call(
+            _body, (xr_rows, xi_rows), M, rows, hr, hi, cx_rows,
+            self._cy_rows(dc_y), (self.consts["w1"],))
+        new_dc_x = jax.lax.complex(xr[t - 1], xi[t - 1])
+        return new_dc_x, ndy, nh, yr, yi
 
 
 def reference_impl(dc_x, dc_y, hist, x):

@@ -23,15 +23,20 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-#: formats decodable on device; values = complex samples per f32 word
-PACKED_FORMATS = {"cs16": 1, "cu8": 2, "cs8": 2}
+#: formats decodable on device; values = complex samples per f32 word.
+#: "cf32w" is the cf32 WIRE layout itself — interleaved f32 (re, im),
+#: byte-identical to a complex64 capture — carried as raw f32 words so
+#: kernels that de-interleave in VMEM (kernels/front_end.py) can consume
+#: the capture with zero decode traffic.
+PACKED_FORMATS = {"cs16": 1, "cu8": 2, "cs8": 2, "cf32w": 0.5}
 
 #: the raw element dtype on the wire for each packed format
-WIRE_DTYPE = {"cs16": np.int16, "cu8": np.uint8, "cs8": np.int8}
+WIRE_DTYPE = {"cs16": np.int16, "cu8": np.uint8, "cs8": np.int8,
+              "cf32w": np.float32}
 
 #: per-element padding value for short tails: the wire value nearest 0.0
 #: after decode (cu8 is biased — zero BYTES would decode to -1-1j)
-WIRE_FILL = {"cs16": 0, "cu8": 128, "cs8": 0}
+WIRE_FILL = {"cs16": 0, "cu8": 128, "cs8": 0, "cf32w": 0}
 
 
 # ---------------------------------------------------------------- host side
@@ -61,6 +66,8 @@ def pack_iq(iq: np.ndarray, fmt: str) -> np.ndarray:
     inter = np.empty(2 * len(iq), dtype=np.float32)
     inter[0::2] = np.real(iq)
     inter[1::2] = np.imag(iq)
+    if fmt == "cf32w":
+        return inter                 # lossless: cf32w IS the f32 wire
     if fmt == "cs16":
         raw = np.clip(inter * 32768.0, -32768, 32767).astype(np.int16)
     elif fmt == "cu8":
@@ -75,6 +82,8 @@ def pack_iq(iq: np.ndarray, fmt: str) -> np.ndarray:
 def packed_len(n_samples: int, fmt: str) -> int:
     """f32 transport words needed for ``n_samples`` complex samples."""
     per = PACKED_FORMATS[fmt]
+    if per < 1:                      # cf32w: 2 words per complex sample
+        return int(round(n_samples / per))
     assert n_samples % per == 0
     return n_samples // per
 
@@ -85,6 +94,10 @@ def decode_planes(packed: jnp.ndarray, fmt: str):
 
     Bit-exact vs the host-side io/iq.py converters (test-enforced).
     """
+    if fmt == "cf32w":
+        # already float on the wire; just de-interleave
+        xw = jnp.asarray(packed, jnp.float32).reshape(-1, 2)
+        return xw[:, 0], xw[:, 1]
     w = jnp.asarray(packed, jnp.float32).view(jnp.uint32)
     if fmt == "cs16":
         # low halfword = I (first int16 on a little-endian wire), high = Q

@@ -196,26 +196,39 @@ class ScannerChain:
         ns = C.SUBCHUNK_AUDIO
 
         if self.use_pallas:
-            # Plane-resident fast path: iq is split into re/im f32 planes
-            # ONCE, and every block-sized array between the DC blocker and
-            # the audio bank stays in plane/real form — zero complex
-            # materialization, zero XLA glue between kernels (VERDICT r1 #1).
-            if self.input_format == "cf32":
-                xr = jnp.real(iq)
-                xi = jnp.imag(iq)
-            else:
-                # packed wire bytes -> planes directly (never complex)
-                xr, xi = decode_op.decode_planes(iq, self.input_format)
-
-            if self.fuse_dc:
-                # 1+2. fused IQ DC blocker + 25/128 polyphase resampler: the
-                # one-pole recurrence runs INSIDE the resampler kernel as
-                # row-local matmuls + a triangular carry matmul, so the
-                # blocked planes never round-trip HBM (kernels/front_end.py)
+            # Plane-resident fast path: every block-sized array between the
+            # front end and the audio bank stays in plane/real form — zero
+            # complex materialization, zero XLA glue between kernels
+            # (VERDICT r1 #1).
+            if self.fuse_dc and self.input_format == "cf32w":
+                # 1+2. fused IQ DC blocker + 25/128 polyphase resampler,
+                # consuming the cf32 WIRE bytes in place: the (re,im)
+                # interleave is undone inside the kernel's first matmul and
+                # the one-pole recurrence runs as row-local + triangular
+                # carry matmuls, so the front end's only HBM traffic is the
+                # 8 B/sample input read (kernels/front_end.py)
                 dc_x, dc_y, resamp_hist, br, bi = \
-                    self.pallas_front.apply_planes(
-                        state.dc_x, state.dc_y, state.resamp_hist, xr, xi)
+                    self.pallas_front.apply_interleaved(
+                        state.dc_x, state.dc_y, state.resamp_hist, iq)
+            elif self.fuse_dc:
+                # cf32: interleave to wire layout in one XLA pass; packed
+                # wire bytes: decode to planes directly (never complex)
+                if self.input_format == "cf32":
+                    dc_x, dc_y, resamp_hist, br, bi = \
+                        self.pallas_front.apply_iq(
+                            state.dc_x, state.dc_y, state.resamp_hist, iq)
+                else:
+                    xr, xi = decode_op.decode_planes(iq, self.input_format)
+                    dc_x, dc_y, resamp_hist, br, bi = \
+                        self.pallas_front.apply_planes(
+                            state.dc_x, state.dc_y, state.resamp_hist,
+                            xr, xi)
             else:
+                if self.input_format == "cf32":
+                    xr = jnp.real(iq)
+                    xi = jnp.imag(iq)
+                else:
+                    xr, xi = decode_op.decode_planes(iq, self.input_format)
                 # 1. IQ DC blocker: identical one-pole arithmetic on stacked
                 # planes (complex z with real pole == two independent scans)
                 st = (jnp.stack([jnp.real(state.dc_x),

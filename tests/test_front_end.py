@@ -69,6 +69,35 @@ def test_front_end_complex_wrapper_and_geometry():
     assert _snr_db(np.asarray(rband), np.asarray(band - rband)) > 100.0
 
 
+def test_front_end_interleaved_matches_opchain_streaming():
+    """apply_iq (bitcast interleaved input, in-kernel de-interleave) tracks
+    the op chain across streamed blocks exactly like apply_planes."""
+    rng = np.random.default_rng(2)
+    fe = PallasFrontEnd(tile_rows=64, interpret=True)
+    dcx, dcy, hist = fe.init_state()
+    rdcx, rdcy, rhist = dcx, dcy, hist
+    pdcx, pdcy, phist = dcx, dcy, hist
+    t = 128 * 112
+    for blk in range(3):
+        x = jnp.asarray((rng.standard_normal(t)
+                         + 1j * rng.standard_normal(t)
+                         + (0.1 - 0.4j)).astype(np.complex64))
+        dcx, dcy, hist, yr, yi = fe.apply_iq(dcx, dcy, hist, x)
+        band = jax.lax.complex(yr, yi).reshape(-1)
+        rdcx, rdcy, rhist, rband = reference_impl(rdcx, rdcy, rhist, x)
+        assert _snr_db(np.asarray(rband),
+                       np.asarray(band - rband)) > 100.0, f"block {blk}"
+        assert abs(complex(dcx) - complex(rdcx)) < 1e-5
+        assert abs(complex(dcy) - complex(rdcy)) < 1e-5
+        assert float(jnp.max(jnp.abs(hist - rhist))) < 1e-5
+        # and the two kernel layouts agree with each other just as tightly
+        pdcx, pdcy, phist, pyr, pyi = fe.apply_planes(
+            pdcx, pdcy, phist, jnp.real(x), jnp.imag(x))
+        pband = jax.lax.complex(pyr, pyi).reshape(-1)
+        assert _snr_db(np.asarray(pband),
+                       np.asarray(band - pband)) > 110.0, f"block {blk}"
+
+
 def test_scanner_chain_fused_dc_matches_std():
     """Full scanner with fuse_dc=True == standard XLA chain (interpret)."""
     from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params

@@ -249,11 +249,14 @@ def test_step_size_invariance():
     np.testing.assert_allclose(o5["audio"], o10["audio"], rtol=0, atol=1e-4)
 
 
-@pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+@pytest.mark.parametrize("fmt", ["cs16", "cu8", "cf32w"])
 @pytest.mark.parametrize("engine", ["xla", "pallas"])
 def test_packed_input_chain_equals_cf32(fmt, engine):
     """Chain fed RAW wire bytes (decoded on device, ops/decode.py) is
-    bit-identical to the cf32 chain fed the host-converted samples."""
+    bit-identical to the cf32 chain fed the host-converted samples.
+
+    cf32w is the lossless case: the f32 wire bytes ARE the complex64
+    capture, consumed in place by the fused front end (pallas engine)."""
     from sdr_pmr446_tpu.ops import decode
     k = 3
     n = 2 * C.BlockConfig(k).input_len

@@ -22,17 +22,28 @@ CH = BAND                    # aggregate over 16 channels
 AUDIO = BAND / 16.0
 
 
-def pallas_chain_traffic() -> dict:
-    """Bytes of HBM traffic per input sample, per stage boundary."""
+def pallas_chain_traffic(fused_front_end: bool = False) -> dict:
+    """Bytes of HBM traffic per input sample, per stage boundary.
+
+    fused_front_end: kernels/front_end.py consumes the cf32 WIRE bytes in
+    place (input_format cf32w) — the split and DC-blocker round trips
+    vanish and the front end is the 8 B input read + band write alone.
+    """
+    if fused_front_end:
+        front = {"front_end": 8 + 2 * 4 * BAND}
+    else:
+        front = {
+            # iq complex64 read + two f32 planes written (split)
+            "split": 8 + 8,
+            # dc blocker: planes read + written (exact two-level scan: ~2
+            # passes over the data internally; count the external boundary
+            # only = lower bound)
+            "dc_blocker": 8 + 8,
+            # resampler kernel: planes in, band planes out
+            "resampler": 8 + 2 * 4 * BAND,
+        }
     t = {
-        # iq complex64 read + two f32 planes written (split)
-        "split": 8 + 8,
-        # dc blocker: planes read + written (exact two-level scan: ~2 passes
-        # over the data internally; count the external boundary only = lower
-        # bound)
-        "dc_blocker": 8 + 8,
-        # resampler kernel: planes in, band planes out
-        "resampler": 8 + 2 * 4 * BAND,
+        **front,
         # pfb+demod kernel: band planes in; demod + |y| out (f32 each)
         "pfb_demod": 2 * 4 * BAND + 2 * 4 * CH,
         # rssi: |y| read (writes are K-sized, negligible)
@@ -57,10 +68,13 @@ def main() -> int:
                         "implied SOL input throughput")
     a = p.parse_args()
     t = pallas_chain_traffic()
+    tf = pallas_chain_traffic(fused_front_end=True)
     out = {"bytes_per_input_sample": t,
+           "bytes_per_input_sample_fused_front_end": tf,
            "input_read_only_B": 8}
     if a.gbps:
         out["sol_full_chain_Msps"] = round(a.gbps * 1e3 / t["total"], 1)
+        out["sol_fused_front_end_Msps"] = round(a.gbps * 1e3 / tf["total"], 1)
         out["sol_input_read_only_Msps"] = round(a.gbps * 1e3 / 8, 1)
     print(json.dumps(out, indent=1))
     return 0
