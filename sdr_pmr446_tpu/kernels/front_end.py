@@ -38,12 +38,27 @@ grid and the 3-row look-behind comes from VMEM scratch instead of host-side
 look-ahead slices.  The polyphase kernel matrix is left-padded by
 384 - 345 = 39 zero rows.
 
-Two input layouts share the math:
+Three input layouts share the math:
   - apply_planes: xr/xi f32 planes (fed by ops/decode.py packed decodes);
   - apply_interleaved: the cf32 WIRE itself — interleaved (re, im) f32,
     byte-identical to a complex64 capture — de-interleaved inside the
     first matmul (W1 placed on even/odd rows of a [256, 128] constant), so
-    the front end's only input traffic is the 8 B/sample wire read.
+    the front end's only input traffic is the 8 B/sample wire read;
+  - apply_packed ("cs16"): the SC16 WIRE bytes as f32 transport words (one
+    complex sample per word, ops/decode.py convention) — bitcast + shift/
+    mask decoded to planes INSIDE the kernel, cutting the input read to
+    4 B/sample.  The decode is bit-exact vs ops/decode.py::decode_planes
+    (16-bit ints are exact in f32 and 1/32768 is a power of two).
+  - apply_packed2 ("cu8"/"cs8", wide=True): the rtl_tcp / HackRF wire — 4
+    bytes = TWO complex samples per word — decoded in-kernel for a
+    2 B/sample input read.  Two samples per word means one 128-word row
+    carries 256 consecutive samples, so this variant runs the whole
+    pipeline on 256-wide rows: width-256 DC-recurrence constants, a
+    512-sample (2-row) resampler history, and per row TWO output frames
+    (k2a/k2b matrices) re-interleaved to the standard [frames, 25] layout
+    by one-hot row matmuls.  Byte placement (even/odd sample) is done
+    with one-hot spreading matmuls, never lane slices (Mosaic layout
+    rule).  Decode is bit-exact vs ops/decode.py (same f32 expressions).
 
 Exactness: the same arithmetic fixed point as the sequential recurrence up
 to f32 rounding (summation order differs from ops/iir.py's scan, so outputs
@@ -197,6 +212,57 @@ def _body(xr_ref, xi_ref, hr_ref, hi_ref, cx_ref, cy_ref,
     xi = xi_ref[:]
     # previous-sample rows: scratch row + sublane shift (per plane the
     # carried row lives in xrow rows 0/1)
+    xprev_r = jnp.concatenate([xrow[0:1, :], xr[:tile - 1, :]], axis=0)
+    xprev_i = jnp.concatenate([xrow[1:2, :], xi[:tile - 1, :]], axis=0)
+    yloc_r = _ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
+    yloc_i = _ylocal(xi, xprev_i, w1_ref, u0_ref, e_last)
+
+    y_r, yl_r = _plane_rest(yloc_r, ysc[0:1, 0:1], yh_r, win_r, yr_out,
+                            tt, pvec, pj_ref, k2_ref, e_last)
+    y_i, yl_i = _plane_rest(yloc_i, ysc[1:2, 0:1], yh_i, win_i, yi_out,
+                            tt, pvec, pj_ref, k2_ref, e_last)
+
+    xrow[0:1, :] = xr[tile - 1:tile, :]
+    xrow[1:2, :] = xi[tile - 1:tile, :]
+    _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi, ocy)
+
+
+def _decode_cs16(w):
+    """f32 transport words [tile, M] -> (xr, xi) planes, bit-exact vs
+    ops/decode.py::decode_planes("cs16"): low halfword = I, high = Q,
+    sign-extended and scaled by the exact power of two 1/32768."""
+    u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    lo = jnp.bitwise_and(u, jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hi = jax.lax.shift_right_logical(u, jnp.uint32(16)).astype(jnp.int32)
+    lo = jnp.bitwise_xor(lo, 0x8000) - 0x8000
+    hi = jnp.bitwise_xor(hi, 0x8000) - 0x8000
+    scale = jnp.float32(1.0 / 32768.0)
+    return lo.astype(jnp.float32) * scale, hi.astype(jnp.float32) * scale
+
+
+def _body_cs16(xw_ref, hr_ref, hi_ref, cx_ref, cy_ref,
+               w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref, el_ref,
+               yr_out, yi_out, ohr, ohi, ocy,
+               yh_r, yh_i, xrow, ysc, win_r, win_i):
+    """Packed-cs16 variant: xw is the SC16 wire as f32 transport words
+    [tile, M] (one complex sample per word); the decode runs in VMEM so
+    the front end's only input HBM traffic is the 4 B/sample word read.
+    After the decode prologue this is _body verbatim (xrow scratch carries
+    the DECODED last row's planes, exactly like apply_planes' cx rows)."""
+    tile = yr_out.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        yh_r[:, :] = hr_ref[:, :]
+        yh_i[:, :] = hi_ref[:, :]
+        xrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    xr, xi = _decode_cs16(xw_ref[:])
     xprev_r = jnp.concatenate([xrow[0:1, :], xr[:tile - 1, :]], axis=0)
     xprev_i = jnp.concatenate([xrow[1:2, :], xi[:tile - 1, :]], axis=0)
     yloc_r = _ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
@@ -394,6 +460,38 @@ class PallasFrontEnd:
             (self.consts["wcat_r"], self.consts["wcat_i"]))
         # the new x[-1] is simply the block's last input sample
         new_dc_x = jax.lax.complex(xw[t2 - 2], xw[t2 - 1])
+        return new_dc_x, ndy, nh, yr, yi
+
+    def apply_packed(self, dc_x: jax.Array, dc_y: jax.Array,
+                     hist: jax.Array, w: jax.Array, fmt: str = "cs16"):
+        """w [T] f32 transport words of the SC16 wire (ops/decode.py
+        packing: one complex sample per word), T % 128 == 0, decoded to
+        planes INSIDE the kernel — input HBM traffic is the 4 B/sample
+        word read.  Bit-exact vs decode_planes + apply_planes
+        (test-enforced).
+
+        Returns (dc_x', dc_y', hist', yr [T//128, 25], yi [T//128, 25]).
+        """
+        if fmt != "cs16":
+            raise ValueError(f"in-kernel decode supports cs16 only, "
+                             f"got {fmt!r}")
+        t = w.shape[-1]
+        assert t % M == 0, t
+        rows = t // M
+        w_rows = w.reshape(rows, M)
+        hr, hi = self._hist_planes(hist)
+        # x[-1] carry rows: the DECODED planes convention of apply_planes
+        cx = jnp.stack([jnp.real(dc_x), jnp.imag(dc_x)]).astype(jnp.float32)
+        sel = np.zeros((1, M), dtype=np.float32)
+        sel[0, M - 1] = 1.0
+        cx_rows = cx[:, None] * sel                               # [2, M]
+        ndy, nh, yr, yi = self._call(
+            _body_cs16, (w_rows,), M, rows, hr, hi, cx_rows,
+            self._cy_rows(dc_y), (self.consts["w1"],))
+        # new x[-1]: decode the block's last word (scalar XLA epilogue)
+        from sdr_pmr446_tpu.ops.decode import decode_planes
+        xr_l, xi_l = decode_planes(w[t - 1:t], "cs16")
+        new_dc_x = jax.lax.complex(xr_l[0], xi_l[0])
         return new_dc_x, ndy, nh, yr, yi
 
     def apply_planes(self, dc_x: jax.Array, dc_y: jax.Array,

@@ -210,9 +210,17 @@ class ScannerChain:
                 dc_x, dc_y, resamp_hist, br, bi = \
                     self.pallas_front.apply_interleaved(
                         state.dc_x, state.dc_y, state.resamp_hist, iq)
+            elif self.fuse_dc and self.input_format == "cs16":
+                # 1+2. SC16 wire words decoded INSIDE the fused kernel
+                # (bitcast + shift/mask in VMEM, bit-exact vs
+                # ops/decode.py): input HBM traffic drops to the 4 B/sample
+                # word read — half of cf32w's
+                dc_x, dc_y, resamp_hist, br, bi = \
+                    self.pallas_front.apply_packed(
+                        state.dc_x, state.dc_y, state.resamp_hist, iq)
             elif self.fuse_dc:
-                # cf32: interleave to wire layout in one XLA pass; packed
-                # wire bytes: decode to planes directly (never complex)
+                # cf32: interleave to wire layout in one XLA pass; other
+                # packed wire bytes: decode to planes (never complex)
                 if self.input_format == "cf32":
                     dc_x, dc_y, resamp_hist, br, bi = \
                         self.pallas_front.apply_iq(

@@ -98,6 +98,71 @@ def test_front_end_interleaved_matches_opchain_streaming():
                        np.asarray(band - pband)) > 110.0, f"block {blk}"
 
 
+def test_front_end_packed_cs16_bitexact_vs_planes():
+    """apply_packed (in-kernel SC16 decode) == decode_planes + apply_planes
+    BIT-FOR-BIT across streamed blocks: the decode is exact integer->f32
+    arithmetic, so the two paths share an arithmetic fixed point."""
+    from sdr_pmr446_tpu.ops import decode as decode_op
+
+    rng = np.random.default_rng(3)
+    fe = PallasFrontEnd(tile_rows=64, interpret=True)
+    dcx, dcy, hist = fe.init_state()
+    pdcx, pdcy, phist = dcx, dcy, hist
+    rdcx, rdcy, rhist = dcx, dcy, hist
+    t = 128 * 112
+    for blk in range(3):
+        x = (0.5 * (rng.standard_normal(t) + 1j * rng.standard_normal(t))
+             + (0.05 - 0.1j)).astype(np.complex64)
+        w = jnp.asarray(decode_op.pack_iq(x, "cs16"))
+        assert w.shape == (t,)
+        dcx, dcy, hist, yr, yi = fe.apply_packed(dcx, dcy, hist, w)
+        xr, xi = decode_op.decode_planes(w, "cs16")
+        pdcx, pdcy, phist, pyr, pyi = fe.apply_planes(
+            pdcx, pdcy, phist, xr, xi)
+        np.testing.assert_array_equal(np.asarray(yr), np.asarray(pyr),
+                                      err_msg=f"block {blk}")
+        np.testing.assert_array_equal(np.asarray(yi), np.asarray(pyi),
+                                      err_msg=f"block {blk}")
+        np.testing.assert_array_equal(np.asarray(hist), np.asarray(phist))
+        assert complex(dcx) == complex(pdcx)
+        assert complex(dcy) == complex(pdcy)
+        # and the op chain fed the decoded signal agrees to kernel SNR
+        xq = jax.lax.complex(xr, xi)
+        rdcx, rdcy, rhist, rband = reference_impl(rdcx, rdcy, rhist, xq)
+        band = jax.lax.complex(yr, yi).reshape(-1)
+        assert _snr_db(np.asarray(rband),
+                       np.asarray(band - rband)) > 100.0, f"block {blk}"
+
+
+def test_scanner_chain_fused_cs16_matches_decode_path():
+    """Full scanner: fused in-kernel cs16 decode == fuse_dc=False pallas
+    chain fed the same wire words (decisions exactly, audio to fp)."""
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+    from sdr_pmr446_tpu.io import synth
+    from sdr_pmr446_tpu.ops import decode as decode_op
+
+    iq = synth.make_scanner_iq(2 * C.SUBCHUNK_IN, channel=3, ctcss_code=7)
+    w = decode_op.pack_iq(iq, "cs16")
+    params = make_runtime_params(C.ScannerArgs())
+    outs = {}
+    for mode in ["fused", "unfused"]:
+        chain = ScannerChain(C.BlockConfig(2), use_pallas=True,
+                             pallas_interpret=True, input_format="cs16",
+                             fuse_dc=(mode == "fused"))
+        st = chain.init_state()
+        _, o = chain.step(st, jnp.asarray(w), params)
+        outs[mode] = o
+    o1, o2 = outs["fused"], outs["unfused"]
+    np.testing.assert_array_equal(np.asarray(o1.active_chan),
+                                  np.asarray(o2.active_chan))
+    np.testing.assert_array_equal(np.asarray(o1.ct_detected),
+                                  np.asarray(o2.ct_detected))
+    np.testing.assert_allclose(np.asarray(o1.rssi_db),
+                               np.asarray(o2.rssi_db), rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(o1.audio),
+                               np.asarray(o2.audio), rtol=0, atol=1e-3)
+
+
 def test_scanner_chain_fused_dc_matches_std():
     """Full scanner with fuse_dc=True == standard XLA chain (interpret)."""
     from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params

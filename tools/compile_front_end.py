@@ -5,7 +5,12 @@ one line per variant: PASS/FAIL + the first error line.  No device->host
 transfers, safe on any tunnel.
 """
 
+import os
 import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +42,7 @@ def main():
     xw = jnp.zeros((2 * t,), jnp.float32)
     ok = probe("planes", fe.apply_planes, (dcx, dcy, hist, xr, xr))
     ok &= probe("interleaved", fe.apply_interleaved, (dcx, dcy, hist, xw))
+    ok &= probe("packed_cs16", fe.apply_packed, (dcx, dcy, hist, xr))
     return 0 if ok else 1
 
 

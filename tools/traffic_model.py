@@ -22,15 +22,17 @@ CH = BAND                    # aggregate over 16 channels
 AUDIO = BAND / 16.0
 
 
-def pallas_chain_traffic(fused_front_end: bool = False) -> dict:
+def pallas_chain_traffic(fused_front_end: bool = False,
+                         input_bytes: float = 8.0) -> dict:
     """Bytes of HBM traffic per input sample, per stage boundary.
 
-    fused_front_end: kernels/front_end.py consumes the cf32 WIRE bytes in
-    place (input_format cf32w) — the split and DC-blocker round trips
-    vanish and the front end is the 8 B input read + band write alone.
+    fused_front_end: kernels/front_end.py consumes the WIRE bytes in
+    place — the split and DC-blocker round trips vanish and the front end
+    is the input read + band write alone.  input_bytes: 8 for cf32w, 4
+    for cs16 (decoded in-kernel via apply_packed).
     """
     if fused_front_end:
-        front = {"front_end": 8 + 2 * 4 * BAND}
+        front = {"front_end": input_bytes + 2 * 4 * BAND}
     else:
         front = {
             # iq complex64 read + two f32 planes written (split)
@@ -69,12 +71,15 @@ def main() -> int:
     a = p.parse_args()
     t = pallas_chain_traffic()
     tf = pallas_chain_traffic(fused_front_end=True)
+    tp = pallas_chain_traffic(fused_front_end=True, input_bytes=4.0)
     out = {"bytes_per_input_sample": t,
            "bytes_per_input_sample_fused_front_end": tf,
+           "bytes_per_input_sample_fused_cs16": tp,
            "input_read_only_B": 8}
     if a.gbps:
         out["sol_full_chain_Msps"] = round(a.gbps * 1e3 / t["total"], 1)
         out["sol_fused_front_end_Msps"] = round(a.gbps * 1e3 / tf["total"], 1)
+        out["sol_fused_cs16_Msps"] = round(a.gbps * 1e3 / tp["total"], 1)
         out["sol_input_read_only_Msps"] = round(a.gbps * 1e3 / 8, 1)
     print(json.dumps(out, indent=1))
     return 0
