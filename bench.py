@@ -173,11 +173,12 @@ DEFAULT_ENVELOPE_GBPS = 773.0
 #: model — input read 8 B, band planes out+in, pfb demod+|y| out, rssi
 #: read, audio-bank in/out, lp-DC scan in/out, CTCSS + select reads —
 #: totals 19.7 B/sample (tools/traffic_model.py fused_front_end=True).
-#: cs16 is decoded INSIDE the fused front-end kernel (bitcast+shift in
-#: VMEM, kernels/front_end.py::apply_packed), so its model is cf32w's
-#: 19.7 with the 8 B input read halved to 4 B.
+#: packed formats are decoded INSIDE the fused front-end kernel (bitcast
+#: + shift/mask in VMEM, kernels/front_end.py::apply_packed[2]), so their
+#: models are cf32w's 19.7 with the 8 B input read shrunk to the wire
+#: width (cs16 4 B, cu8/cs8 2 B).
 MIN_TRAFFIC_B_PER_SAMPLE = {"cf32": 24.0, "cs16": 15.7,
-                            "cu8": 18.0, "cs8": 18.0, "cf32w": 19.7}
+                            "cu8": 13.7, "cs8": 13.7, "cf32w": 19.7}
 
 
 def _envelope_probe_main(mb=512, iters=300) -> int:

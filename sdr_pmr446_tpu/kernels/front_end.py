@@ -90,6 +90,13 @@ _P = 1.0 - C.DC_BLOCK_ALPHA
 _G = (1.0 + _P) / 2.0
 _PJ_LAST = float(_P ** M)     # pj[M-1] = p^M: the row-end carry decay
 
+# wide-row (cu8/cs8) geometry: one 128-word row = 256 samples = 2 frames
+W2 = 2 * M                    # 256-wide sample rows
+HIST_ROWS_W = 2               # carried history rows (512 >= 345)
+HIST_W = HIST_ROWS_W * W2     # 512
+W_PAD_W = (HIST_ROWS_W + 1) * W2  # 768-wide window
+_PJ_LAST_W = float(_P ** W2)
+
 
 @functools.lru_cache(maxsize=None)
 def _row_consts() -> dict:
@@ -124,13 +131,56 @@ def _row_consts() -> dict:
 
 
 @functools.lru_cache(maxsize=None)
-def _tile_consts(tile: int) -> tuple[np.ndarray, np.ndarray]:
-    """(Tt [tile,tile], pvec [tile,1]) f32: row-carry propagation."""
+def _row_consts_wide() -> dict:
+    """Width-256 (wide-row) f32 constants for the cu8/cs8 variant."""
+    j = np.arange(W2, dtype=np.float64)
+    diff = j[None, :] - j[:, None]
+    u = np.where(diff >= 0, _P ** np.maximum(diff, 0), 0.0)
+    ushift = np.vstack([u[1:], np.zeros((1, W2))])
+    w1 = (_G * (u - ushift)).astype(np.float32)            # [W2, W2]
+    u0 = (_G * u[0])[None, :].astype(np.float32)           # [1, W2]
+    pj = (_P ** (j + 1.0))[None, :].astype(np.float32)     # [1, W2]
+    k = _kernel_matrix(tuple(D.resampler_taps().tolist()), L, M)  # [25, 468]
+    hist_len = len(D.resampler_taps()) // L - 1                   # 345
+    left_pad = HIST_W - hist_len                                  # 167
+    # frame A (even global frame, starts at the row's sample 0) and frame B
+    # (odd, starts at sample 128): same 468-tap window, shifted by M
+    k2a = np.zeros((W_PAD_W, L), dtype=np.float32)
+    k2a[left_pad:left_pad + k.shape[1], :] = k.T
+    k2b = np.zeros((W_PAD_W, L), dtype=np.float32)
+    k2b[left_pad + M:left_pad + M + k.shape[1], :] = k.T
+    assert left_pad + M + k.shape[1] <= W_PAD_W
+    e_last = np.zeros((W2, 1), dtype=np.float32)
+    e_last[W2 - 1, 0] = 1.0
+    # byte-plane spreaders: word c's sample pair lands at lanes 2c / 2c+1
+    g0 = np.zeros((M, W2), dtype=np.float32)
+    g1 = np.zeros((M, W2), dtype=np.float32)
+    g0[np.arange(M), 2 * np.arange(M)] = 1.0
+    g1[np.arange(M), 2 * np.arange(M) + 1] = 1.0
+    return dict(w1=w1, u0=u0, pj=pj, k2a=k2a, k2b=k2b, e_last=e_last,
+                g0=g0, g1=g1)
+
+
+@functools.lru_cache(maxsize=None)
+def _tile_consts(tile: int, width: int = M) -> tuple[np.ndarray, np.ndarray]:
+    """(Tt [tile,tile], pvec [tile,1]) f32: row-carry propagation for rows
+    of ``width`` samples."""
     r = np.arange(tile, dtype=np.float64)
-    diff = r[:, None] - 1.0 - r[None, :]       # Tt[r, r'] = p^(128(r-1-r'))
-    tt = np.where(diff >= 0, _P ** (M * np.maximum(diff, 0.0)), 0.0)
-    pvec = (_P ** (M * r))[:, None]
+    diff = r[:, None] - 1.0 - r[None, :]     # Tt[r, r'] = p^(width(r-1-r'))
+    tt = np.where(diff >= 0, _P ** (width * np.maximum(diff, 0.0)), 0.0)
+    pvec = (_P ** (width * r))[:, None]
     return tt.astype(np.float32), pvec.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _interleave_consts(tile: int) -> tuple[np.ndarray, np.ndarray]:
+    """(P0, P1) [2*tile, tile] one-hot row interleavers: out row 2r comes
+    from frame-A row r, out row 2r+1 from frame-B row r."""
+    p0 = np.zeros((2 * tile, tile), dtype=np.float32)
+    p1 = np.zeros((2 * tile, tile), dtype=np.float32)
+    p0[2 * np.arange(tile), np.arange(tile)] = 1.0
+    p1[2 * np.arange(tile) + 1, np.arange(tile)] = 1.0
+    return p0, p1
 
 
 def pick_tile(rows: int, requested: int) -> int:
@@ -278,6 +328,101 @@ def _body_cs16(xw_ref, hr_ref, hi_ref, cx_ref, cy_ref,
     _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi, ocy)
 
 
+def _plane_rest_wide(ylocal, yprev_11, yh, win, y_out,
+                     tt, pvec, pj_ref, k2a_ref, k2b_ref, e_last, p0, p1):
+    """Wide-row steps 2-3 + TWO resampler frames per row for one plane.
+
+    Writes [2*tile, L] standard frame-major output via one-hot row
+    interleave matmuls; returns (y rows [tile, W2], ylast [tile, 1])."""
+    tile = ylocal.shape[0]
+    yend = _dot(ylocal, e_last)                           # [tile, 1]
+    carry = _dot(tt, yend) + _dot(pvec, yprev_11)         # [tile, 1]
+    y = ylocal + _dot(carry, pj_ref[:])
+    ycat = jnp.concatenate([yh[:, :], y], axis=0)         # [tile+2, W2]
+    for i in range(HIST_ROWS_W + 1):
+        win[:, i * W2:(i + 1) * W2] = ycat[i:i + tile, :]
+    ya = _dot(win[:], k2a_ref[:])                         # [tile, L]
+    yb = _dot(win[:], k2b_ref[:])
+    y_out[:, :] = _dot(p0, ya) + _dot(p1, yb)             # [2*tile, L]
+    ylast = yend + carry * _PJ_LAST_W
+    return y, ylast
+
+
+def _decode_bytes(w, signed):
+    """f32 transport words [tile, M] -> 4 byte planes as f32, matching
+    ops/decode.py::decode_planes exactly: b0=i(2k), b1=q(2k), b2=i(2k+1),
+    b3=q(2k+1); cs8 sign-extended + /128, cu8 (v-127.5)*(1/127.5)."""
+    u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    b = [jnp.bitwise_and(jax.lax.shift_right_logical(u, jnp.uint32(8 * k)),
+                         jnp.uint32(0xFF)).astype(jnp.int32)
+         for k in range(4)]
+    if signed:
+        b = [jnp.bitwise_xor(v, 0x80) - 0x80 for v in b]
+        return [v.astype(jnp.float32) * (1.0 / 128.0) for v in b]
+    inv = np.float32(1.0 / 127.5)
+    return [(v.astype(jnp.float32) - 127.5) * inv for v in b]
+
+
+def _body_pk2(xw_ref, hr_ref, hi_ref, cx_ref, cy_ref,
+              w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref,
+              k2a_ref, k2b_ref, el_ref, g0_ref, g1_ref, p0_ref, p1_ref,
+              yr_out, yi_out, ohr, ohi, ocy,
+              yh_r, yh_i, xrow, ysc, win_r, win_i, *, signed):
+    """Wide-row packed variant (cu8/cs8): xw [tile, M] f32 transport words,
+    each holding TWO complex samples, decoded in VMEM and spread to
+    256-wide plane rows by one-hot matmuls; the whole recurrence +
+    resampler runs at width 256 with two output frames per row."""
+    tile = xw_ref.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        yh_r[:, :] = hr_ref[:, :]
+        yh_i[:, :] = hi_ref[:, :]
+        xrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    p0 = p0_ref[:]
+    p1 = p1_ref[:]
+    b0, b1, b2, b3 = _decode_bytes(xw_ref[:], signed)
+    g0 = g0_ref[:]
+    g1 = g1_ref[:]
+    xr = _dot(b0, g0) + _dot(b2, g1)                      # [tile, W2]
+    xi = _dot(b1, g0) + _dot(b3, g1)
+    xprev_r = jnp.concatenate([xrow[0:1, :], xr[:tile - 1, :]], axis=0)
+    xprev_i = jnp.concatenate([xrow[1:2, :], xi[:tile - 1, :]], axis=0)
+    yloc_r = _ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
+    yloc_i = _ylocal(xi, xprev_i, w1_ref, u0_ref, e_last)
+
+    y_r, yl_r = _plane_rest_wide(yloc_r, ysc[0:1, 0:1], yh_r, win_r, yr_out,
+                                 tt, pvec, pj_ref, k2a_ref, k2b_ref,
+                                 e_last, p0, p1)
+    y_i, yl_i = _plane_rest_wide(yloc_i, ysc[1:2, 0:1], yh_i, win_i, yi_out,
+                                 tt, pvec, pj_ref, k2a_ref, k2b_ref,
+                                 e_last, p0, p1)
+
+    xrow[0:1, :] = xr[tile - 1:tile, :]
+    xrow[1:2, :] = xi[tile - 1:tile, :]
+    yh_r[:, :] = y_r[tile - HIST_ROWS_W:, :]
+    yh_i[:, :] = y_i[tile - HIST_ROWS_W:, :]
+    ysc[0:1, 0:1] = yl_r[tile - 1:tile, :]
+    ysc[1:2, 0:1] = yl_i[tile - 1:tile, :]
+    ohr[:, :] = yh_r[:, :]
+    ohi[:, :] = yh_i[:, :]
+    ocy[:, :] = ysc[:, :]
+
+
+def _body_pk2_cu8(*refs):
+    return _body_pk2(*refs, signed=False)
+
+
+def _body_pk2_cs8(*refs):
+    return _body_pk2(*refs, signed=True)
+
+
 def _body_ilv(xw_ref, hr_ref, hi_ref, cx_ref, cy_ref,
               wcr_ref, wci_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
               el_ref, ewr_ref, ewi_ref,
@@ -323,18 +468,23 @@ class PallasFrontEnd:
     DC-BLOCKED samples of resampler history (y-space, vs the unfused 309) —
     init via ``init_state()``; shapes are compatible with ScannerState's
     (dc_x, dc_y, resamp_hist) slots.
+
+    ``wide=True`` selects the 256-wide-row geometry used by apply_packed2
+    (cu8/cs8, two samples per transport word); its carried history is 512
+    samples (2 x 256 rows) instead of 384.
     """
 
-    hist_len = HIST
-
-    def __init__(self, tile_rows: int = 448, interpret: bool = False):
+    def __init__(self, tile_rows: int = 448, interpret: bool = False,
+                 wide: bool = False):
         self.tile_rows = tile_rows
         self.interpret = interpret
-        self.consts = _row_consts()
+        self.wide = wide
+        self.hist_len = HIST_W if wide else HIST
+        self.consts = _row_consts_wide() if wide else _row_consts()
 
     def init_state(self):
         z = jnp.zeros((), jnp.complex64)
-        return z, z, jnp.zeros((HIST,), jnp.complex64)
+        return z, z, jnp.zeros((self.hist_len,), jnp.complex64)
 
     def apply(self, dc_x: jax.Array, dc_y: jax.Array, hist: jax.Array,
               x: jax.Array):
@@ -355,8 +505,9 @@ class PallasFrontEnd:
                                       xw.astype(jnp.float32))
 
     def _hist_planes(self, hist):
-        hr = jnp.real(hist).astype(jnp.float32).reshape(HIST_ROWS, M)
-        hi = jnp.imag(hist).astype(jnp.float32).reshape(HIST_ROWS, M)
+        rows, width = ((HIST_ROWS_W, W2) if self.wide else (HIST_ROWS, M))
+        hr = jnp.real(hist).astype(jnp.float32).reshape(rows, width)
+        hi = jnp.imag(hist).astype(jnp.float32).reshape(rows, width)
         return hr, hi
 
     @staticmethod
@@ -442,6 +593,7 @@ class PallasFrontEnd:
 
         Returns (dc_x', dc_y', hist', yr [T//128, 25], yi [T//128, 25]).
         """
+        assert not self.wide, "apply_interleaved uses the narrow geometry"
         t2 = xw.shape[-1]
         assert t2 % (2 * M) == 0, t2
         rows = t2 // (2 * M)
@@ -473,8 +625,9 @@ class PallasFrontEnd:
         Returns (dc_x', dc_y', hist', yr [T//128, 25], yi [T//128, 25]).
         """
         if fmt != "cs16":
-            raise ValueError(f"in-kernel decode supports cs16 only, "
-                             f"got {fmt!r}")
+            raise ValueError(f"apply_packed supports cs16 only, got "
+                             f"{fmt!r} (cu8/cs8 -> apply_packed2)")
+        assert not self.wide, "cs16 uses the narrow-row geometry"
         t = w.shape[-1]
         assert t % M == 0, t
         rows = t // M
@@ -494,6 +647,96 @@ class PallasFrontEnd:
         new_dc_x = jax.lax.complex(xr_l[0], xi_l[0])
         return new_dc_x, ndy, nh, yr, yi
 
+    def apply_packed2(self, dc_x: jax.Array, dc_y: jax.Array,
+                      hist: jax.Array, w: jax.Array, fmt: str = "cu8"):
+        """w [T/2] f32 transport words of the rtl_tcp (cu8) / HackRF (cs8)
+        wire (ops/decode.py packing: TWO complex samples per word),
+        decoded to planes INSIDE the wide-row kernel — input HBM traffic
+        is the 2 B/sample word read.  Requires wide=True (512-sample
+        carried history).  Bit-exact vs decode_planes (test-enforced).
+
+        Returns (dc_x', dc_y', hist', yr [T//128, 25], yi [T//128, 25]).
+        """
+        if fmt not in ("cu8", "cs8"):
+            raise ValueError(f"apply_packed2 supports cu8/cs8, got {fmt!r}")
+        assert self.wide, "cu8/cs8 need the wide-row geometry (wide=True)"
+        nw = w.shape[-1]
+        assert nw % M == 0, nw
+        rows_w = nw // M                 # wide rows (256 samples each)
+        w_rows = w.reshape(rows_w, M)
+        hr, hi = self._hist_planes(hist)
+        cx = jnp.stack([jnp.real(dc_x), jnp.imag(dc_x)]).astype(jnp.float32)
+        sel = np.zeros((1, W2), dtype=np.float32)
+        sel[0, W2 - 1] = 1.0
+        cx_rows = cx[:, None] * sel                               # [2, W2]
+        body = _body_pk2_cs8 if fmt == "cs8" else _body_pk2_cu8
+        ndy, nh, yr, yi = self._call_wide(body, w_rows, rows_w, hr, hi,
+                                          cx_rows, self._cy_rows(dc_y))
+        # new x[-1]: the last word's SECOND sample (scalar XLA epilogue)
+        from sdr_pmr446_tpu.ops.decode import decode_planes
+        xr_l, xi_l = decode_planes(w[nw - 1:nw], fmt)
+        new_dc_x = jax.lax.complex(xr_l[1], xi_l[1])
+        return new_dc_x, ndy, nh, yr, yi
+
+    def _call_wide(self, body, w_rows, rows_w: int, hr, hi, cx_row, cy):
+        """pallas_call plumbing for the wide-row packed bodies."""
+        cn = self.consts
+        # same samples per tile as the narrow default (tile_rows is in
+        # 128-sample rows)
+        tile = pick_tile(rows_w, max(8, self.tile_rows // 2))
+        n_tiles = rows_w // tile
+        tt, pvec = _tile_consts(tile, W2)
+        p0, p1 = _interleave_consts(tile)
+
+        grid_block = lambda shape: pl.BlockSpec(
+            shape, lambda s: (s, 0), memory_space=pltpu.VMEM)
+        whole = lambda shape: pl.BlockSpec(
+            shape, lambda s: (0, 0), memory_space=pltpu.VMEM)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        yr_o, yi_o, ohr, ohi, ocy = pl.pallas_call(
+            body,
+            grid=(n_tiles,),
+            in_specs=[grid_block((tile, M))] + [
+                whole((HIST_ROWS_W, W2)),         # hist re
+                whole((HIST_ROWS_W, W2)),         # hist im
+                whole((2, W2)),                   # x[-1] carry rows
+                whole((2, M)),                    # y[-1] carry rows
+            ] + [vmem() for _ in range(12)],      # w1..p1 constants
+            out_specs=[
+                grid_block((2 * tile, L)),
+                grid_block((2 * tile, L)),
+                whole((HIST_ROWS_W, W2)),
+                whole((HIST_ROWS_W, W2)),
+                whole((2, M)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2 * rows_w, L), jnp.float32),
+                jax.ShapeDtypeStruct((2 * rows_w, L), jnp.float32),
+                jax.ShapeDtypeStruct((HIST_ROWS_W, W2), jnp.float32),
+                jax.ShapeDtypeStruct((HIST_ROWS_W, W2), jnp.float32),
+                jax.ShapeDtypeStruct((2, M), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((HIST_ROWS_W, W2), jnp.float32),
+                pltpu.VMEM((HIST_ROWS_W, W2), jnp.float32),
+                pltpu.VMEM((2, W2), jnp.float32),
+                pltpu.VMEM((2, M), jnp.float32),
+                pltpu.VMEM((tile, W_PAD_W), jnp.float32),
+                pltpu.VMEM((tile, W_PAD_W), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )(w_rows, hr, hi, cx_row, cy,
+          jnp.asarray(cn["w1"]), jnp.asarray(cn["u0"]),
+          jnp.asarray(cn["pj"]), jnp.asarray(tt), jnp.asarray(pvec),
+          jnp.asarray(cn["k2a"]), jnp.asarray(cn["k2b"]),
+          jnp.asarray(cn["e_last"]), jnp.asarray(cn["g0"]),
+          jnp.asarray(cn["g1"]), jnp.asarray(p0), jnp.asarray(p1))
+
+        new_dc_y = jax.lax.complex(ocy[0, 0], ocy[1, 0])
+        new_hist = jax.lax.complex(ohr.reshape(-1), ohi.reshape(-1))
+        return new_dc_y, new_hist, yr_o, yi_o
+
     def apply_planes(self, dc_x: jax.Array, dc_y: jax.Array,
                      hist: jax.Array, xr: jax.Array, xi: jax.Array):
         """dc_x/dc_y c64 scalars, hist [384] c64 (DC-blocked y-space),
@@ -501,6 +744,7 @@ class PallasFrontEnd:
 
         Returns (dc_x', dc_y', hist', yr [T//128, 25], yi [T//128, 25]).
         """
+        assert not self.wide, "apply_planes uses the narrow-row geometry"
         t = xr.shape[-1]
         assert t % M == 0, t
         rows = t // M
@@ -522,13 +766,14 @@ class PallasFrontEnd:
 def reference_impl(dc_x, dc_y, hist, x):
     """Pure-JAX semantics: ops/iir DC blocker -> ops/resample PolyResampler.
 
-    hist is the fused 384-sample y-space history; the unfused resampler
-    needs only its last 309 samples.
+    hist is the fused y-space history (384 narrow / 512 wide); the unfused
+    resampler needs only its last 309 samples.
     """
     from sdr_pmr446_tpu.ops import iir
     from sdr_pmr446_tpu.ops.resample import PolyResampler
     (ndx, ndy), y = iir.dc_blocker_apply((dc_x, dc_y), x, C.DC_BLOCK_ALPHA)
     res = PolyResampler(D.resampler_taps(), L, M)
-    _, band = res.apply(hist[HIST - res.hist_len:], y)
-    new_hist = jnp.concatenate([hist, y])[-HIST:]
+    hlen = hist.shape[-1]
+    _, band = res.apply(hist[hlen - res.hist_len:], y)
+    new_hist = jnp.concatenate([hist, y])[-hlen:]
     return ndx, ndy, new_hist, band

@@ -118,8 +118,11 @@ class ScannerChain:
                                              interpret=pallas_interpret)
             if self.fuse_dc:
                 from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
+                # cu8/cs8 pack TWO samples per transport word -> the
+                # wide-row (256-sample) kernel geometry
                 self.pallas_front = PallasFrontEnd(
-                    interpret=pallas_interpret)
+                    interpret=pallas_interpret,
+                    wide=input_format in ("cu8", "cs8"))
             else:
                 self.pallas_resampler = PallasResampler(
                     tile_f=res_tile, interpret=pallas_interpret)
@@ -218,19 +221,19 @@ class ScannerChain:
                 dc_x, dc_y, resamp_hist, br, bi = \
                     self.pallas_front.apply_packed(
                         state.dc_x, state.dc_y, state.resamp_hist, iq)
+            elif self.fuse_dc and self.input_format in ("cu8", "cs8"):
+                # 1+2. rtl_tcp/HackRF wire (TWO samples per word) decoded
+                # inside the wide-row kernel: 2 B/sample input read — the
+                # live-source format at its speed of light
+                dc_x, dc_y, resamp_hist, br, bi = \
+                    self.pallas_front.apply_packed2(
+                        state.dc_x, state.dc_y, state.resamp_hist, iq,
+                        self.input_format)
             elif self.fuse_dc:
-                # cf32: interleave to wire layout in one XLA pass; other
-                # packed wire bytes: decode to planes (never complex)
-                if self.input_format == "cf32":
-                    dc_x, dc_y, resamp_hist, br, bi = \
-                        self.pallas_front.apply_iq(
-                            state.dc_x, state.dc_y, state.resamp_hist, iq)
-                else:
-                    xr, xi = decode_op.decode_planes(iq, self.input_format)
-                    dc_x, dc_y, resamp_hist, br, bi = \
-                        self.pallas_front.apply_planes(
-                            state.dc_x, state.dc_y, state.resamp_hist,
-                            xr, xi)
+                # cf32: interleave to wire layout in one XLA pass
+                dc_x, dc_y, resamp_hist, br, bi = \
+                    self.pallas_front.apply_iq(
+                        state.dc_x, state.dc_y, state.resamp_hist, iq)
             else:
                 if self.input_format == "cf32":
                     xr = jnp.real(iq)

@@ -134,6 +134,67 @@ def test_front_end_packed_cs16_bitexact_vs_planes():
                        np.asarray(band - rband)) > 100.0, f"block {blk}"
 
 
+@pytest.mark.parametrize("fmt", ["cu8", "cs8"])
+def test_front_end_packed2_wide_matches_opchain(fmt):
+    """apply_packed2 (wide-row in-kernel cu8/cs8 decode) tracks the op
+    chain fed the decoded signal across streamed blocks, and its decode
+    is bit-exact vs ops/decode.py (dc_x carry compares exactly)."""
+    from sdr_pmr446_tpu.ops import decode as decode_op
+
+    rng = np.random.default_rng(4)
+    fe = PallasFrontEnd(tile_rows=64, interpret=True, wide=True)
+    dcx, dcy, hist = fe.init_state()
+    assert hist.shape == (fe.hist_len,) and fe.hist_len == 512
+    rdcx, rdcy, rhist = dcx, dcy, hist
+    t = 128 * 112
+    for blk in range(3):
+        x = (0.5 * (rng.standard_normal(t) + 1j * rng.standard_normal(t))
+             + (0.05 - 0.1j)).astype(np.complex64)
+        w = jnp.asarray(decode_op.pack_iq(x, fmt))
+        assert w.shape == (t // 2,)
+        dcx, dcy, hist, yr, yi = fe.apply_packed2(dcx, dcy, hist, w, fmt)
+        assert yr.shape == (t // 128, 25)
+        xr, xi = decode_op.decode_planes(w, fmt)
+        xq = jax.lax.complex(xr, xi)
+        rdcx, rdcy, rhist, rband = reference_impl(rdcx, rdcy, rhist, xq)
+        band = jax.lax.complex(yr, yi).reshape(-1)
+        assert _snr_db(np.asarray(rband),
+                       np.asarray(band - rband)) > 100.0, f"block {blk}"
+        # dc_x is the decoded wire value: bit-exact by construction
+        assert complex(dcx) == complex(rdcx), f"block {blk}"
+        assert abs(complex(dcy) - complex(rdcy)) < 1e-5
+        assert float(jnp.max(jnp.abs(hist - rhist))) < 1e-5
+
+
+def test_scanner_chain_fused_cu8_matches_decode_path():
+    """Full scanner: fused wide-row cu8 decode == fuse_dc=False pallas
+    chain fed the same wire words (decisions exactly, audio to fp)."""
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+    from sdr_pmr446_tpu.io import synth
+    from sdr_pmr446_tpu.ops import decode as decode_op
+
+    iq = synth.make_scanner_iq(2 * C.SUBCHUNK_IN, channel=3, ctcss_code=7)
+    w = decode_op.pack_iq(iq, "cu8")
+    params = make_runtime_params(C.ScannerArgs())
+    outs = {}
+    for mode in ["fused", "unfused"]:
+        chain = ScannerChain(C.BlockConfig(2), use_pallas=True,
+                             pallas_interpret=True, input_format="cu8",
+                             fuse_dc=(mode == "fused"))
+        st = chain.init_state()
+        _, o = chain.step(st, jnp.asarray(w), params)
+        outs[mode] = o
+    o1, o2 = outs["fused"], outs["unfused"]
+    np.testing.assert_array_equal(np.asarray(o1.active_chan),
+                                  np.asarray(o2.active_chan))
+    np.testing.assert_array_equal(np.asarray(o1.ct_detected),
+                                  np.asarray(o2.ct_detected))
+    np.testing.assert_allclose(np.asarray(o1.rssi_db),
+                               np.asarray(o2.rssi_db), rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(o1.audio),
+                               np.asarray(o2.audio), rtol=0, atol=1e-3)
+
+
 def test_scanner_chain_fused_cs16_matches_decode_path():
     """Full scanner: fused in-kernel cs16 decode == fuse_dc=False pallas
     chain fed the same wire words (decisions exactly, audio to fp)."""

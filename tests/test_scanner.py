@@ -256,7 +256,11 @@ def test_packed_input_chain_equals_cf32(fmt, engine):
     bit-identical to the cf32 chain fed the host-converted samples.
 
     cf32w is the lossless case: the f32 wire bytes ARE the complex64
-    capture, consumed in place by the fused front end (pallas engine)."""
+    capture, consumed in place by the fused front end (pallas engine).
+    Exception: cu8 under pallas runs the WIDE-row fused kernel
+    (kernels/front_end.py::apply_packed2) whose width-256 constants
+    reorder f32 summations — decisions stay bit-exact but float outputs
+    match to fp tolerance rather than bit-for-bit."""
     from sdr_pmr446_tpu.ops import decode
     k = 3
     n = 2 * C.BlockConfig(k).input_len
@@ -280,7 +284,15 @@ def test_packed_input_chain_equals_cf32(fmt, engine):
             params)
         st_p, o_p = pkd_chain.step(
             st_p, jnp.asarray(packed[i * wlen:(i + 1) * wlen]), params)
+        wide_kernel = engine == "pallas" and fmt in ("cu8", "cs8")
         for f in o_r._fields:
-            np.testing.assert_array_equal(
-                np.asarray(getattr(o_r, f)), np.asarray(getattr(o_p, f)),
-                err_msg=f"{fmt}/{engine} field {f} step {i}")
+            a = np.asarray(getattr(o_r, f))
+            b = np.asarray(getattr(o_p, f))
+            if wide_kernel and a.dtype.kind == "f":
+                np.testing.assert_allclose(
+                    a, b, rtol=0,
+                    atol=(1e-2 if f == "rssi_db" else 1e-4),
+                    err_msg=f"{fmt}/{engine} field {f} step {i}")
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"{fmt}/{engine} field {f} step {i}")

@@ -43,6 +43,15 @@ def main():
     ok = probe("planes", fe.apply_planes, (dcx, dcy, hist, xr, xr))
     ok &= probe("interleaved", fe.apply_interleaved, (dcx, dcy, hist, xw))
     ok &= probe("packed_cs16", fe.apply_packed, (dcx, dcy, hist, xr))
+    few = PallasFrontEnd(tile_rows=448, wide=True)
+    wdcx, wdcy, whist = few.init_state()
+    xh = jnp.zeros((t // 2,), jnp.float32)
+    ok &= probe("packed2_cu8",
+                lambda a, b, c, d: few.apply_packed2(a, b, c, d, "cu8"),
+                (wdcx, wdcy, whist, xh))
+    ok &= probe("packed2_cs8",
+                lambda a, b, c, d: few.apply_packed2(a, b, c, d, "cs8"),
+                (wdcx, wdcy, whist, xh))
     return 0 if ok else 1
 
 
