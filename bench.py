@@ -160,25 +160,31 @@ def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
 #: the live probe cannot produce a sound number
 DEFAULT_ENVELOPE_GBPS = 773.0
 
-#: least HBM bytes per input sample the CURRENT chain demonstrably moves
-#: (a lower bound on its real traffic, so envelope/min_b is an upper
-#: bound on its achievable rate — tools/traffic_model.py).
-#:
-#: cf32/cs16/cu8/cs8 paths: input read (8/4/2/2 B by wire format) plus the
-#: DC-blocker's plane write + read-back (8+8 B: on these paths the
-#: recurrence runs as ops/iir.py's XLA scan between kernels).
-#:
-#: cf32w (the cf32 WIRE layout, consumed in place by the fused
-#: DC+resampler kernel, kernels/front_end.py): the full per-boundary
-#: model — input read 8 B, band planes out+in, pfb demod+|y| out, rssi
-#: read, audio-bank in/out, lp-DC scan in/out, CTCSS + select reads —
-#: totals 19.7 B/sample (tools/traffic_model.py fused_front_end=True).
-#: packed formats are decoded INSIDE the fused front-end kernel (bitcast
-#: + shift/mask in VMEM, kernels/front_end.py::apply_packed[2]), so their
-#: models are cf32w's 19.7 with the 8 B input read shrunk to the wire
-#: width (cs16 4 B, cu8/cs8 2 B).
-MIN_TRAFFIC_B_PER_SAMPLE = {"cf32": 24.0, "cs16": 15.7,
-                            "cu8": 13.7, "cs8": 13.7, "cf32w": 19.7}
+def _min_traffic(chain=None, input_format: str = "cf32",
+                 waterfall: bool = False) -> float:
+    """Least HBM bytes per input sample the benchmarked engine
+    demonstrably moves (a lower bound on its real traffic, so
+    envelope/min_b is an upper bound on its achievable rate).
+
+    Derived from the shared analytic model
+    (sdr_pmr446_tpu/utils/traffic.py) using the flags of the chain that
+    actually ran — NOT the input format alone: the XLA fallback engine
+    (use_pallas=False) and the unfused-DC pallas path move strictly more
+    bytes than the fused kernels, and the cap must reflect the engine it
+    bounds (ADVICE r2).  Chains without these flags (single/dsd/batch8
+    streams) use the conservative unfused-front-end floor: input read +
+    the DC-blocker's plane write + read-back (8+8 B)."""
+    from sdr_pmr446_tpu.utils.traffic import (WIRE_BYTES,
+                                              min_traffic_b_per_sample)
+    if chain is None:
+        return WIRE_BYTES[input_format] + 16.0
+    return min_traffic_b_per_sample(
+        input_format=input_format,
+        use_pallas=getattr(chain, "use_pallas", False),
+        fuse_dc=getattr(chain, "fuse_dc", False),
+        fuse_lp_dc=getattr(chain, "fuse_lp_dc", False),
+        fuse_rssi=getattr(chain, "fuse_rssi", False),
+        waterfall=waterfall)
 
 
 def _envelope_probe_main(mb=512, iters=300) -> int:
@@ -525,11 +531,14 @@ def main() -> int:
         # (RESULTS.md methodology, automated).
         # only the scanner-family configs honor --input-format; the other
         # chains are always fed complex64, so their minimum traffic is
-        # the cf32 one regardless of the flag
-        fmt_for_cap = (args.input_format if args.config in
-                       ("scanner", "scanner-pallas", "waterfall")
-                       else "cf32")
-        min_b = MIN_TRAFFIC_B_PER_SAMPLE[fmt_for_cap]
+        # the cf32 unfused floor regardless of the flag
+        if args.config in ("scanner", "scanner-pallas", "waterfall"):
+            min_b = _min_traffic(chain, args.input_format,
+                                 waterfall=args.config == "waterfall")
+        elif args.config == "batch8":
+            min_b = _min_traffic(chain, "cf32")
+        else:
+            min_b = _min_traffic(None, "cf32")
         bound = envelope_gbps * 1e9 / min_b / 1e6
         if msps > bound:
             print(f"bench: loop rate {msps:.0f} exceeds the minimum-"

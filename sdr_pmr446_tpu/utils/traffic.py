@@ -1,0 +1,121 @@
+"""Analytic HBM traffic model of the scanner chain, per engine + format.
+
+Every intermediate between pallas_call/XLA-op boundaries is an HBM round
+trip (VMEM only lives within one kernel), so the chain's minimum HBM
+traffic per INPUT sample is a sum of rate-weighted reads+writes.  Dividing
+the chip's measured HBM bandwidth (tools/bw_check.py) by this gives the
+speed-of-light input throughput — the ceiling against which bench.py
+numbers are capped (RESULTS.md methodology: a reported loop rate above
+what the chain's own traffic admits is the dispatch pipeline, not
+compute, and must not be recorded).
+
+Single source of truth for both tools/traffic_model.py (the CLI) and
+bench.py's per-run cap, keyed on the engine actually benchmarked
+(ADVICE r2: a cap keyed on input format alone is ~30% looser than the
+unfused engine's real minimum).
+
+Rates relative to the 1.024 MHz input:
+  band     = 25/128          (200 kHz resampler output)
+  channels = 25/128          (16 channels x 12.5 kHz = 200 k samples/s)
+  audio    = 25/128/16       (one active channel)
+"""
+
+from __future__ import annotations
+
+BAND = 25.0 / 128.0
+CH = BAND                    # aggregate over 16 channels
+AUDIO = BAND / 16.0
+
+#: wire bytes per complex input sample by format (ops/decode.py)
+WIRE_BYTES = {"cf32": 8.0, "cf32w": 8.0, "cs16": 4.0,
+              "cu8": 2.0, "cs8": 2.0}
+
+
+def chain_traffic(input_format: str = "cf32w",
+                  use_pallas: bool = True,
+                  fuse_dc: bool = True,
+                  fuse_lp_dc: bool = False,
+                  fuse_rssi: bool = False,
+                  waterfall: bool = False) -> dict:
+    """Bytes of HBM traffic per input sample, per stage boundary.
+
+    The returned ``total`` is a LOWER bound on what the configured engine
+    demonstrably moves (boundary traffic only; intra-op passes ignored),
+    so envelope/total is an upper bound on its achievable input rate.
+
+    use_pallas=False: the XLA op chain (scanner/chain.py else-branch) —
+    fuse flags are ignored; its front end always splits planes and
+    round-trips the DC blocker.
+
+    fuse_dc: kernels/front_end.py consumes the WIRE bytes in place — the
+    split and DC-blocker round trips vanish and the front end is the
+    input read + band write alone (cf32 still pays one XLA interleave
+    pass, apply_iq; cf32w/cs16/cu8/cs8 are consumed/decoded in-kernel).
+
+    fuse_lp_dc: the audio-branch DC blocker runs as the audio-bank
+    kernel's epilogue (kernels/audio_bank.py) — the lp round trip
+    vanishes.
+
+    fuse_rssi: the per-sub-chunk |y| sums come out of the PFB kernel as
+    tiny per-tile partials (kernels/pfb_demod.py) — the [16, F]
+    magnitude write + read-back vanishes (a ~f_pad*8-byte selector read
+    remains, counted below).
+    """
+    wire = WIRE_BYTES[input_format]
+    if not use_pallas:
+        fuse_dc = fuse_lp_dc = fuse_rssi = False
+    t: dict[str, float] = {}
+    if fuse_dc:
+        # cf32 complex64 input pays one XLA interleave pass (read 8 +
+        # write 8) before the kernel's 8 B wire read (apply_iq)
+        pre = 16.0 if input_format == "cf32" else 0.0
+        t["front_end"] = pre + wire + 2 * 4 * BAND
+    else:
+        t["input_decode"] = (
+            # cf32: iq complex64 read + two f32 planes written (split);
+            # packed: wire read + two f32 planes written (decode_planes)
+            wire + 8
+        )
+        # dc blocker: planes read + written (exact two-level scan: ~2
+        # passes over the data internally; count the external boundary
+        # only = lower bound)
+        t["dc_blocker"] = 8 + 8
+        # resampler kernel: planes in, band planes out
+        t["resampler"] = 8 + 2 * 4 * BAND
+    # pfb+demod kernel: band planes in; demod out (f32)
+    t["pfb_demod"] = 2 * 4 * BAND + 4 * CH
+    if fuse_rssi:
+        # per-tile segment-sum outputs are negligible; the per-frame
+        # [*, 2] f32 boundary-selector input is not: 8 B per PFB frame
+        t["rssi"] = 8.0 * CH / 16.0
+    else:
+        # |y| written by the kernel, read back by the XLA reduction
+        t["pfb_mag"] = 4 * CH
+        t["rssi"] = 4 * CH
+    # audio bank kernel: demod in, audio + lp branch out
+    t["audio_bank"] = 4 * CH + 2 * 4 * CH
+    if not fuse_lp_dc:
+        # audio-branch dc blocker: lp in/out (XLA scan between kernels)
+        t["lp_dc"] = 4 * CH + 4 * CH
+    # ctcss windowed dft: lp_dcb read (all channels feed the FSM scan)
+    t["ctcss"] = 4 * CH
+    # active-channel select: audio read, [K, ns] written (the moveaxis
+    # layout pass materializes a channel-minor copy before the gather)
+    t["select"] = 4 * CH + 4 * 16 * AUDIO
+    if waterfall:
+        # spgram tap: band planes re-read (complex materialization +
+        # windowed-DFT read; count one band read = lower bound)
+        t["waterfall"] = 8 * BAND
+    t["total"] = round(sum(t.values()), 2)
+    return t
+
+
+def min_traffic_b_per_sample(input_format: str = "cf32w",
+                             use_pallas: bool = True,
+                             fuse_dc: bool = True,
+                             fuse_lp_dc: bool = False,
+                             fuse_rssi: bool = False,
+                             waterfall: bool = False) -> float:
+    """The bench cap denominator for the configured engine."""
+    return chain_traffic(input_format, use_pallas, fuse_dc,
+                         fuse_lp_dc, fuse_rssi, waterfall)["total"]
