@@ -109,7 +109,12 @@ class ScannerDriver:
         load = (state_io.load_state_orbax
                 if self.checkpoint_backend == "orbax"
                 else state_io.load_state)
-        self.block_index, self.state = load(path or self.checkpoint_path)
+        self.block_index, loaded = load(path or self.checkpoint_path)
+        # configuration changes move history lengths (e.g. the wide-row
+        # fused front end's 512 vs 384 resampler samples): reconcile
+        # against this chain's state shapes instead of failing on restore
+        self.state = state_io.adapt_state_histories(loaded,
+                                                    self.chain.init_state())
         self.subchunk = self.block_index * self.chain.block.subchunks_per_step
         self._resume_skip = self.block_index
         log.info("restored checkpoint at block %d (%d sub-chunks)",

@@ -83,6 +83,41 @@ def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
     )
 
 
+def adapt_state_histories(state, reference):
+    """Reconcile checkpoint history lengths with the target chain's.
+
+    Chain configuration changes the carried history lengths (the fused
+    wide-row front end keeps 512 resampler samples where the narrow one
+    keeps 384; audio_hist grows to 640 for fir_deemph+lowpass), so a
+    checkpoint saved under one configuration would fail to restore under
+    another with a bare shape mismatch.  History semantics make the
+    migration well-defined: newest samples live at the END of every
+    ``*_hist`` field, so a longer target is LEFT-extended with zeros
+    (the extra look-behind decays out within one filter length) and a
+    shorter one keeps the newest suffix.  Non-history mismatches raise.
+    """
+    fields = getattr(state, "_fields", None)
+    vals = []
+    for i, (cur, ref) in enumerate(zip(state, reference)):
+        name = fields[i] if fields else str(i)
+        if cur.shape == ref.shape:
+            vals.append(cur)
+            continue
+        same_lead = cur.shape[:-1] == ref.shape[:-1]
+        if not (name.endswith("_hist") and cur.ndim >= 1 and same_lead):
+            raise ValueError(
+                f"checkpoint field {name!r} has shape {cur.shape}, chain "
+                f"expects {ref.shape} — not a history, cannot migrate")
+        want = ref.shape[-1]
+        have = cur.shape[-1]
+        if have >= want:
+            vals.append(cur[..., have - want:])
+        else:
+            pad = [(0, 0)] * (cur.ndim - 1) + [(want - have, 0)]
+            vals.append(jnp.pad(cur, pad))
+    return type(state)(*vals)
+
+
 def save_state(path: str, block_index: int, state: ScannerState) -> None:
     """Checkpoint = (block index, full carried-state pytree) -> .npz."""
     from sdr_pmr446_tpu.runtime.transfer import fetch

@@ -426,3 +426,34 @@ def test_orbax_checkpoint_roundtrip_and_resume(tmp_path):
     np.testing.assert_array_equal(
         np.concatenate([part1.audio, part2.audio]), full.audio)
     assert part1.events + part2.events == full.events
+
+
+def test_adapt_state_histories_migrates_lengths():
+    """Checkpoints saved under one chain configuration restore into
+    another whose *_hist lengths differ (e.g. the wide-row fused front
+    end's 512 vs 384 resampler samples): longer targets are left-padded
+    with zeros, shorter ones keep the newest suffix; any non-history
+    shape mismatch is rejected loudly."""
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.runtime.state import (init_scanner_state,
+                                              adapt_state_histories)
+    src = init_scanner_state(384, 400, 100)
+    src = src._replace(resamp_hist=jnp.arange(384).astype(jnp.complex64))
+    tgt = init_scanner_state(512, 400, 100)
+
+    up = adapt_state_histories(src, tgt)
+    assert up.resamp_hist.shape == (512,)
+    np.testing.assert_array_equal(np.asarray(up.resamp_hist[:128]), 0)
+    np.testing.assert_array_equal(np.asarray(up.resamp_hist[128:]),
+                                  np.arange(384))
+
+    down = adapt_state_histories(up, src)
+    np.testing.assert_array_equal(np.asarray(down.resamp_hist),
+                                  np.asarray(src.resamp_hist))
+
+    bad = src._replace(demod_prev=jnp.zeros((8,), jnp.complex64))
+    try:
+        adapt_state_histories(bad, tgt)
+        assert False, "expected ValueError on non-history mismatch"
+    except ValueError as e:
+        assert "demod_prev" in str(e)
