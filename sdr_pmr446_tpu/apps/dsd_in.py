@@ -105,9 +105,27 @@ def main(argv=None) -> int:
     out = (sys.stdout.buffer if ns.output == "-"
            else open(ns.output, "wb"))
     n_fuse = max(1, ns.steps_per_dispatch)
+    # INT/TERM/QUIT exit the loop at the next block boundary with the
+    # output flushed (reference signal set, src/sdr_pmr446.c:779-786 —
+    # shared by both apps; dsd_in.c reuses the same handler)
+    import signal
+    stop = {"flag": False}
+
+    def _sig_stop(signum, frame):
+        logging.info("Signal caught, exiting!")
+        stop["flag"] = True
+
+    for _name in ("SIGTERM", "SIGQUIT"):
+        if hasattr(signal, _name):
+            try:
+                signal.signal(getattr(signal, _name), _sig_stop)
+            except (ValueError, OSError):
+                pass
     try:
         group = []
         for blk in blocks:
+            if stop["flag"]:
+                break
             group.append(jnp.asarray(blk, feed_dtype))
             if len(group) < n_fuse:
                 continue
@@ -118,7 +136,7 @@ def main(argv=None) -> int:
             group = []
             out.write(np.asarray(o.pcm).astype("<i2").tobytes())
             out.flush()
-        for blk in group:               # tail blocks, singly
+        for blk in (() if stop["flag"] else group):   # tail blocks, singly
             state, o = chain.step(state, blk)
             out.write(np.asarray(o.pcm).astype("<i2").tobytes())
             out.flush()

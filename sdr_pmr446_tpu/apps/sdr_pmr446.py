@@ -287,14 +287,38 @@ def main(argv=None) -> int:
     else:
         blocks = iq_io.block_stream(iq, driver.feed_len)
 
+    # signal parity with the reference (src/sdr_pmr446.c:779-786,190-199):
+    # INT/TERM/QUIT set a stop flag and the loop exits at the next block
+    # boundary with a final checkpoint flush; USR1 is a no-op wake.  SIGINT
+    # additionally keeps Python's KeyboardInterrupt as a mid-step backstop.
+    import signal
+
+    def _sig_stop(signum, frame):
+        log.info("Signal caught, exiting!")
+        driver.request_stop()
+
+    for _name in ("SIGTERM", "SIGQUIT"):
+        if hasattr(signal, _name):
+            try:
+                signal.signal(getattr(signal, _name), _sig_stop)
+            except (ValueError, OSError):
+                pass                     # not the main thread / unsupported
+    if hasattr(signal, "SIGUSR1"):
+        try:
+            signal.signal(signal.SIGUSR1, lambda *_: None)
+        except (ValueError, OSError):
+            pass
+
     interrupted = False
     try:
         result = driver.run(blocks)
     except KeyboardInterrupt:
         # graceful teardown like the reference's SIGINT handler
-        # (src/sdr_pmr446.c:190-199,933-940): stop cleanly, keep nothing
+        # (src/sdr_pmr446.c:190-199,933-940): stop cleanly; the driver's
+        # own backstop usually converts this into a partial result first
         log.info("Signal caught, exiting!")
         interrupted = True
+        driver.checkpoint_now()
     finally:
         # ALWAYS release the audio subprocess and the rtl_tcp socket —
         # also on reader-thread/driver errors, not just SIGINT/success

@@ -101,6 +101,28 @@ class ScannerDriver:
         # device-stage this many input blocks ahead (H2D overlaps compute);
         # 0/1 disables the read-ahead
         self.prefetch_depth = max(1, int(prefetch_depth))
+        # cooperative stop (the reference's exit_via_sig flag,
+        # src/sdr_pmr446.c:190-199): request_stop() makes run() finish the
+        # current block, flush a final checkpoint, and return the partial
+        # result instead of tearing the process down mid-state
+        self._stop_requested = False
+        self.stopped = False
+
+    def request_stop(self) -> None:
+        """Ask run() to stop at the next block boundary (signal-safe: just
+        sets a flag, like the reference's sighandler)."""
+        self._stop_requested = True
+
+    def checkpoint_now(self) -> None:
+        """Persist (block_index, state) immediately, ignoring the cadence —
+        the final flush on a signal-triggered exit."""
+        if not self.checkpoint_path:
+            return
+        from sdr_pmr446_tpu.runtime import state as state_io
+        save = (state_io.save_state_orbax
+                if self.checkpoint_backend == "orbax"
+                else state_io.save_state)
+        save(self.checkpoint_path, self.block_index, self.state)
 
     def restore(self, path: Optional[str] = None) -> int:
         """Load a checkpoint; run() then skips the already-processed blocks
@@ -167,35 +189,54 @@ class ScannerDriver:
         staged = _device_prefetch(_after_skip(blocks), feed_dtype,
                                   self.prefetch_depth)
         group: List[jnp.ndarray] = []      # blocks awaiting one megastep
-        for blk in staged:
-            if S > 1:
-                group.append(blk)
-                if len(group) < S:
-                    continue
-                self.state, out = self.chain.multi_step(
-                    self.state, jnp.stack(group), self.params)
-                group = []
-            else:
-                self.state, out = self.chain.step(
-                    self.state, blk, self.params)
+        self.stopped = False
+        try:
+            for blk in staged:
+                if S > 1:
+                    group.append(blk)
+                    if len(group) < S:
+                        continue
+                    self.state, out = self.chain.multi_step(
+                        self.state, jnp.stack(group), self.params)
+                    group = []
+                else:
+                    self.state, out = self.chain.step(
+                        self.state, blk, self.params)
+                if pending is not None:
+                    self._drain(pending, audio, audio_sub, active, rssi, rel,
+                                events, wf_rows)
+                pending = out
+                self.block_index += 1 if S == 1 else S
+                self._maybe_checkpoint()
+                if self._stop_requested:
+                    break
+            # tail blocks that didn't fill a megastep run as single steps
+            # (skipped on a stop request — they resume from the checkpoint)
+            for blk in (() if self._stop_requested else group):
+                self.state, out = self.chain.step(self.state, blk,
+                                                  self.params)
+                if pending is not None:
+                    self._drain(pending, audio, audio_sub, active, rssi, rel,
+                                events, wf_rows)
+                pending = out
+                self.block_index += 1
+                self._maybe_checkpoint()
             if pending is not None:
                 self._drain(pending, audio, audio_sub, active, rssi, rel,
                             events, wf_rows)
-            pending = out
-            self.block_index += 1 if S == 1 else S
-            self._maybe_checkpoint()
-        # tail blocks that didn't fill a megastep run as single steps
-        for blk in group:
-            self.state, out = self.chain.step(self.state, blk, self.params)
-            if pending is not None:
-                self._drain(pending, audio, audio_sub, active, rssi, rel,
-                            events, wf_rows)
-            pending = out
-            self.block_index += 1
-            self._maybe_checkpoint()
-        if pending is not None:
-            self._drain(pending, audio, audio_sub, active, rssi, rel,
-                        events, wf_rows)
+        except KeyboardInterrupt:
+            # backstop for an un-trapped SIGINT landing mid-step/mid-drain:
+            # keep everything drained so far; the pending block's outputs
+            # are dropped (a potential partial drain must not run twice) —
+            # state and checkpoints stay consistent, resume replays it
+            self._stop_requested = True
+        if self._stop_requested:
+            self.stopped = True
+            self._stop_requested = False
+            # final flush: a SIGTERM'd long run must lose nothing since
+            # the last cadence checkpoint (reference teardown analog,
+            # src/sdr_pmr446.c:933-940)
+            self.checkpoint_now()
         return ScanResult(
             audio=(np.concatenate(audio) if audio
                    else np.zeros(0, np.float32)),

@@ -1,6 +1,7 @@
 """Driver, IO, waterfall-UI and CLI-app tests."""
 
 import os
+import sys
 import tempfile
 
 import numpy as np
@@ -457,3 +458,86 @@ def test_adapt_state_histories_migrates_lengths():
         assert False, "expected ValueError on non-history mismatch"
     except ValueError as e:
         assert "demod_prev" in str(e)
+
+
+def test_driver_stop_request_resume_bitexact(tmp_path):
+    """request_stop() (the SIGTERM/SIGQUIT path) stops at a block boundary
+    with a FINAL checkpoint flush; resuming reproduces the uninterrupted
+    run bit-exact — VERDICT r2 #6's acceptance criterion."""
+    iq = _demo_iq(seconds=2.0)
+    args = C.ScannerArgs(lock_mode="max")
+
+    ref = ScannerDriver(args, subchunks_per_step=5)
+    full = ref.run(iq_io.block_stream(iq, ref.block_len))
+
+    # checkpoint_every=0: ONLY the stop-triggered final flush writes it
+    ckpt = str(tmp_path / "sig.npz")
+    drv1 = ScannerDriver(args, subchunks_per_step=5,
+                         checkpoint_path=ckpt, checkpoint_every=0)
+
+    def stopper(sub, o):
+        if sub >= 7:
+            drv1.request_stop()
+
+    drv1.on_subchunk = stopper
+    part1 = drv1.run(iq_io.block_stream(iq, drv1.block_len))
+    assert drv1.stopped
+    assert os.path.exists(ckpt)
+    n_blocks = len(iq) // drv1.block_len
+    assert 0 < drv1.block_index < n_blocks
+
+    drv2 = ScannerDriver(args, subchunks_per_step=5,
+                         checkpoint_path=ckpt, checkpoint_every=0)
+    assert drv2.restore() == drv1.block_index
+    part2 = drv2.run(iq_io.block_stream(iq, drv2.block_len))
+    assert not drv2.stopped
+
+    np.testing.assert_array_equal(
+        np.concatenate([part1.audio, part2.audio]), full.audio)
+    np.testing.assert_array_equal(
+        np.concatenate([part1.active_trace, part2.active_trace]),
+        full.active_trace)
+    assert part1.events + part2.events == full.events
+
+
+def test_scanner_app_sigterm_graceful(tmp_path):
+    """A real SIGTERM to the running CLI exits cleanly (code 0), writes the
+    partial WAV and the final checkpoint (reference signal parity,
+    src/sdr_pmr446.c:779-786,190-199)."""
+    import signal
+    import subprocess
+    import time as _time
+
+    out = str(tmp_path / "sig.wav")
+    ckpt = str(tmp_path / "sig_app.npz")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sdr_pmr446_tpu.apps.sdr_pmr446",
+         "--seconds", "20", "--subchunks-per-step", "5",
+         "--output", out, "--checkpoint", ckpt, "--checkpoint-every", "0",
+         "-p", "max"],
+        stderr=subprocess.PIPE, text=True, env=env, cwd=repo)
+    seen = []
+    try:
+        # wait until the scan loop is demonstrably running, then TERM it
+        tuned = False
+        for line in proc.stderr:
+            seen.append(line)
+            if "Tuned to channel" in line:
+                tuned = True
+                break
+        assert tuned, "scanner never tuned:\n" + "".join(seen)
+        proc.send_signal(signal.SIGTERM)
+        rest = proc.stderr.read()
+        seen.append(rest)
+        rc = proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert rc == 0, "".join(seen)
+    assert "Signal caught, exiting!" in rest
+    assert "wrote" in rest and "audio samples" in rest
+    assert os.path.exists(ckpt)
+    x, sr = wav.read_wav(out)
+    assert sr == C.AUDIO_SAMPLERATE and len(x) > 0
