@@ -44,7 +44,6 @@ def main() -> int:
     except Exception:
         pass
     import jax.numpy as jnp
-    import numpy as np
     from sdr_pmr446_tpu import config as C
     from sdr_pmr446_tpu.io import synth
     from sdr_pmr446_tpu.parallel.scanner_sharded import (ShardedScannerChain,

@@ -9,7 +9,6 @@ the overlap-save carried state of SURVEY.md §2c.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

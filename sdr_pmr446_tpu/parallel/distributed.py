@@ -22,8 +22,6 @@ localhost DCN, sharded == unsharded.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -22,7 +22,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.taps import design as D
-from sdr_pmr446_tpu.ops import iir
 from sdr_pmr446_tpu.ops.resample import PolyResampler
 from sdr_pmr446_tpu.ops.pfb import PFBChannelizer
 from sdr_pmr446_tpu.scanner.chain import RuntimeParams

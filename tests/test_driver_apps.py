@@ -285,7 +285,7 @@ def test_scanner_app_checkpoint_flags(tmp_path):
 def test_scan_batch_app(tmp_path):
     """Data-parallel multi-capture CLI: 2 captures on a (2,1)/(2,4) mesh,
     per-capture audio + events; each capture's result matches a solo scan."""
-    from sdr_pmr446_tpu.apps import scan_batch, sdr_pmr446 as app1
+    from sdr_pmr446_tpu.apps import scan_batch
 
     caps = []
     for s, (ch, code) in enumerate([(5, 12), (9, 20)]):
@@ -506,7 +506,6 @@ def test_scanner_app_sigterm_graceful(tmp_path):
     src/sdr_pmr446.c:779-786,190-199)."""
     import signal
     import subprocess
-    import time as _time
 
     out = str(tmp_path / "sig.wav")
     ckpt = str(tmp_path / "sig_app.npz")

@@ -9,13 +9,11 @@ plus absolute sanity bounds.
 """
 
 import numpy as np
-import scipy.signal as sigp
 import jax.numpy as jnp
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.io import synth
-from sdr_pmr446_tpu.taps import design as D
-from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain, stage2_taps, up_taps
+from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
 
 
 def _scipy_oracle(iq):

@@ -127,7 +127,6 @@ def test_randomized_event_soak():
 
     # fast chain: control equality
     from sdr_pmr446_tpu.scanner.chain import ScannerChain
-    import jax
     chain = ScannerChain(C.BlockConfig(5))
     params = make_runtime_params(args)
     st = chain.init_state()

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 import pytest
 
-from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.parallel import halo
 from sdr_pmr446_tpu.kernels import halo_dma
 from sdr_pmr446_tpu.ops import fir

@@ -1,7 +1,6 @@
 """Pallas kernel correctness: interpret mode vs pure-JAX reference."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

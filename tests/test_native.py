@@ -1,7 +1,6 @@
 """Native IO engine tests (run against libsdrio.so when built, and against
 the NumPy fallbacks otherwise — both paths are exercised via monkeypatch)."""
 
-import os
 
 import numpy as np
 import pytest

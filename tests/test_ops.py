@@ -6,7 +6,6 @@ streaming across block boundaries (the carried-state/overlap-save machinery).
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

@@ -135,7 +135,6 @@ def test_sharded_dsd_equals_unsharded():
 
 def test_halo_biquad_exactness_direct():
     """shard_biquad1 across a 4-device mesh == sequential biquad1_apply."""
-    from functools import partial
     from sdr_pmr446_tpu.ops import iir
     from sdr_pmr446_tpu.parallel import halo
     from jax.sharding import PartitionSpec as P

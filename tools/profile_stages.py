@@ -16,7 +16,6 @@ if _REPO_ROOT not in _sys.path:
 import argparse
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
