@@ -290,12 +290,23 @@ class ShardedScannerChain:
 
         # 6b. waterfall rows on the local band shard (history halo: the
         # sliding window reaches w//2 samples into the previous shard)
+        wf_cnt = state.wf_cnt
         if self.waterfall > 0:
             wf_hist_loc, wf_carry = halo.shard_hist(
                 state.wf_hist, band, spectrogram.hist_len(self.waterfall),
                 ax)
-            _, wf_rows = spectrogram.asgram_rows(
-                wf_hist_loc, band, K_local, self.waterfall)
+            if spectrogram.uses_fast_path(self.waterfall):
+                _, wf_rows = spectrogram.asgram_rows(
+                    wf_hist_loc, band, K_local, self.waterfall)
+            else:
+                # this shard's hop counter is analytic from the carried
+                # one (NCO-style: phase = f(global sample index), no halo)
+                s_local = K_local * C.SUBCHUNK_RESAMP
+                _, _, wf_rows = spectrogram.asgram_rows_any(
+                    wf_hist_loc, state.wf_cnt, band, K_local,
+                    self.waterfall, cnt_offset=d * s_local)
+                delay = self.waterfall // 4
+                wf_cnt = (state.wf_cnt + ntime * s_local) % delay
         else:
             wf_carry = state.wf_hist
             wf_rows = jnp.zeros((K_local, 0), jnp.float32)
@@ -349,7 +360,7 @@ class ShardedScannerChain:
             rssi=carry_out.rssi, ct_count=carry_out.ct_count,
             ct_carry=carry_out.ct_carry, ct_detected=carry_out.ct_detected,
             ct_max_idx=carry_out.ct_max_idx, ct_freq=carry_out.ct_freq,
-            wf_hist=wf_carry,
+            wf_hist=wf_carry, wf_cnt=wf_cnt,
         )
         return new_state, outputs
 

@@ -49,6 +49,9 @@ class ScannerState(NamedTuple):
     ct_freq: jax.Array         # f32 []     displayed CTCSS frequency
     wf_hist: jax.Array         # c64 [w//2] asgram sliding-window band
     #                            history ([0] when the waterfall is off)
+    wf_cnt: jax.Array          # i32 []     asgram in-hop sample counter
+    #                            (always 0 when the hop divides the
+    #                            sub-chunk — the static fast path)
 
 
 def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
@@ -80,6 +83,7 @@ def init_scanner_state(resamp_hist_len: int, pfb_hist_len: int,
         ct_freq=jnp.full((), -1.0, jnp.float32),
         # waterfall <= 0 means "off" everywhere (chain guards on > 0)
         wf_hist=jnp.zeros((max(waterfall, 0) // 2,), jnp.complex64),
+        wf_cnt=jnp.zeros((), jnp.int32),
     )
 
 
@@ -100,6 +104,11 @@ def adapt_state_histories(state, reference):
     vals = []
     for i, (cur, ref) in enumerate(zip(state, reference)):
         name = fields[i] if fields else str(i)
+        if cur is None:
+            # field appended to the pytree after the checkpoint was
+            # written (tolerant loaders yield None): take the init value
+            vals.append(ref)
+            continue
         if cur.shape == ref.shape:
             vals.append(cur)
             continue
@@ -129,7 +138,11 @@ def save_state(path: str, block_index: int, state: ScannerState) -> None:
 def load_state(path: str) -> tuple[int, ScannerState]:
     z = np.load(path)
     n = len(ScannerState._fields)
-    vals = [jnp.asarray(z[f"s{i}"]) for i in range(n)]
+    # fields appended after a checkpoint was written load as None and are
+    # filled with the chain's init values by adapt_state_histories
+    # (driver.restore always routes through it)
+    vals = [jnp.asarray(z[f"s{i}"]) if f"s{i}" in z else None
+            for i in range(n)]
     return int(z["block_index"]), ScannerState(*vals)
 
 
@@ -180,6 +193,10 @@ def load_state_orbax(path: str, state_cls=ScannerState):
         if key in empties:
             shape, dtype = empties[key]
             vals.append(jnp.zeros(tuple(shape), dtype))
-        else:
+        elif key in tree["leaves"]:
             vals.append(jnp.asarray(tree["leaves"][key]))
+        else:
+            # field appended after this checkpoint was written: filled
+            # with init values by adapt_state_histories downstream
+            vals.append(None)
     return int(tree["block_index"]), state_cls(*vals)

@@ -334,10 +334,17 @@ class ScannerChain:
         valid = fo.active_chan >= 0
 
         # 9. waterfall rows: sliding windowed periodogram over ALL band
-        # samples (asgramcf semantics, src/sdr_pmr446.c:473-477,910-919)
+        # samples (asgramcf semantics, src/sdr_pmr446.c:473-477,910-919);
+        # widths whose hop divides the sub-chunk take the static path,
+        # any other multiple of 4 carries the hop counter (wf_cnt)
+        wf_cnt = state.wf_cnt
         if self.waterfall > 0:
-            wf_hist, wf = spectrogram.asgram_rows(
-                state.wf_hist, band, K, self.waterfall)
+            if spectrogram.uses_fast_path(self.waterfall):
+                wf_hist, wf = spectrogram.asgram_rows(
+                    state.wf_hist, band, K, self.waterfall)
+            else:
+                wf_hist, wf_cnt, wf = spectrogram.asgram_rows_any(
+                    state.wf_hist, state.wf_cnt, band, K, self.waterfall)
         else:
             wf_hist = state.wf_hist
             wf = jnp.zeros((K, 0), jnp.float32)
@@ -352,7 +359,7 @@ class ScannerChain:
             rssi=carry_out.rssi, ct_count=carry_out.ct_count,
             ct_carry=carry_out.ct_carry, ct_detected=carry_out.ct_detected,
             ct_max_idx=carry_out.ct_max_idx, ct_freq=carry_out.ct_freq,
-            wf_hist=wf_hist,
+            wf_hist=wf_hist, wf_cnt=wf_cnt,
         )
         outputs = StepOutputs(
             audio=audio_sel, audio_valid=valid,

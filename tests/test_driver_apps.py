@@ -174,15 +174,18 @@ def test_waterfall_rows_match_asgram_oracle():
 
 
 def test_waterfall_width_validation():
-    from sdr_pmr446_tpu.ops.spectrogram import validate_width
+    from sdr_pmr446_tpu.ops.spectrogram import validate_width, uses_fast_path
     import pytest as _pytest
     validate_width(0)            # off: fine
     validate_width(80)
     validate_width(64)
+    validate_width(120)          # the reference README's own demo width
+    validate_width(128)          # non-dividing hop: general path
+    assert uses_fast_path(80) and not uses_fast_path(120)
     with _pytest.raises(ValueError):
         validate_width(50)       # not a multiple of 4
     with _pytest.raises(ValueError):
-        validate_width(128)      # hop 32 does not divide 19600
+        validate_width(4 * C.SUBCHUNK_RESAMP + 4)   # hop > sub-chunk
 
 
 def test_cli_audio_api_validation():
@@ -540,3 +543,42 @@ def test_scanner_app_sigterm_graceful(tmp_path):
     assert os.path.exists(ckpt)
     x, sr = wav.read_wav(out)
     assert sr == C.AUDIO_SAMPLERATE and len(x) > 0
+
+
+def test_waterfall_nondividing_widths_match_asgram_oracle():
+    """Arbitrary-width waterfall (hop does NOT divide the sub-chunk, e.g.
+    the reference README's own `-w 120` demo) matches the per-sample
+    streaming asgramcf oracle, including hop-counter continuity across
+    block steps — VERDICT r2 #2's acceptance criterion."""
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+    from sdr_pmr446_tpu.oracle.chain import (dc_blocker_stream,
+                                             PolyResamplerStream,
+                                             AsgramStream)
+    from sdr_pmr446_tpu.taps import design as D
+
+    iq = _demo_iq(seconds=1.0)[: 4 * C.SUBCHUNK_IN]
+    band = PolyResamplerStream(D.resampler_taps(), C.RESAMP_L,
+                               C.RESAMP_M).process(
+        dc_blocker_stream().process(iq.astype(np.complex128)))
+
+    for w in (120, 96):
+        chain = ScannerChain(C.BlockConfig(2), waterfall=w)
+        st = chain.init_state()
+        params = make_runtime_params(C.ScannerArgs())
+        rows = []
+        for i in range(2):
+            st, out = chain.step(
+                st, jnp.asarray(iq[i * 2 * C.SUBCHUNK_IN:
+                                   (i + 1) * 2 * C.SUBCHUNK_IN],
+                                jnp.complex64), params)
+            rows.append(np.asarray(out.waterfall))
+        rows = np.concatenate(rows)                       # [4, w]
+
+        asg = AsgramStream(w)
+        for k in range(4):
+            asg.write(band[k * C.SUBCHUNK_RESAMP:
+                           (k + 1) * C.SUBCHUNK_RESAMP])
+            ref = asg.execute()
+            np.testing.assert_allclose(rows[k], ref, rtol=0, atol=1e-2,
+                                       err_msg=f"w={w} row {k}")

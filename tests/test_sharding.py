@@ -363,12 +363,15 @@ def test_sharded_faithful_equals_unsharded_faithful():
                                    rtol=0, atol=1e-4)
 
 
-def test_sharded_waterfall_equals_unsharded():
-    """Sharded waterfall rows (w/2 band-history halo) == single-chip rows."""
+@pytest.mark.parametrize("w", [64, 120])
+def test_sharded_waterfall_equals_unsharded(w):
+    """Sharded waterfall rows (w/2 band-history halo) == single-chip rows
+    — including the non-dividing-hop general path (w=120), whose per-shard
+    hop counter is analytic from the carried one."""
     from sdr_pmr446_tpu.parallel.scanner_sharded import ShardedScannerChain
     from sdr_pmr446_tpu.scanner.chain import make_runtime_params
 
-    K, w = 4, 64
+    K = 4
     step_len = K * C.SUBCHUNK_IN
     iq = synth.make_scanner_iq(2 * step_len, channel=5, ctcss_code=12)
     params = make_runtime_params(C.ScannerArgs())
