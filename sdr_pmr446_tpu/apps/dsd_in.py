@@ -60,7 +60,8 @@ def main(argv=None) -> int:
     if ns.device_decode:
         from sdr_pmr446_tpu.ops import decode
         fmt = ns.input_format or iq_io.detect_format(ns.input)
-        packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8"}.get(fmt, fmt)
+        packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8", "cf32": "cf32w",
+                      "fc32": "cf32w"}.get(fmt, fmt)
         if packed_fmt not in decode.PACKED_FORMATS:
             logging.error("--device-decode needs a %s capture "
                           "(got format %r)",

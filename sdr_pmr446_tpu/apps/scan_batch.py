@@ -56,16 +56,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "filesystem; process 0 writes the outputs)")
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
-    p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="'pallas' = fused kernels (default on TPU "
+                        "backends via 'auto'), 'xla' = the op chain "
+                        "(default elsewhere; interpret-mode pallas is "
+                        "auto-selected off-TPU when 'pallas' is forced)")
     p.add_argument("--subchunks-per-step", type=int, default=10)
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="blocks fused into one device dispatch via lax.scan "
                         "(amortizes per-dispatch overhead; decisions "
                         "identical to 1, audio to f32 rounding)")
     p.add_argument("--device-decode", action="store_true",
-                   help="all captures in ONE of cs16/cu8/cs8: ship raw wire "
-                        "bytes to the mesh and decode per time-shard on "
-                        "device (2-4x less host->device traffic)")
+                   help="all captures in ONE of cf32/cs16/cu8/cs8: ship "
+                        "raw wire bytes to the mesh and decode per "
+                        "time-shard on device (2-4x less host->device "
+                        "traffic for the int formats; cf32 goes as its "
+                        "byte-identical cf32w wire, zero host conversion)")
     return p
 
 
@@ -177,6 +184,7 @@ def main(argv=None) -> int:
     packed_fmt = None
     if ns.device_decode:
         from sdr_pmr446_tpu.ops import decode
+        fmts = ["cf32w" if f == "cf32" else f for f in fmts]
         if len(set(fmts)) != 1 or fmts[0] not in decode.PACKED_FORMATS:
             logging.error("--device-decode needs all captures in ONE of "
                           "%s (got: %s)",
@@ -198,9 +206,11 @@ def main(argv=None) -> int:
                                 axis_names=(STREAM_AXIS, TIME_AXIS))
     else:
         mesh = make_mesh(s_axis, t_axis)
+    from sdr_pmr446_tpu.runtime.driver import resolve_engine
+    engine = resolve_engine(ns.engine)
     chain = ShardedScannerChain(
         mesh, C.BlockConfig(ns.subchunks_per_step), lowpass=ns.lowpass,
-        use_pallas=ns.engine == "pallas",
+        use_pallas=engine.startswith("pallas"),
         input_format=packed_fmt or "cf32",
         waterfall=max(ns.waterfall, 0),
         # Mosaic only lowers on real TPUs; elsewhere (CPU dev hosts) the
@@ -222,7 +232,7 @@ def main(argv=None) -> int:
         state = chain.init_state(n_streams)
     block_len = chain.block.input_len
     log.info("scanning %d captures on a (%d stream x %d time) mesh, "
-             "%s engine", n_streams, s_axis, t_axis, ns.engine)
+             "%s engine", n_streams, s_axis, t_axis, engine)
 
     if packed_fmt:
         reader = _RawBatchReader(paths, packed_fmt)

@@ -55,10 +55,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-format", type=str, default=None,
                    choices=list("cf32 fc32 cs16 sc16 cs8 cu8 rtlsdr".split()))
     p.add_argument("--device-decode", action="store_true",
-                   help="for cs16/cu8 captures: ship the RAW wire bytes to "
-                        "the device (packed in f32 words) and decode there "
-                        "— 2-4x less host->device traffic; a zero-padded "
-                        "tail block uses bias-center bytes")
+                   help="ship the capture's RAW wire bytes to the device "
+                        "(packed in f32 words) and decode there: cs16/cu8/"
+                        "cs8 cut host->device traffic 2-4x, and cf32 "
+                        "captures go as cf32w (byte-identical interleaved "
+                        "f32) so the fused Pallas front end consumes the "
+                        "wire in place — the benchmark configuration "
+                        "(bench.py --input-format cf32w)")
+    p.add_argument("--engine", choices=["auto", "xla", "pallas",
+                                        "pallas-interpret"],
+                   default="auto",
+                   help="compute engine: 'pallas' = fused TPU kernels "
+                        "(the benchmarked fast path), 'xla' = the op "
+                        "chain; 'auto' picks pallas on TPU backends and "
+                        "xla elsewhere; 'pallas-interpret' runs the "
+                        "kernels under the interpreter (validation)")
     p.add_argument("--output", type=str, default="audio.wav",
                    help="output WAV for the demodulated audio, or 'live' to "
                         "stream through the host audio sink (-b)")
@@ -152,7 +163,8 @@ def main(argv=None) -> int:
         from sdr_pmr446_tpu.ops import decode
         fmt = ns.input_format or (iq_io.detect_format(ns.input)
                                   if ns.input else "cf32")
-        packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8"}.get(fmt, fmt)
+        packed_fmt = {"sc16": "cs16", "rtlsdr": "cu8", "cf32": "cf32w",
+                      "fc32": "cf32w"}.get(fmt, fmt)
         if not ns.input or ns.input.startswith("rtl_tcp://"):
             logging.error("--device-decode needs a capture FILE "
                           "(synthetic/rtl_tcp inputs have no wire bytes "
@@ -164,9 +176,9 @@ def main(argv=None) -> int:
                           "complex64 input)")
             return 1
         if packed_fmt not in decode.PACKED_FORMATS:
-            logging.error("--device-decode needs a %s capture file "
+            logging.error("--device-decode needs a cf32/%s capture file "
                           "(got format %r)",
-                          "/".join(decode.PACKED_FORMATS), fmt)
+                          "/".join(sorted(decode.PACKED_FORMATS)), fmt)
             return 1
 
     live_source = None
@@ -245,7 +257,8 @@ def main(argv=None) -> int:
                            checkpoint_every=ns.checkpoint_every,
                            input_format=packed_fmt or "cf32",
                            steps_per_dispatch=ns.steps_per_dispatch,
-                           checkpoint_backend=ns.checkpoint_backend)
+                           checkpoint_backend=ns.checkpoint_backend,
+                           engine=ns.engine)
     if ns.resume:
         if not ns.checkpoint:
             logging.error("--resume needs --checkpoint")

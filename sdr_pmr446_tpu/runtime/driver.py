@@ -26,6 +26,18 @@ from sdr_pmr446_tpu.scanner.chain import (ScannerChain, StepOutputs,
 log = logging.getLogger("sdr_pmr446")
 
 
+def resolve_engine(engine: str) -> str:
+    """'auto' -> the fused Pallas engine on TPU backends, XLA elsewhere
+    (Mosaic kernels only lower on real TPUs; the interpreter is a
+    validation tool, far too slow to be a default)."""
+    if engine in (None, "auto"):
+        import jax
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if engine not in ("xla", "pallas", "pallas-interpret"):
+        raise ValueError(f"unknown engine {engine!r}")
+    return engine
+
+
 def _device_prefetch(blocks: Iterable[np.ndarray], dtype, depth: int):
     """Stage input blocks on device ``depth`` ahead of consumption.
 
@@ -68,15 +80,26 @@ class ScannerDriver:
                  input_format: str = "cf32",
                  steps_per_dispatch: int = 1,
                  prefetch_depth: int = 2,
-                 checkpoint_backend: str = "npz"):
+                 checkpoint_backend: str = "npz",
+                 engine: str = "auto"):
         self.args = args or C.ScannerArgs()
+        # engine: "pallas" = fused TPU kernels (the benchmarked fast
+        # path, the default on TPU backends), "xla" = the op chain (the
+        # default elsewhere), "pallas-interpret" = kernels under the
+        # interpreter (validation).  With input_format "cf32w" + pallas
+        # the app runs bench.py's exact recorded configuration.
+        engine = resolve_engine(engine)
+        self.engine = engine
         # input_format "cs16"/"cu8": run() consumes blocks of RAW wire
         # bytes packed as f32 words (ops/decode.py) and the chain decodes
-        # on device — 2-4x less host->device traffic than cf32
+        # on device — 2-4x less host->device traffic than cf32; "cf32w"
+        # ships a cf32 capture's own bytes (zero host conversion)
         self.chain = ScannerChain(
             C.BlockConfig(subchunks_per_step),
             lowpass=self.args.lowpass, fir_deemph=self.args.fir_deemph,
-            waterfall=self.args.waterfall, input_format=input_format)
+            waterfall=self.args.waterfall, input_format=input_format,
+            use_pallas=engine.startswith("pallas"),
+            pallas_interpret=engine == "pallas-interpret")
         self.params = make_runtime_params(self.args)
         self.state = self.chain.init_state()
         self.block_index = 0
