@@ -612,3 +612,43 @@ def test_driver_engine_selection(tmp_path):
     assert drv.chain.use_pallas and drv.chain.fuse_dc
     np.testing.assert_array_equal(a.active_trace, b.active_trace)
     np.testing.assert_allclose(a.audio, b.audio, rtol=0, atol=2e-4)
+
+
+def test_audio_sink_stalled_player_never_stalls_producer(tmp_path):
+    """Reference ring semantics (src/sdr_pmr446.c:470,520-544): a stalled
+    live player must not stall the scan loop.  Writing 10 s of audio into
+    a sink whose 'player' never reads completes in a bounded fraction of
+    real time, with the overflow dropped and a prompt close."""
+    import time
+    from sdr_pmr446_tpu.io.audio import AudioSink
+
+    sink = AudioSink(C.AUDIO_SAMPLERATE, _argv=["sleep", "30"])
+    try:
+        chunk = np.zeros(1225, np.float32)
+        t0 = time.monotonic()
+        for _ in range(100):             # 10 s of audio (122500 samples)
+            sink.write(chunk)
+        took = time.monotonic() - t0
+        assert took < 4.0, f"producer stalled for {took:.1f}s"
+        assert sink.dropped > 0
+        t1 = time.monotonic()
+    finally:
+        sink.close()
+    assert time.monotonic() - t1 < 8.0
+    assert sink.proc.poll() is not None  # the fake player was reaped
+
+
+def test_audio_sink_healthy_player_gets_everything():
+    """With a consuming player the sink drops nothing: ring backpressure
+    paces the file-driven producer (the role the blocking SDR read plays
+    in the reference) and the pump zero-fills only genuine underruns."""
+    from sdr_pmr446_tpu.io.audio import AudioSink
+
+    sink = AudioSink(C.AUDIO_SAMPLERATE,
+                     _argv=["/bin/sh", "-c", "cat > /dev/null"])
+    try:
+        for _ in range(5):               # 0.49 s of audio
+            sink.write(np.ones(1225, np.float32))
+        assert sink.dropped == 0
+    finally:
+        sink.close()
