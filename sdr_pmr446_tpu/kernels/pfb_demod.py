@@ -113,6 +113,79 @@ def _body(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
     prev_scratch[1:2, :] = yi[tile_f - 1:tile_f, :]
 
 
+def _body_rssi(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
+               sel_ref, demod_out, seg_out,
+               win_r, win_i, prev_scratch):
+    """RSSI-fused variant: instead of materializing |y| [16, F] for an
+    XLA reduction to read back (two audio-rate HBM passes), the kernel
+    reduces the magnitudes against a static per-tile segment selector
+    (segment = the sub-chunk a frame belongs to; a tile straddles at
+    most n_seg of them) — the RSSI input leaves the kernel as a tiny
+    [n_seg, 16] block per tile (VERDICT r2 #1)."""
+    tile_f = demod_out.shape[1]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        prev_scratch[:, :] = prev_ref[:, :]
+
+    xr_frames = jnp.concatenate([hr_ref[:], fr_ref[:]], axis=0)
+    xi_frames = jnp.concatenate([hi_ref[:], fi_ref[:]], axis=0)
+    for i in range(SUB):
+        win_r[:, i * NCH:(i + 1) * NCH] = xr_frames[i:i + tile_f, :]
+        win_i[:, i * NCH:(i + 1) * NCH] = xi_frames[i:i + tile_f, :]
+
+    kr = kr_ref[:]
+    ki = ki_ref[:]
+    wr = win_r[:]
+    wi = win_i[:]
+    yr = (jnp.dot(wr, kr, preferred_element_type=jnp.float32)
+          - jnp.dot(wi, ki, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(wr, ki, preferred_element_type=jnp.float32)
+          + jnp.dot(wi, kr, preferred_element_type=jnp.float32))
+
+    f_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_f, NCH), 0)
+    sign = jnp.where((f_idx % 2) == 0, 1.0, -1.0).astype(jnp.float32)
+    yr = yr * sign
+    yi = yi * sign
+
+    pr = jnp.concatenate([prev_scratch[0:1, :], yr[:-1, :]], axis=0)
+    pi = jnp.concatenate([prev_scratch[1:2, :], yi[:-1, :]], axis=0)
+    dr = yr * pr + yi * pi
+    di = yi * pr - yr * pi
+    demod_out[:, :] = (kmath.atan2(di, dr)
+                       * (1.0 / (2.0 * math.pi * C.FM_KF))).T
+    mag = jnp.sqrt(yr * yr + yi * yi)                     # [tile, NCH]
+    seg_out[:, :] = jnp.dot(sel_ref[:], mag,
+                            preferred_element_type=jnp.float32)
+    prev_scratch[0:1, :] = yr[tile_f - 1:tile_f, :]
+    prev_scratch[1:2, :] = yi[tile_f - 1:tile_f, :]
+
+
+@functools.lru_cache(maxsize=None)
+def _rssi_selectors(tile: int, n_tiles: int, f_total: int, ns: int):
+    """(sel [n_tiles, n_seg, tile], scatter [n_tiles, n_seg, K]) f32.
+
+    sel[s, g // ns - first_row(s), j] = 1 for global frame g = s*tile + j
+    (zero for padded frames), so sel @ mag is the per-sub-chunk magnitude
+    sum restricted to tile s; scatter routes each tile segment to its
+    global sub-chunk row on the host (a tiny static matmul)."""
+    n_seg = tile // ns + 2
+    k = -(-f_total // ns)
+    sel = np.zeros((n_tiles, n_seg, tile), np.float32)
+    scatter = np.zeros((n_tiles, n_seg, k), np.float32)
+    for s in range(n_tiles):
+        base = (s * tile) // ns
+        for seg in range(n_seg):
+            if base + seg < k:
+                scatter[s, seg, base + seg] = 1.0
+        for j in range(tile):
+            g = s * tile + j
+            if g < f_total:
+                sel[s, g // ns - base, j] = 1.0
+    return sel, scatter
+
+
 class PallasPfbDemod:
     """Fused replacement for pfb.apply + fm.fm_demod + |y| (RSSI input)."""
 
@@ -217,7 +290,94 @@ class PallasPfbDemod:
 
         demod = demod_p[:, :f_total]
         mag = mag_p[:, :f_total]
+        new_hist, new_parity, new_prev = self._carries(
+            xr_p, xi_p, t, f_total, parity, psign)
+        return demod, mag, new_hist, new_parity, new_prev
 
+    def call_planes_rssi(self, band_r: jax.Array, band_i: jax.Array,
+                         hist: jax.Array, parity: jax.Array,
+                         prev: jax.Array, ns: int = C.SUBCHUNK_AUDIO):
+        """RSSI-fused path: returns (demod [16,F], mag_sums [K,16],
+        new_hist, new_parity, new_prev) where mag_sums[k, c] is the |y|
+        sum of sub-chunk k (ns frames) on channel c — the [16, F]
+        magnitude plane never reaches HBM (VERDICT r2 #1).  Requires
+        F % ns == 0 (the chain's static geometry guarantees it)."""
+        band_r = band_r.reshape(-1)
+        band_i = band_i.reshape(-1)
+        t = band_r.shape[-1]
+        f_total = t // NCH
+        assert f_total % ns == 0, (f_total, ns)
+        tile = self.tile_f
+        n_tiles = -(-f_total // tile)
+        f_pad = n_tiles * tile
+        psign = (1.0 - 2.0 * (parity % 2)).astype(jnp.float32)
+        pad_n = (f_pad - f_total) * NCH
+        hr = jnp.real(hist).astype(jnp.float32)
+        hi = jnp.imag(hist).astype(jnp.float32)
+        zpad = jnp.zeros((pad_n,), jnp.float32)
+        xr_p = jnp.concatenate([hr, band_r, zpad])
+        xi_p = jnp.concatenate([hi, band_i, zpad])
+        prev_ri = (jnp.stack([jnp.real(prev), jnp.imag(prev)]
+                             ).astype(jnp.float32) * psign)
+
+        frames_r = xr_p[HIST:].reshape(f_pad, NCH)
+        frames_i = xi_p[HIST:].reshape(f_pad, NCH)
+        ext_r = xr_p.reshape(SUB - 1 + f_pad, NCH)
+        ext_i = xi_p.reshape(SUB - 1 + f_pad, NCH)
+        hist_r = ext_r[:n_tiles * tile].reshape(
+            n_tiles, tile, NCH)[:, :SUB - 1]
+        hist_i = ext_i[:n_tiles * tile].reshape(
+            n_tiles, tile, NCH)[:, :SUB - 1]
+        sel_np, scatter_np = _rssi_selectors(tile, n_tiles, f_total, ns)
+        n_seg = sel_np.shape[1]
+        demod_p, segs = pl.pallas_call(
+            _body_rssi,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile, NCH), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, NCH), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, SUB - 1, NCH), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, SUB - 1, NCH), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # kr
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # ki
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # prev
+                pl.BlockSpec((None, n_seg, tile), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),     # segment selector
+            ],
+            out_specs=[
+                pl.BlockSpec((NCH, tile), lambda s: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, n_seg, NCH), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NCH, f_pad), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, n_seg, NCH), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile, NTAPS), jnp.float32),
+                pltpu.VMEM((tile, NTAPS), jnp.float32),
+                pltpu.VMEM((2, NCH), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )(frames_r, frames_i, hist_r, hist_i,
+          jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]), prev_ri,
+          jnp.asarray(sel_np))
+
+        demod = demod_p[:, :f_total]
+        # route tile segments to global sub-chunk rows: a tiny static
+        # einsum over [n_tiles, n_seg] — the only RSSI data XLA touches
+        mag_sums = jnp.einsum("tsc,tsk->kc", segs, jnp.asarray(scatter_np),
+                              precision=jax.lax.Precision.HIGHEST)
+        new_hist, new_parity, new_prev = self._carries(
+            xr_p, xi_p, t, f_total, parity, psign)
+        return demod, mag_sums, new_hist, new_parity, new_prev
+
+    def _carries(self, xr_p, xi_p, t, f_total, parity, psign):
         # carried history is tiny (400 samples): complex for state-pytree
         # compatibility with the XLA path
         new_hist = jax.lax.complex(xr_p[t:t + HIST], xi_p[t:t + HIST])
@@ -233,7 +393,7 @@ class PallasPfbDemod:
             jnp.sum(lwr * kr - lwi * ki, axis=0),
             jnp.sum(lwr * ki + lwi * kr, axis=0)) * last_sign
         new_prev = new_prev.astype(jnp.complex64)
-        return demod, mag, new_hist, new_parity, new_prev
+        return new_hist, new_parity, new_prev
 
 
 def last_frame_output(tail_r: jax.Array, tail_i: jax.Array,

@@ -86,7 +86,8 @@ class ScannerChain:
                  waterfall: int = 0, use_pallas: bool = False,
                  pallas_interpret: bool = False,
                  pallas_tiles: tuple = (1024, 1024, 256),
-                 input_format: str = "cf32", fuse_dc: bool = True):
+                 input_format: str = "cf32", fuse_dc: bool = True,
+                 fuse_lp_dc: bool = True, fuse_rssi: bool = True):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
         # remote compiler, smaller ones add grid-step overhead
@@ -109,6 +110,12 @@ class ScannerChain:
         # fuse the IQ DC blocker INTO the resampler kernel (front-end HBM
         # traffic 24 -> 8 B/sample, NEXT.md #0); same math to f32 rounding
         self.fuse_dc = fuse_dc and use_pallas
+        # fuse the audio-branch DC blocker into the audio-bank kernel and
+        # the per-sub-chunk |y| sums into the PFB kernel (the last two
+        # audio-rate HBM round-trips between kernels, VERDICT r2 #1);
+        # same math to f32 rounding, test-gated
+        self.fuse_lp_dc = fuse_lp_dc and use_pallas
+        self.fuse_rssi = fuse_rssi and use_pallas
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
@@ -255,23 +262,40 @@ class ScannerChain:
                 resamp_hist, br, bi = self.pallas_resampler.apply_planes(
                     state.resamp_hist, xp[0], xp[1])
 
-            # 3-5. fused NCO + PFB + |y| + NBFM discriminator kernel
-            demod, mag, pfb_hist, parity, demod_prev = \
-                self.pallas_pfb.call_planes(
-                    br, bi, state.pfb_hist, state.frame_parity,
-                    state.demod_prev)
-            blocks = mag.reshape(C.NUM_CHANNELS, K, C.SUBCHUNK_AUDIO)
-            rssi_db = jnp.moveaxis(
-                20.0 * jnp.log10(jnp.maximum(jnp.mean(blocks, axis=-1),
-                                             1e-30)), 0, 1)
+            # 3-5. fused NCO + PFB + |y| + NBFM discriminator kernel; with
+            # fuse_rssi the per-sub-chunk magnitude sums come out as tiny
+            # per-tile segments instead of a [16, F] plane (VERDICT r2 #1)
+            if self.fuse_rssi:
+                demod, mag_sums, pfb_hist, parity, demod_prev = \
+                    self.pallas_pfb.call_planes_rssi(
+                        br, bi, state.pfb_hist, state.frame_parity,
+                        state.demod_prev, ns)
+                rssi_db = 20.0 * jnp.log10(
+                    jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
+            else:
+                demod, mag, pfb_hist, parity, demod_prev = \
+                    self.pallas_pfb.call_planes(
+                        br, bi, state.pfb_hist, state.frame_parity,
+                        state.demod_prev)
+                blocks = mag.reshape(C.NUM_CHANNELS, K, C.SUBCHUNK_AUDIO)
+                rssi_db = jnp.moveaxis(
+                    20.0 * jnp.log10(jnp.maximum(jnp.mean(blocks, axis=-1),
+                                                 1e-30)), 0, 1)
 
             # 6. fused audio bank: HP + (delay-HP) + de-emphasis (+ LP) in
-            # one kernel pass; only the CTCSS-branch DC blocker (an IIR)
-            # stays in the exact XLA scan
-            audio_hist, audio_all, lp_branch = self.pallas_audio.apply(
-                state.audio_hist, demod, params.audio_gain)
-            (lp_dc_x, lp_dc_y), lp_dcb = iir.dc_blocker_apply(
-                (state.lp_dc_x, state.lp_dc_y), lp_branch, C.DC_BLOCK_ALPHA)
+            # one kernel pass; with fuse_lp_dc the CTCSS-branch DC blocker
+            # runs as the kernel's epilogue, else in the exact XLA scan
+            if self.fuse_lp_dc:
+                audio_hist, lp_dc_x, lp_dc_y, audio_all, lp_dcb = \
+                    self.pallas_audio.apply_dc(
+                        state.audio_hist, state.lp_dc_x, state.lp_dc_y,
+                        demod, params.audio_gain)
+            else:
+                audio_hist, audio_all, lp_branch = self.pallas_audio.apply(
+                    state.audio_hist, demod, params.audio_gain)
+                (lp_dc_x, lp_dc_y), lp_dcb = iir.dc_blocker_apply(
+                    (state.lp_dc_x, state.lp_dc_y), lp_branch,
+                    C.DC_BLOCK_ALPHA)
             hp_hist = state.hp_hist
             delay_hist = state.delay_hist
             deemph_hist = state.deemph_hist

@@ -203,8 +203,8 @@ def test_cli_audio_api_validation():
 def test_scanner_app_clean_cli_errors(tmp_path):
     """Bad flag values exit 1 with a logged error, not a traceback."""
     from sdr_pmr446_tpu.apps.sdr_pmr446 import main
-    # waterfall width whose w/4 hop doesn't divide the sub-chunk
-    assert main(["-w", "128", "--seconds", "0.1"]) == 1
+    # waterfall width that is not a multiple of 4
+    assert main(["-w", "50", "--seconds", "0.1"]) == 1
     # --resume pointing at a nonexistent checkpoint file
     assert main(["--resume", "--checkpoint", str(tmp_path / "nope.npz"),
                  "--seconds", "0.1"]) == 1

@@ -197,3 +197,60 @@ def test_audio_bank_matches_chain_streaming_state():
         np.testing.assert_allclose(np.asarray(lp),
                                    np.asarray(delayed - hp_out),
                                    rtol=0, atol=1e-5)
+
+
+def test_audio_bank_fused_dc_matches_scan():
+    """apply_dc (in-kernel one-pole epilogue) == apply + the exact XLA
+    scan (ops/iir), including the carried (x[-1], y[-1]) per channel."""
+    from sdr_pmr446_tpu.kernels.audio_bank import PallasAudioBank
+    from sdr_pmr446_tpu.ops import iir
+
+    rng = np.random.default_rng(3)
+    bank = PallasAudioBank(interpret=True, tile_r=128)
+    f = 2 * C.SUBCHUNK_AUDIO
+    hist = jnp.asarray(rng.standard_normal((16, bank.hist)), jnp.float32)
+    dcx = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    dcy = jnp.asarray(0.01 * rng.standard_normal(16), jnp.float32)
+    gain = jnp.float32(4.0)
+    for step in range(2):
+        demod = jnp.asarray(rng.standard_normal((16, f)), jnp.float32)
+        h1, audio1, lp1 = bank.apply(hist, demod, gain)
+        (rx, ry), lpdc_ref = iir.dc_blocker_apply((dcx, dcy), lp1,
+                                                  C.DC_BLOCK_ALPHA)
+        hist, dcx, dcy, audio2, lpdc2 = bank.apply_dc(hist, dcx, dcy,
+                                                      demod, gain)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(hist))
+        np.testing.assert_array_equal(np.asarray(audio1),
+                                      np.asarray(audio2))
+        np.testing.assert_allclose(np.asarray(lpdc_ref), np.asarray(lpdc2),
+                                   rtol=0, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(rx), np.asarray(dcx),
+                                   rtol=0, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ry), np.asarray(dcy),
+                                   rtol=0, atol=2e-4)
+
+
+def test_pfb_demod_fused_rssi_matches_mag_sums():
+    """call_planes_rssi segment sums == per-sub-chunk sums of the |y|
+    plane, with identical demod/carries (the mag plane never hits HBM)."""
+    from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
+
+    rng = np.random.default_rng(4)
+    K, ns = 2, C.SUBCHUNK_AUDIO
+    t = K * ns * 16
+    br = jnp.asarray(rng.standard_normal(t), jnp.float32)
+    bi = jnp.asarray(rng.standard_normal(t), jnp.float32)
+    hist = jnp.asarray(rng.standard_normal(400)
+                       + 1j * rng.standard_normal(400), jnp.complex64)
+    prev = jnp.asarray(rng.standard_normal(16)
+                       + 1j * rng.standard_normal(16), jnp.complex64)
+    par = jnp.int32(1)
+    pfb = PallasPfbDemod(tile_f=512, interpret=True)
+    d1, mag, h1, p1, pr1 = pfb.call_planes(br, bi, hist, par, prev)
+    d2, sums, h2, p2, pr2 = pfb.call_planes_rssi(br, bi, hist, par, prev)
+    ref = np.asarray(mag).reshape(16, K, ns).sum(-1).T
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_allclose(ref, np.asarray(sums), rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    assert int(p1) == int(p2)
+    np.testing.assert_array_equal(np.asarray(pr1), np.asarray(pr2))
