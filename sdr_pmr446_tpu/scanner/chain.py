@@ -338,23 +338,23 @@ class ScannerChain:
                 audio_lp_hist = state.audio_lp_hist
             audio_hist = state.audio_hist
 
-        # 7. squelch FSM + CTCSS detection scan over K sub-chunks
+        # 7. squelch FSM + CTCSS detection scan over K sub-chunks; lp goes
+        # in channel-major (the layout the kernels emit) so the CTCSS
+        # selection is a row gather, not a channel-minor copy
         carry_in = FsmCarry(state.fsm_state, state.active_chan, state.rssi,
                             state.ct_count, state.ct_carry,
                             state.ct_detected, state.ct_max_idx,
                             state.ct_freq)
-        lp_blocks = jnp.moveaxis(
-            lp_dcb.reshape(C.NUM_CHANNELS, K, ns), 0, 1)   # [K, 16, ns]
         carry_out, fo = fsm_ctcss_scan_v3(
-            carry_in, rssi_db, lp_blocks, params.channel_mask,
-            params.squelch_level, params.lock_max)
+            carry_in, rssi_db, None, params.channel_mask,
+            params.squelch_level, params.lock_max,
+            lp_cm=lp_dcb.reshape(C.NUM_CHANNELS, K, ns))
 
-        # 8. select the active channel's audio per sub-chunk
-        audio_blocks = jnp.moveaxis(
-            audio_all.reshape(C.NUM_CHANNELS, K, ns), 0, 1)  # [K, 16, ns]
+        # 8. select the active channel's audio per sub-chunk — a direct
+        # channel-major row gather (reads the selected 1/16th only)
         sel = jnp.clip(fo.active_chan, 0, C.NUM_CHANNELS - 1)
-        audio_sel = jnp.take_along_axis(
-            audio_blocks, sel[:, None, None], axis=1)[:, 0, :]
+        audio_sel = audio_all.reshape(C.NUM_CHANNELS, K, ns)[
+            sel, jnp.arange(K, dtype=jnp.int32)]
         valid = fo.active_chan >= 0
 
         # 9. waterfall rows: sliding windowed periodogram over ALL band

@@ -338,8 +338,14 @@ def _keep_const_scan(keep: jax.Array, val: jax.Array, init: jax.Array):
 
 def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
                       mask: jax.Array, squelch: jax.Array,
-                      lock_max: jax.Array):
+                      lock_max: jax.Array, lp_cm: jax.Array | None = None):
     """Associative-scan formulation of fsm_ctcss_scan (identical semantics).
+
+    ``lp_cm`` ([16, K, ns], channel-major — the layout kernels emit) may
+    be passed INSTEAD of ``lp`` ([K, 16, ns]): phase B then gathers the
+    active channel's rows directly, so no channel-minor copy of the full
+    lp tensor is ever materialized (the gather reads only the selected
+    1/16th).  Values are identical either way.
 
     v2 still runs two sequential lax.scans over K (phase A's FSM
     transitions, phase C's [38]-carry chain) — on TPU those are 2*K serial
@@ -358,7 +364,11 @@ def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
     log2(K) depth plus batched tensor ops.  Equality with v1 is
     test-enforced (tests/test_fsm_unit.py).
     """
-    K, nch, ns = lp.shape
+    if lp_cm is not None:
+        assert lp is None
+        nch, K, ns = lp_cm.shape
+    else:
+        K, nch, ns = lp.shape
     n_win = C.CTCSS_BLOCK_SIZE
     freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
     e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
@@ -441,7 +451,13 @@ def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
 
     # ---- batched tone sums (MXU), phase B of v2 ----
     sel = jnp.clip(act2, 0, nch - 1)
-    lp_sel = jnp.take_along_axis(lp, sel[:, None, None], axis=1)[:, 0, :]
+    if lp_cm is not None:
+        # channel-major gather: reads only the selected rows, no
+        # channel-minor copy of the [*, 16, ns] tensor
+        lp_sel = lp_cm[sel, jnp.arange(K, dtype=jnp.int32)]
+    else:
+        lp_sel = jnp.take_along_axis(lp, sel[:, None, None],
+                                     axis=1)[:, 0, :]
     pre = (idx_i[None, :] <= b_arr[:, None]).astype(jnp.float32)  # [K, ns]
     xp = lp_sel * pre
     xs = lp_sel * (1.0 - pre)

@@ -97,11 +97,13 @@ def chain_traffic(input_format: str = "cf32w",
     if not fuse_lp_dc:
         # audio-branch dc blocker: lp in/out (XLA scan between kernels)
         t["lp_dc"] = 4 * CH + 4 * CH
-    # ctcss windowed dft: lp_dcb read (all channels feed the FSM scan)
-    t["ctcss"] = 4 * CH
-    # active-channel select: audio read, [K, ns] written (the moveaxis
-    # layout pass materializes a channel-minor copy before the gather)
-    t["select"] = 4 * CH + 4 * 16 * AUDIO
+    # ctcss windowed dft: the FSM's phase B gathers the ACTIVE channel's
+    # lp_dcb rows channel-major (scanner/chain.py step 7) — it reads the
+    # selected 1/16th only, in contiguous 4.9 KB spans
+    t["ctcss"] = 4 * AUDIO
+    # active-channel select: same row gather on audio_all + the selected
+    # [K, ns] write (no channel-minor copy is materialized)
+    t["select"] = 4 * AUDIO + 4 * AUDIO
     if waterfall:
         # spgram tap: band planes re-read (complex materialization +
         # windowed-DFT read; count one band read = lower bound)
