@@ -38,31 +38,59 @@ def main():
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--rot", type=int, default=4,
                    help="distinct input realizations rotated across steps")
+    p.add_argument("--mode", choices=["engines", "fusion"],
+                   default="engines",
+                   help="engines: XLA vs fused-Pallas (cf32 input); "
+                        "fusion: Pallas cf32w with the lp-DC/RSSI kernel "
+                        "fusions ON vs OFF (isolates VERDICT r2 #1's "
+                        "saving from tunnel drift)")
     args = p.parse_args()
 
     k = args.subchunks_per_step
     params = make_runtime_params(C.ScannerArgs())
     n = C.BlockConfig(k).input_len
-    iqs = [jnp.asarray(
-        synth.make_scanner_iq(n, channel=5, ctcss_code=12, seed=s),
-        jnp.complex64) for s in range(args.rot)]
+
+    if args.mode == "engines":
+        variants = (("xla", dict(use_pallas=False)),
+                    ("pallas", dict(use_pallas=True)))
+    else:
+        variants = (
+            ("unfused",
+             dict(use_pallas=True, input_format="cf32w",
+                  fuse_lp_dc=False, fuse_rssi=False)),
+            ("fused",
+             dict(use_pallas=True, input_format="cf32w")),
+        )
 
     def pstep(i):
         return params._replace(squelch_level=jnp.float32(
             C.SDR_DEFAULT_SQUELCH_LEVEL + 1e-5 * i))
 
+    def stage(sig, chain):
+        if chain.input_format == "cf32w":
+            import numpy as np
+            w = np.empty(2 * len(sig), np.float32)
+            w[0::2] = sig.real
+            w[1::2] = sig.imag
+            return jnp.asarray(w)
+        return jnp.asarray(sig, jnp.complex64)
+
+    sigs = [synth.make_scanner_iq(n, channel=5, ctcss_code=12, seed=s)
+            for s in range(args.rot)]
     chains = {}
-    for name, use_pallas in (("xla", False), ("pallas", True)):
-        chain = ScannerChain(C.BlockConfig(k), use_pallas=use_pallas)
+    names = [name for name, _ in variants]
+    for name, kw in variants:
+        chain = ScannerChain(C.BlockConfig(k), **kw)
+        iqs = [stage(s, chain) for s in sigs]
         st = chain.init_state()
         st, out = chain.step(st, iqs[0], pstep(0))    # compile + warm
         jax.block_until_ready(out)
-        chains[name] = (chain, st, 1)                 # (chain, state, step#)
+        chains[name] = (chain, iqs, st, 1)        # (chain, inputs, state, i)
 
-    results = {"xla": [], "pallas": []}
+    results = {name: [] for name in names}
     for seg in range(args.segments):
-        for name in ("xla", "pallas"):
-            chain, st, i = chains[name]
+        for name in names:
+            chain, iqs, st, i = chains[name]
             st, out = chain.step(st, iqs[i % args.rot], pstep(i))
             i += 1
             jax.block_until_ready(out)             # re-warm after swap
@@ -72,7 +100,7 @@ def main():
                 i += 1
             jax.block_until_ready(out)
             dt = time.perf_counter() - t0
-            chains[name] = (chain, st, i)
+            chains[name] = (chain, iqs, st, i)
             ms = n * args.iters / dt / 1e6
             results[name].append(ms)
             print(f"seg {seg} {name:7s}: {ms:9.1f} Ms/s", flush=True)
