@@ -381,13 +381,16 @@ def main() -> int:
                         [(40, True), (40, False)])
         chain = state = None
         last_err = None
-        def _stage(sig):
+        def _stage(sig, ch):
             """Signal -> step input: complex64, or packed wire words with
-            the decode running on device (--input-format cs16/cu8)."""
+            the decode running on device (--input-format cs16/cu8), in the
+            chain's preferred row layout (step_arg_shape — a flat 1-D arg
+            costs a whole-block relayout pass before the fused kernel)."""
             if args.input_format == "cf32":
                 return jnp.asarray(sig, jnp.complex64)
             from sdr_pmr446_tpu.ops import decode
-            return jnp.asarray(decode.pack_iq(sig, args.input_format))
+            w = decode.pack_iq(sig, args.input_format)
+            return jnp.asarray(w.reshape(ch.step_arg_shape))
 
         for k_try, use_pallas in attempts:
             try:
@@ -399,7 +402,7 @@ def main() -> int:
                 state = chain.init_state()
                 n = chain.block.input_len
                 iq = _stage(synth.make_scanner_iq(n, channel=5,
-                                                  ctcss_code=12))
+                                                  ctcss_code=12), chain)
                 params = make_runtime_params(C.ScannerArgs())
                 state, out = chain.step(state, iq, params)   # compile now
                 jax.block_until_ready(out)
@@ -415,7 +418,8 @@ def main() -> int:
         # every step's args are unique: rotate distinct signal realizations
         # and jitter the (traced) squelch scalar per step — see _measure
         iqs = [_stage(synth.make_scanner_iq(n, channel=5, ctcss_code=12,
-                                            seed=s)) for s in range(n_rot)]
+                                            seed=s), chain)
+               for s in range(n_rot)]
         variants = [
             (iqs[i % n_rot],
              params._replace(squelch_level=jnp.float32(

@@ -584,9 +584,12 @@ class PallasFrontEnd:
 
     def apply_interleaved(self, dc_x: jax.Array, dc_y: jax.Array,
                           hist: jax.Array, xw: jax.Array):
-        """xw [2T] f32, the cf32 WIRE layout (re,im interleaved — exactly
-        the bytes of a complex64 capture), T % 128 == 0, consumed IN
-        PLACE: rows of (re,im) pairs are de-interleaved inside the
+        """xw [2T] f32 (or pre-shaped [T//128, 256] rows — pass THAT from
+        drivers: a 1-D jit argument forces XLA to relayout the whole block
+        into the kernel's (8,128)-tiled 2-D form, a full extra HBM pass
+        measured at 8 B/sample), the cf32 WIRE layout (re,im interleaved —
+        exactly the bytes of a complex64 capture), T % 128 == 0, consumed
+        IN PLACE: rows of (re,im) pairs are de-interleaved inside the
         kernel's first matmul, so the front end's only HBM traffic is the
         8 B/sample input read plus the 25/128-rate band write — no plane
         split, no DC-blocked round trip.
@@ -594,10 +597,15 @@ class PallasFrontEnd:
         Returns (dc_x', dc_y', hist', yr [T//128, 25], yi [T//128, 25]).
         """
         assert not self.wide, "apply_interleaved uses the narrow geometry"
-        t2 = xw.shape[-1]
-        assert t2 % (2 * M) == 0, t2
-        rows = t2 // (2 * M)
-        xw_rows = xw.reshape(rows, 2 * M)
+        if xw.ndim == 2:
+            assert xw.shape[-1] == 2 * M, xw.shape
+            xw_rows = xw
+            rows = xw.shape[0]
+        else:
+            t2 = xw.shape[-1]
+            assert t2 % (2 * M) == 0, t2
+            rows = t2 // (2 * M)
+            xw_rows = xw.reshape(rows, 2 * M)
         hr, hi = self._hist_planes(hist)
         # x[-1] carry row: (re, im) of dc_x at the last two lanes, where the
         # ew selectors look after the sublane row-shift
@@ -611,7 +619,8 @@ class PallasFrontEnd:
             self._cy_rows(dc_y),
             (self.consts["wcat_r"], self.consts["wcat_i"]))
         # the new x[-1] is simply the block's last input sample
-        new_dc_x = jax.lax.complex(xw[t2 - 2], xw[t2 - 1])
+        new_dc_x = jax.lax.complex(xw_rows[rows - 1, 2 * M - 2],
+                                   xw_rows[rows - 1, 2 * M - 1])
         return new_dc_x, ndy, nh, yr, yi
 
     def apply_packed(self, dc_x: jax.Array, dc_y: jax.Array,
@@ -628,10 +637,15 @@ class PallasFrontEnd:
             raise ValueError(f"apply_packed supports cs16 only, got "
                              f"{fmt!r} (cu8/cs8 -> apply_packed2)")
         assert not self.wide, "cs16 uses the narrow-row geometry"
-        t = w.shape[-1]
-        assert t % M == 0, t
-        rows = t // M
-        w_rows = w.reshape(rows, M)
+        if w.ndim == 2:
+            assert w.shape[-1] == M, w.shape
+            w_rows = w
+            rows = w.shape[0]
+        else:
+            t = w.shape[-1]
+            assert t % M == 0, t
+            rows = t // M
+            w_rows = w.reshape(rows, M)
         hr, hi = self._hist_planes(hist)
         # x[-1] carry rows: the DECODED planes convention of apply_planes
         cx = jnp.stack([jnp.real(dc_x), jnp.imag(dc_x)]).astype(jnp.float32)
@@ -643,7 +657,7 @@ class PallasFrontEnd:
             self._cy_rows(dc_y), (self.consts["w1"],))
         # new x[-1]: decode the block's last word (scalar XLA epilogue)
         from sdr_pmr446_tpu.ops.decode import decode_planes
-        xr_l, xi_l = decode_planes(w[t - 1:t], "cs16")
+        xr_l, xi_l = decode_planes(w_rows[rows - 1, M - 1:M], "cs16")
         new_dc_x = jax.lax.complex(xr_l[0], xi_l[0])
         return new_dc_x, ndy, nh, yr, yi
 
@@ -660,10 +674,15 @@ class PallasFrontEnd:
         if fmt not in ("cu8", "cs8"):
             raise ValueError(f"apply_packed2 supports cu8/cs8, got {fmt!r}")
         assert self.wide, "cu8/cs8 need the wide-row geometry (wide=True)"
-        nw = w.shape[-1]
-        assert nw % M == 0, nw
-        rows_w = nw // M                 # wide rows (256 samples each)
-        w_rows = w.reshape(rows_w, M)
+        if w.ndim == 2:
+            assert w.shape[-1] == M, w.shape
+            w_rows = w
+            rows_w = w.shape[0]          # wide rows (256 samples each)
+        else:
+            nw = w.shape[-1]
+            assert nw % M == 0, nw
+            rows_w = nw // M
+            w_rows = w.reshape(rows_w, M)
         hr, hi = self._hist_planes(hist)
         cx = jnp.stack([jnp.real(dc_x), jnp.imag(dc_x)]).astype(jnp.float32)
         sel = np.zeros((1, W2), dtype=np.float32)
@@ -674,7 +693,7 @@ class PallasFrontEnd:
                                           cx_rows, self._cy_rows(dc_y))
         # new x[-1]: the last word's SECOND sample (scalar XLA epilogue)
         from sdr_pmr446_tpu.ops.decode import decode_planes
-        xr_l, xi_l = decode_planes(w[nw - 1:nw], fmt)
+        xr_l, xi_l = decode_planes(w_rows[rows_w - 1, M - 1:M], fmt)
         new_dc_x = jax.lax.complex(xr_l[1], xi_l[1])
         return new_dc_x, ndy, nh, yr, yi
 
@@ -745,11 +764,16 @@ class PallasFrontEnd:
         Returns (dc_x', dc_y', hist', yr [T//128, 25], yi [T//128, 25]).
         """
         assert not self.wide, "apply_planes uses the narrow-row geometry"
-        t = xr.shape[-1]
-        assert t % M == 0, t
-        rows = t // M
-        xr_rows = xr.reshape(rows, M)
-        xi_rows = xi.reshape(rows, M)
+        if xr.ndim == 2:
+            assert xr.shape[-1] == M and xi.shape == xr.shape
+            xr_rows, xi_rows = xr, xi
+            rows = xr.shape[0]
+        else:
+            t = xr.shape[-1]
+            assert t % M == 0, t
+            rows = t // M
+            xr_rows = xr.reshape(rows, M)
+            xi_rows = xi.reshape(rows, M)
         hr, hi = self._hist_planes(hist)
         # x[-1] carry rows (re, im): value at lane M-1, where e_last looks
         cx = jnp.stack([jnp.real(dc_x), jnp.imag(dc_x)]).astype(jnp.float32)
@@ -759,7 +783,8 @@ class PallasFrontEnd:
         ndy, nh, yr, yi = self._call(
             _body, (xr_rows, xi_rows), M, rows, hr, hi, cx_rows,
             self._cy_rows(dc_y), (self.consts["w1"],))
-        new_dc_x = jax.lax.complex(xr[t - 1], xi[t - 1])
+        new_dc_x = jax.lax.complex(xr_rows[rows - 1, M - 1],
+                                   xi_rows[rows - 1, M - 1])
         return new_dc_x, ndy, nh, yr, yi
 
 

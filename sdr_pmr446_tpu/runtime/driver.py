@@ -202,12 +202,16 @@ class ScannerDriver:
         self._resume_skip = 0
         feed_dtype = (jnp.complex64 if self.chain.input_format == "cf32"
                       else jnp.float32)
+        # feed the kernel's native 2-D row layout (a free numpy reshape):
+        # a flat 1-D device argument costs a whole-block XLA relayout pass
+        # before the fused kernel can read it (chain.step_arg_shape)
+        feed_shape = self.chain.step_arg_shape
         S = self.steps_per_dispatch
 
         def _after_skip(it):
             for i, b in enumerate(it):
                 if i >= skip:
-                    yield b
+                    yield b.reshape(feed_shape)
 
         staged = _device_prefetch(_after_skip(blocks), feed_dtype,
                                   self.prefetch_depth)

@@ -178,6 +178,21 @@ class ScannerChain:
             return self.block.input_len
         return decode_op.packed_len(self.block.input_len, self.input_format)
 
+    @property
+    def step_arg_shape(self) -> tuple:
+        """PREFERRED step() input shape.  For the fused wire formats this
+        is the kernel's native 2-D row layout [rows, width]: feeding it
+        (a free host-side reshape of the same bytes) instead of the flat
+        1-D vector removes XLA's 1-D -> (8,128)-tiled relayout of the
+        whole block — a full extra HBM pass each way, measured at
+        +16 B/sample for cf32w on the dev chip.  cf32 (complex input)
+        stays 1-D.  step() accepts either shape."""
+        if self.use_pallas and self.fuse_dc and self.input_format != "cf32":
+            if self.input_format == "cf32w":
+                return (self.block.input_len // 128, 256)
+            return (self.step_arg_len // 128, 128)
+        return (self.step_arg_len,)
+
     def step(self, state: ScannerState, iq: jax.Array,
              params: RuntimeParams):
         """One jitted block step; iq is [input_len] complex64 (cf32) or
@@ -204,6 +219,11 @@ class ScannerChain:
                    params: RuntimeParams):
         K = self.block.subchunks_per_step
         ns = C.SUBCHUNK_AUDIO
+
+        # 2-D row-layout input (step_arg_shape) goes straight into the
+        # fused kernels; every other path consumes the flat vector
+        if iq.ndim == 2 and len(self.step_arg_shape) != 2:
+            iq = iq.reshape(-1)
 
         if self.use_pallas:
             # Plane-resident fast path: every block-sized array between the

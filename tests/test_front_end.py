@@ -254,3 +254,34 @@ def test_scanner_chain_fused_dc_matches_std():
                                    np.asarray(o2.rssi_db), rtol=0, atol=1e-2)
         np.testing.assert_allclose(np.asarray(o1.audio),
                                    np.asarray(o2.audio), rtol=0, atol=1e-3)
+
+
+@pytest.mark.parametrize("fmt", ["cf32w", "cs16", "cu8"])
+def test_scanner_chain_row_layout_input_bitexact(fmt):
+    """step() fed the 2-D row layout (chain.step_arg_shape — what drivers
+    feed to skip XLA's whole-block 1-D->tiled relayout pass) is BIT-exact
+    vs the flat 1-D wire vector, outputs and state."""
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+    from sdr_pmr446_tpu.io import synth
+    from sdr_pmr446_tpu.ops import decode as decode_op
+
+    iq = synth.make_scanner_iq(2 * C.SUBCHUNK_IN, channel=3, ctcss_code=7)
+    if fmt == "cf32w":
+        w = np.empty(2 * iq.shape[0], np.float32)
+        w[0::2] = iq.real
+        w[1::2] = iq.imag
+    else:
+        w = decode_op.pack_iq(iq, fmt)
+    params = make_runtime_params(C.ScannerArgs())
+    chain = ScannerChain(C.BlockConfig(2), use_pallas=True,
+                         pallas_interpret=True, input_format=fmt)
+    assert len(chain.step_arg_shape) == 2
+    assert int(np.prod(chain.step_arg_shape)) == chain.step_arg_len
+    st1, o1 = chain.step(chain.init_state(), jnp.asarray(w), params)
+    st2, o2 = chain.step(chain.init_state(),
+                         jnp.asarray(w.reshape(chain.step_arg_shape)),
+                         params)
+    for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

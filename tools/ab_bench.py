@@ -72,7 +72,7 @@ def main():
             w = np.empty(2 * len(sig), np.float32)
             w[0::2] = sig.real
             w[1::2] = sig.imag
-            return jnp.asarray(w)
+            return jnp.asarray(w.reshape(chain.step_arg_shape))
         return jnp.asarray(sig, jnp.complex64)
 
     sigs = [synth.make_scanner_iq(n, channel=5, ctcss_code=12, seed=s)
