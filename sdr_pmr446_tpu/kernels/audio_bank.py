@@ -17,15 +17,24 @@ that follows lp_branch is a one-pole IIR and stays in XLA's exact scan
 (ops/iir.py).
 
 Layout: time is tiled into 128-lane frame rows per channel.  Output frame
-row r of channel c needs extended-input rows r..r+4 (window 513 <= 640), so
-per grid step the tile's rows plus 4 pre-sliced look-ahead rows arrive as
-ordinary non-overlapping BlockSpec blocks (same playbook as
-kernels/resample_kernel.py; this Mosaic build has no dynamic-slice DMA).
-The window matrix [TILE_R, 640] is assembled with 5 aligned row-block
-copies and hit with one matmul against the [640, 256] kernel whose column
-p < 128 is the composed audio FIR ending at phase p and column 128+p the
-lp-branch FIR; the runtime audio gain is folded into the audio columns
-outside the kernel (a [640, 256] elementwise scale, negligible).
+row r of channel c needs input rows r-4..r (window 513 <= 640), carried as
+a LOOK-BEHIND: the previous tile's last 4 rows persist in VMEM scratch
+across the (sequential) grid, reloading from the carried [16, 512] history
+at each channel's first tile.  The demod plane is consumed DIRECTLY in the
+shape the PFB kernel emits it ([16, F_pad] with F_pad % 128 == 0 — a free
+3-D view), so none of the old XLA glue (history concat, row reshape, main
+slice, look-ahead pad — four whole-plane HBM passes, ~10 B/input-sample
+measured on the dev chip at K=8) exists anymore.  The window matrix
+[TILE_R, 640] is assembled with 5 aligned row-block copies and hit with
+one matmul against the [640, 256] kernel whose column p < 128 is the
+composed audio FIR ending at phase p and column 128+p the lp-branch FIR;
+the runtime audio gain is folded into the audio columns outside the kernel
+(a [640, 256] elementwise scale, negligible).
+
+Callers that keep the plane padded end-to-end (scanner/chain.py routes the
+PFB's padded demod straight in and gathers sub-chunk windows out of the
+padded outputs) pass ``out_len``/``padded_out=True``; everyone else gets
+the old [16, F] sliced contract.
 
 Carried state: the last 512 demod samples per channel ([16, 512] f32) —
 the raw-input history replaces the op-chain's four intermediate-signal
@@ -45,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sdr_pmr446_tpu import config as C
 # the proven one-pole-recurrence-as-matmuls constants (width 128 == LANES)
 from sdr_pmr446_tpu.kernels.front_end import (_row_consts, _tile_consts,
-                                              _PJ_LAST)
+                                              _PJ_LAST, pick_tile)
 
 NCH = C.NUM_CHANNELS          # 16
 LANES = 128                   # frame-row width (one vreg lane dim)
@@ -84,44 +93,60 @@ def _kernel_matrix(lowpass: bool, fir_deemph: bool,
     return kmat.astype(np.float32)
 
 
-def _body(main_ref, look_ref, k_ref, audio_out, lp_out, win):
+def _body(main_ref, hist_ref, k_ref, audio_out, lp_out, win, carry):
+    """Output row r of the tile needs input rows r-4..r; the 4-row
+    look-behind lives in ``carry`` scratch across the sequential grid,
+    reloading from the carried per-channel history at each channel's
+    first tile (grid iterates channel-major, tiles innermost)."""
     tile_r = audio_out.shape[0]
-    rows = jnp.concatenate([main_ref[:], look_ref[:]], axis=0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        carry[:, :] = hist_ref[:, :]
+
+    rows = jnp.concatenate([carry[:], main_ref[:]], axis=0)
     for i in range(win.shape[1] // LANES):
         win[:, i * LANES:(i + 1) * LANES] = rows[i:i + tile_r, :]
     out = jnp.dot(win[:], k_ref[:], preferred_element_type=jnp.float32)
     audio_out[:, :] = out[:, :LANES]
     lp_out[:, :] = out[:, LANES:]
+    hist_rows = carry.shape[0]
+    carry[:, :] = main_ref[tile_r - hist_rows:tile_r, :]
 
 
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _body_dc(main_ref, look_ref, k_ref, cx_ref, cy_ref,
+def _body_dc(main_ref, hist_ref, k_ref, cx_ref, cy_ref,
              w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, el_ref,
-             audio_out, lpdc_out, win, xrow, ysc):
+             audio_out, lpdc_out, win, carry, xrow, ysc):
     """Fused variant: the audio-branch one-pole DC blocker runs as an
     epilogue on the lp column, so lp_branch never touches HBM (VERDICT r2
     #1).  Same triangular-carry-matmul recurrence as the front end
     (kernels/front_end.py steps 1-3) at width 128; the per-channel
-    (x[-1], y[-1]) carries live in VMEM scratch across the tile grid and
-    reload from the c-indexed carry inputs at each channel's first tile
-    (grid iterates channel-major, tiles innermost)."""
+    (x[-1], y[-1]) carries AND the 4-row demod look-behind live in VMEM
+    scratch across the tile grid and reload from the c-indexed carry
+    inputs at each channel's first tile (grid iterates channel-major,
+    tiles innermost)."""
     tile_r = audio_out.shape[0]
     s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _():
+        carry[:, :] = hist_ref[:, :]
         xrow[:, :] = cx_ref[:, :]        # lp x[-1] at lane LANES-1
         ysc[:, :] = cy_ref[:, :]         # dc y[-1] at lane 0
 
-    rows = jnp.concatenate([main_ref[:], look_ref[:]], axis=0)
+    rows = jnp.concatenate([carry[:], main_ref[:]], axis=0)
     for i in range(win.shape[1] // LANES):
         win[:, i * LANES:(i + 1) * LANES] = rows[i:i + tile_r, :]
     out = _dot(win[:], k_ref[:])
     audio_out[:, :] = out[:, :LANES]
     lp = out[:, LANES:]
+    hist_rows = carry.shape[0]
+    carry[:, :] = main_ref[tile_r - hist_rows:tile_r, :]
 
     # one-pole DC recurrence on 128-sample rows (front_end.py idiom):
     # full-row sublane shift + one-hot selector for the previous sample,
@@ -168,26 +193,31 @@ class PallasAudioBank:
     def init(self) -> jax.Array:
         return jnp.zeros((NCH, self.hist), jnp.float32)
 
-    def apply(self, hist: jax.Array, demod: jax.Array, gain: jax.Array):
-        nch, f = demod.shape
-        assert nch == NCH and hist.shape[-1] == self.hist
-        tile = self.tile_r
-        r_rows = -(-f // LANES)
-        n_tiles = -(-r_rows // tile)
-        r_pad = n_tiles * tile
-        pad_t = r_pad * LANES - f
+    def _geometry(self, demod, out_len):
+        """(demod_padded [16, r_pad, 128], f, tile, n_tiles): pad the plane
+        to whole multiple-of-8-row tiles.  Chains that feed the PFB
+        kernel's own padded output hit the no-copy path (the reshape is a
+        free view)."""
+        nch, f_in = demod.shape
+        assert nch == NCH
+        f = out_len if out_len is not None else f_in
+        assert f <= f_in
+        r_rows = -(-f_in // LANES)
+        r8 = -(-r_rows // 8) * 8
+        if r8 * LANES != f_in:
+            demod = jnp.pad(demod, ((0, 0), (0, r8 * LANES - f_in)))
+        tile = pick_tile(r8, self.tile_r)
+        return demod.reshape(NCH, r8, LANES), f, tile, r8 // tile
 
-        xe = jnp.concatenate(
-            [hist, demod, jnp.zeros((NCH, pad_t), jnp.float32)], axis=-1)
-        xef = xe.reshape(NCH, r_pad + self.w_pad // LANES - 1, LANES)
-        main = xef[:, :r_pad]
-        # look-ahead rows for tile s: xef rows [(s+1)*tile, +hist/128) — the
-        # same slice+reshape row-block trick as the other kernels (no gather)
-        shifted = xef[:, tile:]
-        deficit = n_tiles * tile - shifted.shape[1]
-        shifted = jnp.pad(shifted, ((0, 0), (0, deficit), (0, 0)))
-        look = shifted.reshape(
-            NCH, n_tiles, tile, LANES)[:, :, :self.w_pad // LANES - 1]
+    def apply(self, hist: jax.Array, demod: jax.Array, gain: jax.Array,
+              out_len: int | None = None, padded_out: bool = False):
+        """demod [16, F_in] (F_in may include the PFB kernel's tail
+        padding; ``out_len`` names the true frame count).  Returns
+        (new_hist, audio, lp) — [16, F] sliced, or the full padded plane
+        with ``padded_out=True`` (the chain's gather-direct fast path)."""
+        assert hist.shape[-1] == self.hist
+        hist_rows = self.hist // LANES
+        demod3, f, tile, n_tiles = self._geometry(demod, out_len)
 
         # fold the (traced) runtime audio gain into the audio columns
         scale = jnp.concatenate([jnp.broadcast_to(gain, (LANES,)),
@@ -200,8 +230,8 @@ class PallasAudioBank:
             in_specs=[
                 pl.BlockSpec((None, tile, LANES), lambda c, s: (c, s, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, None, self.w_pad // LANES - 1, LANES),
-                             lambda c, s: (c, s, 0, 0),
+                pl.BlockSpec((None, hist_rows, LANES),
+                             lambda c, s: (c, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # kernel matrix
             ],
@@ -212,45 +242,48 @@ class PallasAudioBank:
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((NCH, r_pad, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((NCH, r_pad, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((NCH, n_tiles * tile, LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((NCH, n_tiles * tile, LANES),
+                                     jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((tile, self.w_pad), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((tile, self.w_pad), jnp.float32),
+                pltpu.VMEM((hist_rows, LANES), jnp.float32),
+            ],
             interpret=self.interpret,
-        )(main, look, kmat)
+        )(demod3, hist.reshape(NCH, hist_rows, LANES), kmat)
 
-        audio = audio.reshape(NCH, r_pad * LANES)[:, :f]
-        lp = lp.reshape(NCH, r_pad * LANES)[:, :f]
-        new_hist = xe[:, f:f + self.hist]
+        audio = audio.reshape(NCH, n_tiles * tile * LANES)
+        lp = lp.reshape(NCH, n_tiles * tile * LANES)
+        new_hist = self._new_hist(hist, demod, f)
+        if not padded_out:
+            audio = audio[:, :f]
+            lp = lp[:, :f]
         return new_hist, audio, lp
 
+    def _new_hist(self, hist, demod, f):
+        """Last ``self.hist`` TRUE demod frames (a tiny tail slice)."""
+        if f >= self.hist:
+            return demod[:, f - self.hist:f]
+        return jnp.concatenate([hist, demod[:, :f]], axis=-1)[:, -self.hist:]
+
     def apply_dc(self, hist: jax.Array, dc_x: jax.Array, dc_y: jax.Array,
-                 demod: jax.Array, gain: jax.Array):
+                 demod: jax.Array, gain: jax.Array,
+                 out_len: int | None = None, padded_out: bool = False):
         """Fused-DC variant: the audio-branch DC blocker runs inside the
         kernel, so the pre-DC lp branch never round-trips HBM.
 
         hist [16, 512] f32; dc_x/dc_y f32 [16] (the ops/iir (x[-1], y[-1])
-        per channel); demod [16, F]; gain f32 scalar.
-        Returns (new_hist, dc_x', dc_y', audio [16, F], lp_dcb [16, F]).
-        Same arithmetic fixed point as apply + ops/iir.dc_blocker_apply to
-        f32 rounding (test-gated SNR)."""
-        nch, f = demod.shape
-        assert nch == NCH and hist.shape[-1] == self.hist
-        tile = self.tile_r
-        r_rows = -(-f // LANES)
-        n_tiles = -(-r_rows // tile)
-        r_pad = n_tiles * tile
-        pad_t = r_pad * LANES - f
-
-        xe = jnp.concatenate(
-            [hist, demod, jnp.zeros((NCH, pad_t), jnp.float32)], axis=-1)
-        xef = xe.reshape(NCH, r_pad + self.w_pad // LANES - 1, LANES)
-        main = xef[:, :r_pad]
-        shifted = xef[:, tile:]
-        deficit = n_tiles * tile - shifted.shape[1]
-        shifted = jnp.pad(shifted, ((0, 0), (0, deficit), (0, 0)))
-        look = shifted.reshape(
-            NCH, n_tiles, tile, LANES)[:, :, :self.w_pad // LANES - 1]
+        per channel); demod [16, F_in] (``out_len`` names the true frame
+        count when F_in carries the PFB kernel's tail pad); gain f32.
+        Returns (new_hist, dc_x', dc_y', audio, lp_dcb) — [16, F] sliced,
+        or the padded planes with ``padded_out=True``.  Same arithmetic
+        fixed point as apply + ops/iir.dc_blocker_apply to f32 rounding
+        (test-gated SNR)."""
+        assert hist.shape[-1] == self.hist
+        hist_rows = self.hist // LANES
+        demod3, f, tile, n_tiles = self._geometry(demod, out_len)
 
         scale = jnp.concatenate([jnp.broadcast_to(gain, (LANES,)),
                                  jnp.ones((LANES,), jnp.float32)])
@@ -277,8 +310,8 @@ class PallasAudioBank:
             in_specs=[
                 pl.BlockSpec((None, tile, LANES), lambda c, s: (c, s, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, None, self.w_pad // LANES - 1, LANES),
-                             lambda c, s: (c, s, 0, 0),
+                pl.BlockSpec((None, hist_rows, LANES),
+                             lambda c, s: (c, 0, 0),
                              memory_space=pltpu.VMEM),
                 vmem(),                                   # kernel matrix
                 whole_c(),                                # cx
@@ -293,29 +326,35 @@ class PallasAudioBank:
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((NCH, r_pad, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((NCH, r_pad, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((NCH, n_tiles * tile, LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((NCH, n_tiles * tile, LANES),
+                                     jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((tile, self.w_pad), jnp.float32),
+                pltpu.VMEM((hist_rows, LANES), jnp.float32),   # look-behind
                 pltpu.VMEM((1, LANES), jnp.float32),      # lp x[-1] row
                 pltpu.VMEM((1, LANES), jnp.float32),      # dc y[-1] row
             ],
             interpret=self.interpret,
-        )(main, look, kmat, cx, cy,
+        )(demod3, hist.reshape(NCH, hist_rows, LANES), kmat, cx, cy,
           jnp.asarray(cn["w1"]), jnp.asarray(cn["u0"]),
           jnp.asarray(cn["pj"]), jnp.asarray(tt), jnp.asarray(pvec),
           jnp.asarray(cn["e_last"]))
 
-        audio = audio.reshape(NCH, r_pad * LANES)[:, :f]
-        lpdc = lpdc.reshape(NCH, r_pad * LANES)[:, :f]
-        new_hist = xe[:, f:f + self.hist]
+        audio = audio.reshape(NCH, n_tiles * tile * LANES)
+        lpdc = lpdc.reshape(NCH, n_tiles * tile * LANES)
+        new_hist = self._new_hist(hist, demod, f)
         # new carries at the TRUE last sample f-1 (the padded tail rows
         # carry garbage): y' from the output column, x' (the pre-DC lp
         # value) recomputed with one 512-tap dot against the new history
         new_dc_y = lpdc[:, f - 1]
         new_dc_x = jnp.matmul(new_hist, jnp.asarray(self._lp_last_col),
                               precision=jax.lax.Precision.HIGHEST)
+        if not padded_out:
+            audio = audio[:, :f]
+            lpdc = lpdc[:, :f]
         return new_hist, new_dc_x, new_dc_y, audio, lpdc
 
 

@@ -296,12 +296,18 @@ class PallasPfbDemod:
 
     def call_planes_rssi(self, band_r: jax.Array, band_i: jax.Array,
                          hist: jax.Array, parity: jax.Array,
-                         prev: jax.Array, ns: int = C.SUBCHUNK_AUDIO):
+                         prev: jax.Array, ns: int = C.SUBCHUNK_AUDIO,
+                         padded_demod: bool = False):
         """RSSI-fused path: returns (demod [16,F], mag_sums [K,16],
         new_hist, new_parity, new_prev) where mag_sums[k, c] is the |y|
         sum of sub-chunk k (ns frames) on channel c — the [16, F]
         magnitude plane never reaches HBM (VERDICT r2 #1).  Requires
-        F % ns == 0 (the chain's static geometry guarantees it)."""
+        F % ns == 0 (the chain's static geometry guarantees it).
+
+        ``padded_demod=True`` returns demod UNSLICED ([16, F_pad],
+        F_pad = n_tiles*tile_f, trailing frames garbage): feeding that
+        straight into the audio bank (which re-tiles it as a free view)
+        skips the slice-copy here AND the audio bank's own pad pass."""
         band_r = band_r.reshape(-1)
         band_i = band_i.reshape(-1)
         t = band_r.shape[-1]
@@ -368,7 +374,7 @@ class PallasPfbDemod:
           jnp.asarray(self.kmat[0]), jnp.asarray(self.kmat[1]), prev_ri,
           jnp.asarray(sel_np))
 
-        demod = demod_p[:, :f_total]
+        demod = demod_p if padded_demod else demod_p[:, :f_total]
         # route tile segments to global sub-chunk rows: a tiny static
         # einsum over [n_tiles, n_seg] — the only RSSI data XLA touches
         mag_sums = jnp.einsum("tsc,tsk->kc", segs, jnp.asarray(scatter_np),

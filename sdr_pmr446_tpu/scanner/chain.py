@@ -219,6 +219,10 @@ class ScannerChain:
                    params: RuntimeParams):
         K = self.block.subchunks_per_step
         ns = C.SUBCHUNK_AUDIO
+        # all-fused default: the demod/audio/lp planes stay in the PFB
+        # kernel's padded layout end-to-end and the sub-chunk windows are
+        # gathered out — zero slice/reshape XLA passes between kernels
+        fast_pad = self.fuse_rssi and self.fuse_lp_dc
 
         # 2-D row-layout input (step_arg_shape) goes straight into the
         # fused kernels; every other path consumes the flat vector
@@ -284,12 +288,17 @@ class ScannerChain:
 
             # 3-5. fused NCO + PFB + |y| + NBFM discriminator kernel; with
             # fuse_rssi the per-sub-chunk magnitude sums come out as tiny
-            # per-tile segments instead of a [16, F] plane (VERDICT r2 #1)
+            # per-tile segments instead of a [16, F] plane (VERDICT r2 #1).
+            # On the all-fused default path the demod plane flows into the
+            # audio bank PADDED exactly as the kernel emits it, and the
+            # audio/lp planes come back padded — the sub-chunk windows are
+            # gathered out directly, so NONE of the slice/reshape XLA glue
+            # passes (measured ~10 B/input-sample at K=8) run at all.
             if self.fuse_rssi:
                 demod, mag_sums, pfb_hist, parity, demod_prev = \
                     self.pallas_pfb.call_planes_rssi(
                         br, bi, state.pfb_hist, state.frame_parity,
-                        state.demod_prev, ns)
+                        state.demod_prev, ns, padded_demod=fast_pad)
                 rssi_db = 20.0 * jnp.log10(
                     jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
             else:
@@ -309,7 +318,9 @@ class ScannerChain:
                 audio_hist, lp_dc_x, lp_dc_y, audio_all, lp_dcb = \
                     self.pallas_audio.apply_dc(
                         state.audio_hist, state.lp_dc_x, state.lp_dc_y,
-                        demod, params.audio_gain)
+                        demod, params.audio_gain,
+                        out_len=(K * ns if fast_pad else None),
+                        padded_out=fast_pad)
             else:
                 audio_hist, audio_all, lp_branch = self.pallas_audio.apply(
                     state.audio_hist, demod, params.audio_gain)
@@ -360,21 +371,31 @@ class ScannerChain:
 
         # 7. squelch FSM + CTCSS detection scan over K sub-chunks; lp goes
         # in channel-major (the layout the kernels emit) so the CTCSS
-        # selection is a row gather, not a channel-minor copy
+        # selection is a row gather, not a channel-minor copy.  On the
+        # padded fast path the sub-chunk windows are gathered straight out
+        # of the kernel-padded plane (cols indexes the true frames).
         carry_in = FsmCarry(state.fsm_state, state.active_chan, state.rssi,
                             state.ct_count, state.ct_carry,
                             state.ct_detected, state.ct_max_idx,
                             state.ct_freq)
+        if fast_pad:
+            cols = (jnp.arange(K, dtype=jnp.int32)[:, None] * ns
+                    + jnp.arange(ns, dtype=jnp.int32)[None, :])   # [K, ns]
+            lp_cm = lp_dcb[:, cols]
+        else:
+            lp_cm = lp_dcb.reshape(C.NUM_CHANNELS, K, ns)
         carry_out, fo = fsm_ctcss_scan_v3(
             carry_in, rssi_db, None, params.channel_mask,
-            params.squelch_level, params.lock_max,
-            lp_cm=lp_dcb.reshape(C.NUM_CHANNELS, K, ns))
+            params.squelch_level, params.lock_max, lp_cm=lp_cm)
 
         # 8. select the active channel's audio per sub-chunk — a direct
         # channel-major row gather (reads the selected 1/16th only)
         sel = jnp.clip(fo.active_chan, 0, C.NUM_CHANNELS - 1)
-        audio_sel = audio_all.reshape(C.NUM_CHANNELS, K, ns)[
-            sel, jnp.arange(K, dtype=jnp.int32)]
+        if fast_pad:
+            audio_sel = audio_all[sel[:, None], cols]
+        else:
+            audio_sel = audio_all.reshape(C.NUM_CHANNELS, K, ns)[
+                sel, jnp.arange(K, dtype=jnp.int32)]
         valid = fo.active_chan >= 0
 
         # 9. waterfall rows: sliding windowed periodogram over ALL band
