@@ -28,8 +28,9 @@ measured on the dev chip at K=8) exists anymore.  The window matrix
 [TILE_R, 640] is assembled with 5 aligned row-block copies and hit with
 one matmul against the [640, 256] kernel whose column p < 128 is the
 composed audio FIR ending at phase p and column 128+p the lp-branch FIR;
-the runtime audio gain is folded into the audio columns outside the kernel
-(a [640, 256] elementwise scale, negligible).
+the runtime (traced) audio gain applies IN-KERNEL
+via a k=1 broadcast matmul, keeping the kernel matrix a hoistable
+constant (no per-step gain-scale HBM pass).
 
 Callers that keep the plane padded end-to-end (scanner/chain.py routes the
 PFB's padded demod straight in and gathers sub-chunk windows out of the
@@ -93,11 +94,15 @@ def _kernel_matrix(lowpass: bool, fir_deemph: bool,
     return kmat.astype(np.float32)
 
 
-def _body(main_ref, hist_ref, k_ref, audio_out, lp_out, win, carry):
+def _body(main_ref, hist_ref, k_ref, gcol_ref, grow_ref,
+          audio_out, lp_out, win, carry):
     """Output row r of the tile needs input rows r-4..r; the 4-row
     look-behind lives in ``carry`` scratch across the sequential grid,
     reloading from the carried per-channel history at each channel's
-    first tile (grid iterates channel-major, tiles innermost)."""
+    first tile (grid iterates channel-major, tiles innermost).  The
+    traced audio gain applies IN-KERNEL (a k=1 broadcast matmul) so the
+    [640, 256] kernel matrix stays a hoistable constant instead of a
+    per-step gain-scaled HBM pass."""
     tile_r = audio_out.shape[0]
     s = pl.program_id(1)
 
@@ -109,7 +114,8 @@ def _body(main_ref, hist_ref, k_ref, audio_out, lp_out, win, carry):
     for i in range(win.shape[1] // LANES):
         win[:, i * LANES:(i + 1) * LANES] = rows[i:i + tile_r, :]
     out = jnp.dot(win[:], k_ref[:], preferred_element_type=jnp.float32)
-    audio_out[:, :] = out[:, :LANES]
+    gmat = _dot(gcol_ref[:], grow_ref[:])        # [tile, 128] = gain
+    audio_out[:, :] = out[:, :LANES] * gmat
     lp_out[:, :] = out[:, LANES:]
     hist_rows = carry.shape[0]
     carry[:, :] = main_ref[tile_r - hist_rows:tile_r, :]
@@ -119,7 +125,7 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _body_dc(main_ref, hist_ref, k_ref, cx_ref, cy_ref,
+def _body_dc(main_ref, hist_ref, k_ref, gcol_ref, grow_ref, cx_ref, cy_ref,
              w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, el_ref,
              audio_out, lpdc_out, win, carry, xrow, ysc):
     """Fused variant: the audio-branch one-pole DC blocker runs as an
@@ -143,7 +149,8 @@ def _body_dc(main_ref, hist_ref, k_ref, cx_ref, cy_ref,
     for i in range(win.shape[1] // LANES):
         win[:, i * LANES:(i + 1) * LANES] = rows[i:i + tile_r, :]
     out = _dot(win[:], k_ref[:])
-    audio_out[:, :] = out[:, :LANES]
+    gmat = _dot(gcol_ref[:], grow_ref[:])        # [tile, 128] = gain
+    audio_out[:, :] = out[:, :LANES] * gmat
     lp = out[:, LANES:]
     hist_rows = carry.shape[0]
     carry[:, :] = main_ref[tile_r - hist_rows:tile_r, :]
@@ -156,11 +163,11 @@ def _body_dc(main_ref, hist_ref, k_ref, cx_ref, cy_ref,
     prev_col = _dot(lp_prev, e_last)                      # [tile, 1]
     yloc = _dot(lp, w1_ref[:]) - _dot(prev_col, u0_ref[:])
     yend = _dot(yloc, e_last)                             # [tile, 1]
-    carry = _dot(tt_ref[:], yend) + _dot(pvec_ref[:], ysc[0:1, 0:1])
-    lpdc_out[:, :] = yloc + _dot(carry, pj_ref[:])
+    rcarry = _dot(tt_ref[:], yend) + _dot(pvec_ref[:], ysc[0:1, 0:1])
+    lpdc_out[:, :] = yloc + _dot(rcarry, pj_ref[:])
     xrow[0:1, :] = lp[tile_r - 1:tile_r, :]
     ysc[0:1, 0:1] = (yend[tile_r - 1:tile_r, :]
-                     + carry[tile_r - 1:tile_r, :] * _PJ_LAST)
+                     + rcarry[tile_r - 1:tile_r, :] * _PJ_LAST)
 
 
 class PallasAudioBank:
@@ -219,10 +226,10 @@ class PallasAudioBank:
         hist_rows = self.hist // LANES
         demod3, f, tile, n_tiles = self._geometry(demod, out_len)
 
-        # fold the (traced) runtime audio gain into the audio columns
-        scale = jnp.concatenate([jnp.broadcast_to(gain, (LANES,)),
-                                 jnp.ones((LANES,), jnp.float32)])
-        kmat = jnp.asarray(self.kmat) * scale[None, :]
+        # the gain enters the KERNEL (gcol @ grow broadcast): kmat stays
+        # a pure constant, so no per-step [640, 256] gain-scale HBM pass
+        grow = jnp.broadcast_to(gain, (1, LANES)).astype(jnp.float32)
+        gcol = np.ones((tile, 1), np.float32)
 
         audio, lp = pl.pallas_call(
             _body,
@@ -234,6 +241,8 @@ class PallasAudioBank:
                              lambda c, s: (c, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # kernel matrix
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # gcol
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # grow
             ],
             out_specs=[
                 pl.BlockSpec((None, tile, LANES), lambda c, s: (c, s, 0),
@@ -252,7 +261,8 @@ class PallasAudioBank:
                 pltpu.VMEM((hist_rows, LANES), jnp.float32),
             ],
             interpret=self.interpret,
-        )(demod3, hist.reshape(NCH, hist_rows, LANES), kmat)
+        )(demod3, hist.reshape(NCH, hist_rows, LANES),
+          jnp.asarray(self.kmat), jnp.asarray(gcol), grow)
 
         audio = audio.reshape(NCH, n_tiles * tile * LANES)
         lp = lp.reshape(NCH, n_tiles * tile * LANES)
@@ -285,9 +295,8 @@ class PallasAudioBank:
         hist_rows = self.hist // LANES
         demod3, f, tile, n_tiles = self._geometry(demod, out_len)
 
-        scale = jnp.concatenate([jnp.broadcast_to(gain, (LANES,)),
-                                 jnp.ones((LANES,), jnp.float32)])
-        kmat = jnp.asarray(self.kmat) * scale[None, :]
+        grow = jnp.broadcast_to(gain, (1, LANES)).astype(jnp.float32)
+        gcol = np.ones((tile, 1), np.float32)
 
         # per-channel carry rows: lp x[-1] at lane 127 (where e_last looks
         # after the sublane shift), dc y[-1] at lane 0
@@ -314,6 +323,8 @@ class PallasAudioBank:
                              lambda c, s: (c, 0, 0),
                              memory_space=pltpu.VMEM),
                 vmem(),                                   # kernel matrix
+                vmem(),                                   # gcol
+                vmem(),                                   # grow
                 whole_c(),                                # cx
                 whole_c(),                                # cy
                 vmem(), vmem(), vmem(),                   # w1, u0, pj
@@ -338,7 +349,8 @@ class PallasAudioBank:
                 pltpu.VMEM((1, LANES), jnp.float32),      # dc y[-1] row
             ],
             interpret=self.interpret,
-        )(demod3, hist.reshape(NCH, hist_rows, LANES), kmat, cx, cy,
+        )(demod3, hist.reshape(NCH, hist_rows, LANES),
+          jnp.asarray(self.kmat), jnp.asarray(gcol), grow, cx, cy,
           jnp.asarray(cn["w1"]), jnp.asarray(cn["u0"]),
           jnp.asarray(cn["pj"]), jnp.asarray(tt), jnp.asarray(pvec),
           jnp.asarray(cn["e_last"]))

@@ -203,23 +203,65 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _plane_dc(ylocal, yprev_11, tt, pvec, pj_ref, e_last, pj_last):
+    """Steps 2-3 (row carries) for one plane.
+
+    Returns (y rows [tile, W], ylast column [tile, 1] = y[:, W-1])."""
+    yend = _dot(ylocal, e_last)                           # [tile, 1]
+    carry = _dot(tt, yend) + _dot(pvec, yprev_11)         # [tile, 1]
+    y = ylocal + _dot(carry, pj_ref[:])
+    return y, yend + carry * pj_last
+
+
 def _plane_rest(ylocal, yprev_11, yh, win, y_out,
                 tt, pvec, pj_ref, k2_ref, e_last):
     """Steps 2-3 + resampler matmul for one plane.
 
     Returns (y rows [tile, M], ylast column [tile, 1] = y[:, M-1])."""
     tile = y_out.shape[0]
-    yend = _dot(ylocal, e_last)                           # [tile, 1]
-    carry = _dot(tt, yend) + _dot(pvec, yprev_11)         # [tile, 1]
-    y = ylocal + _dot(carry, pj_ref[:])
+    y, ylast = _plane_dc(ylocal, yprev_11, tt, pvec, pj_ref, e_last,
+                         _PJ_LAST)
     # resampler windows: 3-row look-behind + this tile's rows (sublane
     # shifts of a row-aligned concat — the proven pfb_demod idiom)
     ycat = jnp.concatenate([yh[:, :], y], axis=0)         # [tile+3, 128]
     for i in range(HIST_ROWS + 1):
         win[:, i * M:(i + 1) * M] = ycat[i:i + tile, :]
     y_out[:, :] = _dot(win[:], k2_ref[:])
-    ylast = yend + carry * _PJ_LAST                       # y[:, M-1] column
     return y, ylast
+
+
+def _emit_group(y, yh, k2_ref, gw, win, bw_out, width, hist_rows):
+    """Band emission in GROUP-major layout: y [tile, width] DC-blocked
+    rows -> bw_out [tile*width//2048, 400] where
+    bw_out[g, 25*rho + q] = band[2048*g_global + 25*rho + q].
+
+    Identical arithmetic to the row emitter — each output is the same
+    512-sample window hit with the same k2 column — but the windows are
+    sliced straight out of the group-merged [G, 2048] view (a native
+    sublane->lane reshape), so the band leaves the kernel in the layout
+    the PFB group kernel consumes, eliminating the ~10 materialized XLA
+    buffers of the old [rows,25]->flat->concat->frames relayout chain.
+    rho < 3 windows straddle the previous group row; only the carried
+    history's lanes of ``gw`` are ever read there, so gw needs no zeroing.
+    """
+    tile = y.shape[0]
+    gl = 16 * M                                       # 2048 per group
+    gt = tile * width // gl
+    hist = hist_rows * width                          # carried samples
+    ywide = y.reshape(gt, gl)
+    gw[:, gl - hist:] = yh[:, :].reshape(1, hist)
+    ycat = jnp.concatenate([gw[:, :], ywide], axis=0)     # [gt+1, 2048]
+    for rho in range(16):
+        # frame (g, rho)'s window = y[2048g + 128(rho-3) : 2048g+128(rho+1))
+        if rho >= 3:
+            w = ycat[1:, M * (rho - 3):M * (rho - 3) + W_PAD]
+            v = _dot(w, k2_ref[:])
+        else:
+            cut = M * (3 - rho)          # lanes from the previous group row
+            win[:, 0:cut] = ycat[:-1, gl - cut:]
+            win[:, cut:W_PAD] = ycat[1:, 0:W_PAD - cut]
+            v = _dot(win[:], k2_ref[:])
+        bw_out[:, L * rho:L * (rho + 1)] = v
 
 
 def _ylocal(x, xprev_rows, w1_ref, u0_ref, e_last):
@@ -275,6 +317,193 @@ def _body(xr_ref, xi_ref, hr_ref, hi_ref, cx_ref, cy_ref,
     xrow[0:1, :] = xr[tile - 1:tile, :]
     xrow[1:2, :] = xi[tile - 1:tile, :]
     _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi, ocy)
+
+
+def _body_g(xr_ref, xi_ref, hr_ref, hi_ref, cx_ref, cy_ref,
+            w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref, el_ref,
+            bwr_out, bwi_out, ohr, ohi, ocy,
+            yh_r, yh_i, xrow, ysc, gw, win_g):
+    """Planes body, GROUP-major band output (see _emit_group)."""
+    tile = xr_ref.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        yh_r[:, :] = hr_ref[:, :]
+        yh_i[:, :] = hi_ref[:, :]
+        xrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    xprev_r = jnp.concatenate([xrow[0:1, :], xr[:tile - 1, :]], axis=0)
+    xprev_i = jnp.concatenate([xrow[1:2, :], xi[:tile - 1, :]], axis=0)
+    yloc_r = _ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
+    yloc_i = _ylocal(xi, xprev_i, w1_ref, u0_ref, e_last)
+
+    y_r, yl_r = _plane_dc(yloc_r, ysc[0:1, 0:1], tt, pvec, pj_ref, e_last,
+                          _PJ_LAST)
+    y_i, yl_i = _plane_dc(yloc_i, ysc[1:2, 0:1], tt, pvec, pj_ref, e_last,
+                          _PJ_LAST)
+    _emit_group(y_r, yh_r, k2_ref, gw, win_g, bwr_out, M, HIST_ROWS)
+    _emit_group(y_i, yh_i, k2_ref, gw, win_g, bwi_out, M, HIST_ROWS)
+
+    xrow[0:1, :] = xr[tile - 1:tile, :]
+    xrow[1:2, :] = xi[tile - 1:tile, :]
+    _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi, ocy)
+
+
+def _body_cs16_g(xw_ref, hr_ref, hi_ref, cx_ref, cy_ref,
+                 w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref, el_ref,
+                 bwr_out, bwi_out, ohr, ohi, ocy,
+                 yh_r, yh_i, xrow, ysc, gw, win_g):
+    """Packed-cs16 body, GROUP-major band output."""
+    tile = xw_ref.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        yh_r[:, :] = hr_ref[:, :]
+        yh_i[:, :] = hi_ref[:, :]
+        xrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    xr, xi = _decode_cs16(xw_ref[:])
+    xprev_r = jnp.concatenate([xrow[0:1, :], xr[:tile - 1, :]], axis=0)
+    xprev_i = jnp.concatenate([xrow[1:2, :], xi[:tile - 1, :]], axis=0)
+    yloc_r = _ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
+    yloc_i = _ylocal(xi, xprev_i, w1_ref, u0_ref, e_last)
+
+    y_r, yl_r = _plane_dc(yloc_r, ysc[0:1, 0:1], tt, pvec, pj_ref, e_last,
+                          _PJ_LAST)
+    y_i, yl_i = _plane_dc(yloc_i, ysc[1:2, 0:1], tt, pvec, pj_ref, e_last,
+                          _PJ_LAST)
+    _emit_group(y_r, yh_r, k2_ref, gw, win_g, bwr_out, M, HIST_ROWS)
+    _emit_group(y_i, yh_i, k2_ref, gw, win_g, bwi_out, M, HIST_ROWS)
+
+    xrow[0:1, :] = xr[tile - 1:tile, :]
+    xrow[1:2, :] = xi[tile - 1:tile, :]
+    _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi, ocy)
+
+
+def _body_ilv_g(xw_ref, hr_ref, hi_ref, cx_ref, cy_ref,
+                wcr_ref, wci_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
+                el_ref, ewr_ref, ewi_ref,
+                bwr_out, bwi_out, ohr, ohi, ocy,
+                yh_r, yh_i, xwrow, ysc, gw, win_g):
+    """Interleaved-wire body, GROUP-major band output."""
+    tile = xw_ref.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        yh_r[:, :] = hr_ref[:, :]
+        yh_i[:, :] = hi_ref[:, :]
+        xwrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    xw = xw_ref[:]
+    xwprev = jnp.concatenate([xwrow[0:1, :], xw[:tile - 1, :]], axis=0)
+    prev_r = _dot(xwprev, ewr_ref[:])
+    prev_i = _dot(xwprev, ewi_ref[:])
+    yloc_r = _dot(xw, wcr_ref[:]) - _dot(prev_r, u0_ref[:])
+    yloc_i = _dot(xw, wci_ref[:]) - _dot(prev_i, u0_ref[:])
+
+    y_r, yl_r = _plane_dc(yloc_r, ysc[0:1, 0:1], tt, pvec, pj_ref, e_last,
+                          _PJ_LAST)
+    y_i, yl_i = _plane_dc(yloc_i, ysc[1:2, 0:1], tt, pvec, pj_ref, e_last,
+                          _PJ_LAST)
+    _emit_group(y_r, yh_r, k2_ref, gw, win_g, bwr_out, M, HIST_ROWS)
+    _emit_group(y_i, yh_i, k2_ref, gw, win_g, bwi_out, M, HIST_ROWS)
+
+    xwrow[0:1, :] = xw[tile - 1:tile, :]
+    _store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi, ocy)
+
+
+def _body_pk2_g(xw_ref, hr_ref, hi_ref, cx_ref, cy_ref,
+                w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref,
+                k2_ref, el_ref, g0_ref, g1_ref,
+                bwr_out, bwi_out, ohr, ohi, ocy,
+                yh_r, yh_i, xrow, ysc, gw, win_g, *, signed):
+    """Wide-row packed body (cu8/cs8), GROUP-major band output: the wide
+    geometry's frame-A/B special-casing disappears — group windows are
+    plain 512-sample y-space slices hit with the NARROW k2."""
+    tile = xw_ref.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        yh_r[:, :] = hr_ref[:, :]
+        yh_i[:, :] = hi_ref[:, :]
+        xrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    b0, b1, b2, b3 = _decode_bytes(xw_ref[:], signed)
+    g0 = g0_ref[:]
+    g1 = g1_ref[:]
+    xr = _dot(b0, g0) + _dot(b2, g1)                      # [tile, W2]
+    xi = _dot(b1, g0) + _dot(b3, g1)
+    xprev_r = jnp.concatenate([xrow[0:1, :], xr[:tile - 1, :]], axis=0)
+    xprev_i = jnp.concatenate([xrow[1:2, :], xi[:tile - 1, :]], axis=0)
+    yloc_r = _ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
+    yloc_i = _ylocal(xi, xprev_i, w1_ref, u0_ref, e_last)
+
+    y_r, yl_r = _plane_dc(yloc_r, ysc[0:1, 0:1], tt, pvec, pj_ref, e_last,
+                          _PJ_LAST_W)
+    y_i, yl_i = _plane_dc(yloc_i, ysc[1:2, 0:1], tt, pvec, pj_ref, e_last,
+                          _PJ_LAST_W)
+    _emit_group(y_r, yh_r, k2_ref, gw, win_g, bwr_out, W2, HIST_ROWS_W)
+    _emit_group(y_i, yh_i, k2_ref, gw, win_g, bwi_out, W2, HIST_ROWS_W)
+
+    xrow[0:1, :] = xr[tile - 1:tile, :]
+    xrow[1:2, :] = xi[tile - 1:tile, :]
+    yh_r[:, :] = y_r[tile - HIST_ROWS_W:, :]
+    yh_i[:, :] = y_i[tile - HIST_ROWS_W:, :]
+    ysc[0:1, 0:1] = yl_r[tile - 1:tile, :]
+    ysc[1:2, 0:1] = yl_i[tile - 1:tile, :]
+    ohr[:, :] = yh_r[:, :]
+    ohi[:, :] = yh_i[:, :]
+    ocy[:, :] = ysc[:, :]
+
+
+def _body_pk2_g_cu8(*refs):
+    return _body_pk2_g(*refs, signed=False)
+
+
+def _body_pk2_g_cs8(*refs):
+    return _body_pk2_g(*refs, signed=True)
+
+
+def pick_tile_group(rows: int, requested: int, row_mult: int) -> int:
+    """Largest divisor of ``rows`` that is <= requested and a multiple of
+    ``row_mult`` (128 narrow / 64 wide: keeps the per-tile GROUP count a
+    multiple of 8 so band output blocks [G_t, 400] tile legally).
+
+    Rows are K*784 (narrow) / K*392 (wide), so such a divisor exists iff
+    K % 8 == 0 — the chain checks group_geometry_ok() and falls back to
+    the row path otherwise.
+    """
+    best = 0
+    for t in range(row_mult, min(requested, rows) + 1, row_mult):
+        if rows % t == 0:
+            best = t
+    if best == 0:
+        raise ValueError(
+            f"group-band geometry needs a multiple-of-{row_mult} tile "
+            f"dividing {rows} rows (subchunks_per_step % 8 == 0)")
+    return best
 
 
 def _decode_cs16(w):
@@ -494,7 +723,7 @@ class PallasFrontEnd:
         return ndx, ndy, nh, band
 
     def apply_iq(self, dc_x: jax.Array, dc_y: jax.Array,
-                 hist: jax.Array, iq: jax.Array):
+                 hist: jax.Array, iq: jax.Array, group_out: bool = False):
         """Complex input via the interleaved kernel: iq [T] c64 is
         interleaved to wire layout in XLA (one fused pass — XLA has no
         complex->f32 bitcast), then consumed by apply_interleaved.  Feed
@@ -502,7 +731,8 @@ class PallasFrontEnd:
         even that pass."""
         xw = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1).reshape(-1)
         return self.apply_interleaved(dc_x, dc_y, hist,
-                                      xw.astype(jnp.float32))
+                                      xw.astype(jnp.float32),
+                                      group_out=group_out)
 
     def _hist_planes(self, hist):
         rows, width = ((HIST_ROWS_W, W2) if self.wide else (HIST_ROWS, M))
@@ -582,8 +812,90 @@ class PallasFrontEnd:
         new_hist = jax.lax.complex(ohr.reshape(-1), ohi.reshape(-1))
         return new_dc_y, new_hist, yr_o, yi_o
 
+    def _call_group(self, body, x_rows: tuple, x_width: int, rows: int,
+                    hr, hi, cx_row, cy, wconsts: tuple):
+        """pallas_call plumbing for the GROUP-major band bodies: outputs
+        are bw_r/bw_i [G_total, 400] (bw[g, 25*rho+q] = band[2048g+25rho+q])
+        instead of [rows, 25] row-major planes — the exact layout the PFB
+        group kernel consumes, so no XLA relayout ever touches the band."""
+        cn = self.consts
+        row_mult = 64 if self.wide else 128
+        width = W2 if self.wide else M
+        tile = pick_tile_group(rows, self.tile_rows, row_mult)
+        n_tiles = rows // tile
+        gt = tile * width // (16 * M)
+        g_total = rows * width // (16 * M)
+        tt, pvec = _tile_consts(tile, width)
+        hist_rows, hist_w = ((HIST_ROWS_W, W2) if self.wide
+                             else (HIST_ROWS, M))
+        k2 = _row_consts()["k2"]              # narrow k2 works both widths
+
+        grid_block = lambda shape: pl.BlockSpec(
+            shape, lambda s: (s, 0), memory_space=pltpu.VMEM)
+        whole = lambda shape: pl.BlockSpec(
+            shape, lambda s: (0, 0), memory_space=pltpu.VMEM)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        ilv = body is _body_ilv_g
+        pk2 = body in (_body_pk2_g_cu8, _body_pk2_g_cs8)
+        tail = ([vmem(), vmem()] if ilv else [])          # ew_r, ew_i
+        gcons = ([vmem(), vmem()] if pk2 else [])         # g0, g1
+
+        bwr, bwi, ohr, ohi, ocy = pl.pallas_call(
+            body,
+            grid=(n_tiles,),
+            in_specs=[grid_block((tile, x_width))] * len(x_rows) + [
+                whole((hist_rows, width)),        # hist re
+                whole((hist_rows, width)),        # hist im
+                whole(cx_row.shape),              # decoded x[-1] carry rows
+                whole((2, M)),
+            ] + [vmem() for _ in wconsts] + [
+                vmem(),                           # u0
+                vmem(),                           # pj
+                vmem(),                           # tt
+                vmem(),                           # pvec
+                vmem(),                           # k2 (narrow)
+                vmem(),                           # e_last
+            ] + gcons + tail,
+            out_specs=[
+                grid_block((gt, 16 * L)),
+                grid_block((gt, 16 * L)),
+                whole((hist_rows, width)),
+                whole((hist_rows, width)),
+                whole((2, M)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((g_total, 16 * L), jnp.float32),
+                jax.ShapeDtypeStruct((g_total, 16 * L), jnp.float32),
+                jax.ShapeDtypeStruct((hist_rows, width), jnp.float32),
+                jax.ShapeDtypeStruct((hist_rows, width), jnp.float32),
+                jax.ShapeDtypeStruct((2, M), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hist_rows, width), jnp.float32),
+                pltpu.VMEM((hist_rows, width), jnp.float32),
+                pltpu.VMEM(cx_row.shape, jnp.float32),
+                pltpu.VMEM((2, M), jnp.float32),
+                pltpu.VMEM((1, 16 * M), jnp.float32),     # prev group row
+                pltpu.VMEM((gt, W_PAD), jnp.float32),     # rho<3 windows
+            ],
+            interpret=self.interpret,
+        )(*x_rows, hr, hi, cx_row, cy,
+          *(jnp.asarray(w) for w in wconsts),
+          jnp.asarray(cn["u0"]), jnp.asarray(cn["pj"]),
+          jnp.asarray(tt), jnp.asarray(pvec), jnp.asarray(k2),
+          jnp.asarray(cn["e_last"]),
+          *([jnp.asarray(cn["g0"]), jnp.asarray(cn["g1"])] if pk2 else []),
+          *([jnp.asarray(cn["ew_r"]), jnp.asarray(cn["ew_i"])]
+            if ilv else []))
+
+        new_dc_y = jax.lax.complex(ocy[0, 0], ocy[1, 0])
+        new_hist = jax.lax.complex(ohr.reshape(-1), ohi.reshape(-1))
+        return new_dc_y, new_hist, bwr, bwi
+
     def apply_interleaved(self, dc_x: jax.Array, dc_y: jax.Array,
-                          hist: jax.Array, xw: jax.Array):
+                          hist: jax.Array, xw: jax.Array,
+                          group_out: bool = False):
         """xw [2T] f32 (or pre-shaped [T//128, 256] rows — pass THAT from
         drivers: a 1-D jit argument forces XLA to relayout the whole block
         into the kernel's (8,128)-tiled 2-D form, a full extra HBM pass
@@ -614,8 +926,10 @@ class PallasFrontEnd:
         sel[0, 2 * M - 2] = 1.0
         sel[1, 2 * M - 1] = 1.0
         cx_row = (cx[:, None] * sel).sum(axis=0, keepdims=True)   # [1, 2M]
-        ndy, nh, yr, yi = self._call(
-            _body_ilv, (xw_rows,), 2 * M, rows, hr, hi, cx_row,
+        call = self._call_group if group_out else self._call
+        body = _body_ilv_g if group_out else _body_ilv
+        ndy, nh, yr, yi = call(
+            body, (xw_rows,), 2 * M, rows, hr, hi, cx_row,
             self._cy_rows(dc_y),
             (self.consts["wcat_r"], self.consts["wcat_i"]))
         # the new x[-1] is simply the block's last input sample
@@ -624,7 +938,8 @@ class PallasFrontEnd:
         return new_dc_x, ndy, nh, yr, yi
 
     def apply_packed(self, dc_x: jax.Array, dc_y: jax.Array,
-                     hist: jax.Array, w: jax.Array, fmt: str = "cs16"):
+                     hist: jax.Array, w: jax.Array, fmt: str = "cs16",
+                     group_out: bool = False):
         """w [T] f32 transport words of the SC16 wire (ops/decode.py
         packing: one complex sample per word), T % 128 == 0, decoded to
         planes INSIDE the kernel — input HBM traffic is the 4 B/sample
@@ -652,8 +967,10 @@ class PallasFrontEnd:
         sel = np.zeros((1, M), dtype=np.float32)
         sel[0, M - 1] = 1.0
         cx_rows = cx[:, None] * sel                               # [2, M]
-        ndy, nh, yr, yi = self._call(
-            _body_cs16, (w_rows,), M, rows, hr, hi, cx_rows,
+        call = self._call_group if group_out else self._call
+        body = _body_cs16_g if group_out else _body_cs16
+        ndy, nh, yr, yi = call(
+            body, (w_rows,), M, rows, hr, hi, cx_rows,
             self._cy_rows(dc_y), (self.consts["w1"],))
         # new x[-1]: decode the block's last word (scalar XLA epilogue)
         from sdr_pmr446_tpu.ops.decode import decode_planes
@@ -662,7 +979,8 @@ class PallasFrontEnd:
         return new_dc_x, ndy, nh, yr, yi
 
     def apply_packed2(self, dc_x: jax.Array, dc_y: jax.Array,
-                      hist: jax.Array, w: jax.Array, fmt: str = "cu8"):
+                      hist: jax.Array, w: jax.Array, fmt: str = "cu8",
+                      group_out: bool = False):
         """w [T/2] f32 transport words of the rtl_tcp (cu8) / HackRF (cs8)
         wire (ops/decode.py packing: TWO complex samples per word),
         decoded to planes INSIDE the wide-row kernel — input HBM traffic
@@ -688,9 +1006,15 @@ class PallasFrontEnd:
         sel = np.zeros((1, W2), dtype=np.float32)
         sel[0, W2 - 1] = 1.0
         cx_rows = cx[:, None] * sel                               # [2, W2]
-        body = _body_pk2_cs8 if fmt == "cs8" else _body_pk2_cu8
-        ndy, nh, yr, yi = self._call_wide(body, w_rows, rows_w, hr, hi,
-                                          cx_rows, self._cy_rows(dc_y))
+        if group_out:
+            body = _body_pk2_g_cs8 if fmt == "cs8" else _body_pk2_g_cu8
+            ndy, nh, yr, yi = self._call_group(
+                body, (w_rows,), M, rows_w, hr, hi, cx_rows,
+                self._cy_rows(dc_y), (self.consts["w1"],))
+        else:
+            body = _body_pk2_cs8 if fmt == "cs8" else _body_pk2_cu8
+            ndy, nh, yr, yi = self._call_wide(body, w_rows, rows_w, hr, hi,
+                                              cx_rows, self._cy_rows(dc_y))
         # new x[-1]: the last word's SECOND sample (scalar XLA epilogue)
         from sdr_pmr446_tpu.ops.decode import decode_planes
         xr_l, xi_l = decode_planes(w_rows[rows_w - 1, M - 1:M], fmt)
@@ -757,7 +1081,8 @@ class PallasFrontEnd:
         return new_dc_y, new_hist, yr_o, yi_o
 
     def apply_planes(self, dc_x: jax.Array, dc_y: jax.Array,
-                     hist: jax.Array, xr: jax.Array, xi: jax.Array):
+                     hist: jax.Array, xr: jax.Array, xi: jax.Array,
+                     group_out: bool = False):
         """dc_x/dc_y c64 scalars, hist [384] c64 (DC-blocked y-space),
         xr/xi [T] f32 with T % 128 == 0.
 
@@ -780,8 +1105,10 @@ class PallasFrontEnd:
         sel = np.zeros((1, M), dtype=np.float32)
         sel[0, M - 1] = 1.0
         cx_rows = cx[:, None] * sel                               # [2, M]
-        ndy, nh, yr, yi = self._call(
-            _body, (xr_rows, xi_rows), M, rows, hr, hi, cx_rows,
+        call = self._call_group if group_out else self._call
+        body = _body_g if group_out else _body
+        ndy, nh, yr, yi = call(
+            body, (xr_rows, xi_rows), M, rows, hr, hi, cx_rows,
             self._cy_rows(dc_y), (self.consts["w1"],))
         new_dc_x = jax.lax.complex(xr_rows[rows - 1, M - 1],
                                    xi_rows[rows - 1, M - 1])

@@ -113,6 +113,114 @@ def _body(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
     prev_scratch[1:2, :] = yi[tile_f - 1:tile_f, :]
 
 
+def _body_group(br_ref, bi_ref, h_ref, kr_ref, ki_ref, prev_ref, alt_ref,
+                sel_ref,
+                demod_out, seg_out, prev_out, bprev, prev_sc,
+                bext_r, bext_i, win_r, win_i):
+    """GROUP-major variant: consumes the band exactly as the front-end
+    group kernel emits it (bw[g, 25u+q] = band[2048g + 25u + q]) — no XLA
+    relayout, pad, or history concat ever touches the band.  Per grid
+    step the 25 frame phases are materialized as [gt, 416] windows
+    assembled from two lane slices of the (carry-extended) group rows
+    into scratch, each hit with the fused [416, 32] kernel (re|im
+    columns).  The PFB history is ONE group row (400 samples), carried
+    in scratch; the sub-chunk |y| sums ride per-group rows (ns = 1225
+    frames = exactly 49 groups, so segment boundaries are group-aligned).
+    Sign: (-1)^frame = (-1)^(row+u) and per-tile row offsets are even
+    (gt % 8 == 0), so alt[g] = (-1)^g covers it; the global parity sign
+    is folded into the prev carry by the caller (demod and |y| are
+    invariant to it)."""
+    gt = br_ref.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        bprev[:, :] = h_ref[:, :]          # [2, 400] re/im last group row
+        prev_sc[:, :] = prev_ref[:, :]     # [2, 16] previous frame
+
+    # carry-extended band rows live in SCRATCH (bext), not as values: two
+    # [gt+1, 400] live vectors across 25 iterations overflow the stack
+    bext_r[0:1, :] = bprev[0:1, :]
+    bext_r[1:, :] = br_ref[:]
+    bext_i[0:1, :] = bprev[1:2, :]
+    bext_i[1:, :] = bi_ref[:]
+    kr = kr_ref[:]                         # [416, 16]
+    ki = ki_ref[:]
+    alt = alt_ref[:]                       # [gt, 16] (-1)^g
+    scale = 1.0 / (2.0 * math.pi * C.FM_KF)
+    # one pass over the 25 frame phases, emitting each phase's demod as
+    # soon as its predecessor exists (keeping all 25 [gt,16] pairs live
+    # overflows Mosaic's stack at gt=392); only phase 0 waits for phase
+    # 24 (its predecessor is the previous GROUP row's last frame)
+    y0 = yprev = ylast = None
+    msum = None
+    for u in range(25):
+        # frame (g, u) window = band[400(g-1) + 16u : 400(g-1) + 16u + 416]
+        w1 = 400 - 16 * u
+        win_r[:, 0:w1] = bext_r[0:gt, 16 * u:]
+        win_r[:, w1:NTAPS] = bext_r[1:gt + 1, 0:16 * u + NCH]
+        win_i[:, 0:w1] = bext_i[0:gt, 16 * u:]
+        win_i[:, w1:NTAPS] = bext_i[1:gt + 1, 0:16 * u + NCH]
+        # four offset-0 matmuls (slicing a stacked [416,32] product makes
+        # lane-offset-16 values that tpu.concatenate can't relayout)
+        wr = win_r[:]
+        wi = win_i[:]
+        yr = (jnp.dot(wr, kr, preferred_element_type=jnp.float32)
+              - jnp.dot(wi, ki, preferred_element_type=jnp.float32))
+        yi = (jnp.dot(wr, ki, preferred_element_type=jnp.float32)
+              + jnp.dot(wi, kr, preferred_element_type=jnp.float32))
+        m = jnp.sqrt(yr * yr + yi * yi)    # |y| is sign-invariant
+        msum = m if msum is None else msum + m
+        sgn = alt if u % 2 == 0 else -alt
+        yr = yr * sgn
+        yi = yi * sgn
+        if u == 0:
+            y0 = (yr, yi)
+        else:
+            pr, pi = yprev
+            dr = yr * pr + yi * pi
+            di = yi * pr - yr * pi
+            demod_out[:, :, u] = (kmath.atan2(di, dr) * scale).T
+        yprev = (yr, yi)
+        if u == 24:
+            ylast = (yr, yi)
+    # phase 0: previous frame = phase 24 of the previous group row
+    y24r, y24i = ylast
+    pr = jnp.concatenate([prev_sc[0:1, :], y24r[:gt - 1, :]], axis=0)
+    pi = jnp.concatenate([prev_sc[1:2, :], y24i[:gt - 1, :]], axis=0)
+    yr, yi = y0
+    dr = yr * pr + yi * pi
+    di = yi * pr - yr * pi
+    demod_out[:, :, 0] = (kmath.atan2(di, dr) * scale).T
+    seg_out[:, :] = jnp.dot(sel_ref[:], msum,
+                            preferred_element_type=jnp.float32)
+    prev_sc[0:1, :] = y24r[gt - 1:gt, :]
+    prev_sc[1:2, :] = y24i[gt - 1:gt, :]
+    prev_out[:, :] = prev_sc[:, :]
+    bprev[0:1, :] = br_ref[gt - 1:gt, :]
+    bprev[1:2, :] = bi_ref[gt - 1:gt, :]
+
+
+@functools.lru_cache(maxsize=None)
+def _group_selectors(gt: int, n_tiles: int, g_total: int, nsg: int):
+    """(sel [n_tiles, n_seg, gt], scatter [n_tiles, n_seg, K]) f32 for
+    per-GROUP-row |y| segment sums: sub-chunk k covers group rows
+    [nsg*k, nsg*(k+1)) (nsg = ns/25 = 49, always group-aligned)."""
+    k_total = g_total // nsg
+    n_seg = (gt + nsg - 2) // nsg + 1
+    sel = np.zeros((n_tiles, n_seg, gt), np.float32)
+    scatter = np.zeros((n_tiles, n_seg, k_total), np.float32)
+    for s in range(n_tiles):
+        base = (s * gt) // nsg
+        for seg in range(n_seg):
+            if base + seg < k_total:
+                scatter[s, seg, base + seg] = 1.0
+        for g in range(gt):
+            k = (s * gt + g) // nsg
+            sel[s, k - base, g] = 1.0
+    return sel, scatter
+
+
 def _body_rssi(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
                sel_ref, demod_out, seg_out,
                win_r, win_i, prev_scratch):
@@ -382,6 +490,90 @@ class PallasPfbDemod:
         new_hist, new_parity, new_prev = self._carries(
             xr_p, xi_p, t, f_total, parity, psign)
         return demod, mag_sums, new_hist, new_parity, new_prev
+
+    def call_group(self, bw_r: jax.Array, bw_i: jax.Array,
+                   hist: jax.Array, parity: jax.Array, prev: jax.Array,
+                   ns: int = C.SUBCHUNK_AUDIO, tile_g: int = 56):
+        """GROUP-major path: bw_r/bw_i [G, 400] straight from the
+        front-end group kernel (PallasFrontEnd.apply_*(group_out=True)).
+
+        Returns (demod3 [16, G, 25], mag_sums [K, 16], new_hist [400]
+        c64, new_parity, new_prev [16] c64) — demod3.reshape(16, -1) is
+        the standard channel-major [16, F] plane as a FREE view (F =
+        25*G exactly: the group geometry has no tail padding at all).
+        Requires ns % 25 == 0 and G divisible by a multiple-of-8 tile
+        (chain gates this on subchunks_per_step % 8 == 0)."""
+        from sdr_pmr446_tpu.kernels.front_end import pick_tile
+        g_total = bw_r.shape[0]
+        assert ns % 25 == 0
+        nsg = ns // 25                   # group rows per sub-chunk (49)
+        assert g_total % nsg == 0, (g_total, nsg)
+        gt = pick_tile(g_total, tile_g)
+        n_tiles = g_total // gt
+        f_total = 25 * g_total
+        psign = (1.0 - 2.0 * (parity % 2)).astype(jnp.float32)
+        hist_ri = jnp.stack([jnp.real(hist),
+                             jnp.imag(hist)]).astype(jnp.float32)
+        prev_ri = (jnp.stack([jnp.real(prev), jnp.imag(prev)]
+                             ).astype(jnp.float32) * psign)
+        alt = np.where(np.arange(gt)[:, None] % 2 == 0, 1.0,
+                       -1.0).astype(np.float32) * np.ones((1, NCH),
+                                                          np.float32)
+        sel_np, scatter_np = _group_selectors(gt, n_tiles, g_total, nsg)
+        n_seg = sel_np.shape[1]
+
+        demod3, segs, ocp = pl.pallas_call(
+            _body_group,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((gt, 16 * 25), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),     # bw re
+                pl.BlockSpec((gt, 16 * 25), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),     # bw im
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # hist [2, 400]
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # kr
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # ki
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # prev [2, 16]
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # alt
+                pl.BlockSpec((None, n_seg, gt), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),     # seg selector
+            ],
+            out_specs=[
+                pl.BlockSpec((NCH, gt, 25), lambda s: (0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, n_seg, NCH), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, NCH), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NCH, g_total, 25), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, n_seg, NCH), jnp.float32),
+                jax.ShapeDtypeStruct((2, NCH), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 16 * 25), jnp.float32),    # band carry row
+                pltpu.VMEM((2, NCH), jnp.float32),        # prev frame
+                pltpu.VMEM((gt + 1, 16 * 25), jnp.float32),
+                pltpu.VMEM((gt + 1, 16 * 25), jnp.float32),
+                pltpu.VMEM((gt, NTAPS), jnp.float32),
+                pltpu.VMEM((gt, NTAPS), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )(bw_r, bw_i, hist_ri, jnp.asarray(self.kmat[0]),
+          jnp.asarray(self.kmat[1]), prev_ri,
+          jnp.asarray(alt), jnp.asarray(sel_np))
+
+        mag_sums = jnp.einsum("tsc,tsk->kc", segs, jnp.asarray(scatter_np),
+                              precision=jax.lax.Precision.HIGHEST)
+        new_hist = jax.lax.complex(bw_r[g_total - 1], bw_i[g_total - 1])
+        new_parity = (parity + f_total) % 2
+        # the kernel's carried last frame is exact (no padding) but lives
+        # in kernel space ((-1)^f * conv = true * (-1)^parity_in): unfold
+        # the global parity sign to return the TRUE-space carry
+        new_prev = (jax.lax.complex(ocp[0], ocp[1])
+                    * psign).astype(jnp.complex64)
+        return demod3, mag_sums, new_hist, new_parity, new_prev
 
     def _carries(self, xr_p, xi_p, t, f_total, parity, psign):
         # carried history is tiny (400 samples): complex for state-pytree

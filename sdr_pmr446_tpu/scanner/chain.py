@@ -87,7 +87,8 @@ class ScannerChain:
                  pallas_interpret: bool = False,
                  pallas_tiles: tuple = (1024, 1024, 256),
                  input_format: str = "cf32", fuse_dc: bool = True,
-                 fuse_lp_dc: bool = True, fuse_rssi: bool = True):
+                 fuse_lp_dc: bool = True, fuse_rssi: bool = True,
+                 fuse_group: bool = True):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
         # remote compiler, smaller ones add grid-step overhead
@@ -116,6 +117,15 @@ class ScannerChain:
         # same math to f32 rounding, test-gated
         self.fuse_lp_dc = fuse_lp_dc and use_pallas
         self.fuse_rssi = fuse_rssi and use_pallas
+        # GROUP-major band handoff: the front end emits band group rows
+        # [G, 400] that the PFB kernel consumes directly, eliminating the
+        # ~10 materialized XLA buffers of the band->frames relayout chain
+        # (measured ~8 B/input-sample).  Needs K % 8 == 0 (the band
+        # output blocks need a multiple-of-8 group count per tile) and
+        # the all-fused path; falls back to the row path otherwise.
+        self.fuse_group = (fuse_group and self.fuse_dc and self.fuse_lp_dc
+                           and self.fuse_rssi
+                           and self.block.subchunks_per_step % 8 == 0)
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
@@ -243,7 +253,8 @@ class ScannerChain:
                 # 8 B/sample input read (kernels/front_end.py)
                 dc_x, dc_y, resamp_hist, br, bi = \
                     self.pallas_front.apply_interleaved(
-                        state.dc_x, state.dc_y, state.resamp_hist, iq)
+                        state.dc_x, state.dc_y, state.resamp_hist, iq,
+                        group_out=self.fuse_group)
             elif self.fuse_dc and self.input_format == "cs16":
                 # 1+2. SC16 wire words decoded INSIDE the fused kernel
                 # (bitcast + shift/mask in VMEM, bit-exact vs
@@ -251,7 +262,8 @@ class ScannerChain:
                 # word read — half of cf32w's
                 dc_x, dc_y, resamp_hist, br, bi = \
                     self.pallas_front.apply_packed(
-                        state.dc_x, state.dc_y, state.resamp_hist, iq)
+                        state.dc_x, state.dc_y, state.resamp_hist, iq,
+                        group_out=self.fuse_group)
             elif self.fuse_dc and self.input_format in ("cu8", "cs8"):
                 # 1+2. rtl_tcp/HackRF wire (TWO samples per word) decoded
                 # inside the wide-row kernel: 2 B/sample input read — the
@@ -259,12 +271,13 @@ class ScannerChain:
                 dc_x, dc_y, resamp_hist, br, bi = \
                     self.pallas_front.apply_packed2(
                         state.dc_x, state.dc_y, state.resamp_hist, iq,
-                        self.input_format)
+                        self.input_format, group_out=self.fuse_group)
             elif self.fuse_dc:
                 # cf32: interleave to wire layout in one XLA pass
                 dc_x, dc_y, resamp_hist, br, bi = \
                     self.pallas_front.apply_iq(
-                        state.dc_x, state.dc_y, state.resamp_hist, iq)
+                        state.dc_x, state.dc_y, state.resamp_hist, iq,
+                        group_out=self.fuse_group)
             else:
                 if self.input_format == "cf32":
                     xr = jnp.real(iq)
@@ -294,7 +307,18 @@ class ScannerChain:
             # audio/lp planes come back padded — the sub-chunk windows are
             # gathered out directly, so NONE of the slice/reshape XLA glue
             # passes (measured ~10 B/input-sample at K=8) run at all.
-            if self.fuse_rssi:
+            if self.fuse_group:
+                # GROUP-major: the PFB kernel eats br/bi [G, 400] exactly
+                # as emitted; demod3.reshape is a free [16, F] view with
+                # zero tail padding (F = 25*G exactly)
+                demod3, mag_sums, pfb_hist, parity, demod_prev = \
+                    self.pallas_pfb.call_group(
+                        br, bi, state.pfb_hist, state.frame_parity,
+                        state.demod_prev, ns)
+                rssi_db = 20.0 * jnp.log10(
+                    jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
+                demod = demod3.reshape(C.NUM_CHANNELS, K * ns)
+            elif self.fuse_rssi:
                 demod, mag_sums, pfb_hist, parity, demod_prev = \
                     self.pallas_pfb.call_planes_rssi(
                         br, bi, state.pfb_hist, state.frame_parity,

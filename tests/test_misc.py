@@ -38,7 +38,8 @@ def test_graft_entry_single():
     fn, args = g.entry()
     state, out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert np.asarray(out.active_chan).shape[0] == 2
+    # flagship entry = group engine at K=8 (see __graft_entry__.entry)
+    assert np.asarray(out.active_chan).shape[0] == 8
 
 
 def test_graft_dryrun_multichip():

@@ -47,6 +47,37 @@ def main():
     ok &= probe("audio_bank", bank.apply, (hist_a, demod, g))
     ok &= probe("audio_bank_dc", bank.apply_dc,
                 (hist_a, dcv, dcv, demod, g))
+
+    # GROUP-major band path (K % 8 == 0 geometry): front-end group
+    # emitters x4 + the PFB group kernel
+    from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
+    fe = PallasFrontEnd(tile_rows=448)
+    dcx, dcy, fhist = fe.init_state()
+    tg = 8 * C.SUBCHUNK_IN
+    xr = jnp.zeros((tg,), jnp.float32)
+    xw = jnp.zeros((2 * tg,), jnp.float32)
+    ok &= probe("front_group_planes",
+                lambda a, b, c, d, e: fe.apply_planes(a, b, c, d, e,
+                                                      group_out=True),
+                (dcx, dcy, fhist, xr, xr))
+    ok &= probe("front_group_ilv",
+                lambda a, b, c, d: fe.apply_interleaved(a, b, c, d,
+                                                        group_out=True),
+                (dcx, dcy, fhist, xw))
+    ok &= probe("front_group_cs16",
+                lambda a, b, c, d: fe.apply_packed(a, b, c, d,
+                                                   group_out=True),
+                (dcx, dcy, fhist, xr))
+    few = PallasFrontEnd(tile_rows=448, wide=True)
+    wdcx, wdcy, whist = few.init_state()
+    xh = jnp.zeros((tg // 2,), jnp.float32)
+    ok &= probe("front_group_cu8",
+                lambda a, b, c, d: few.apply_packed2(a, b, c, d, "cu8",
+                                                     group_out=True),
+                (wdcx, wdcy, whist, xh))
+    g_total = tg // 2048
+    bw = jnp.zeros((g_total, 400), jnp.float32)
+    ok &= probe("pfb_group", pfb.call_group, (bw, bw, hist, par, prev))
     return 0 if ok else 1
 
 
