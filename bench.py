@@ -184,6 +184,7 @@ def _min_traffic(chain=None, input_format: str = "cf32",
         fuse_dc=getattr(chain, "fuse_dc", False),
         fuse_lp_dc=getattr(chain, "fuse_lp_dc", False),
         fuse_rssi=getattr(chain, "fuse_rssi", False),
+        fuse_ctcss=getattr(chain, "fuse_ctcss", False),
         waterfall=waterfall)
 
 

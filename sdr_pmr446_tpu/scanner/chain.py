@@ -88,7 +88,7 @@ class ScannerChain:
                  pallas_tiles: tuple = (1024, 1024, 256),
                  input_format: str = "cf32", fuse_dc: bool = True,
                  fuse_lp_dc: bool = True, fuse_rssi: bool = True,
-                 fuse_group: bool = True):
+                 fuse_group: bool = True, fuse_ctcss: bool = True):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
         # remote compiler, smaller ones add grid-step overhead
@@ -117,6 +117,11 @@ class ScannerChain:
         # same math to f32 rounding, test-gated
         self.fuse_lp_dc = fuse_lp_dc and use_pallas
         self.fuse_rssi = fuse_rssi and use_pallas
+        # fuse the CTCSS windowed DFT into the audio kernel: the FSM
+        # schedule (fsm_phase_a) depends only on RSSI, so the kernel can
+        # mask/sum the selected channel's tone phasors itself and the lp
+        # plane never reaches HBM at all (NEXT.md round-3 glue target #2)
+        self.fuse_ctcss = fuse_ctcss and self.fuse_lp_dc and self.fuse_rssi
         # GROUP-major band handoff: the front end emits band group rows
         # [G, 400] that the PFB kernel consumes directly, eliminating the
         # ~10 materialized XLA buffers of the band->frames relayout chain
@@ -337,8 +342,29 @@ class ScannerChain:
 
             # 6. fused audio bank: HP + (delay-HP) + de-emphasis (+ LP) in
             # one kernel pass; with fuse_lp_dc the CTCSS-branch DC blocker
-            # runs as the kernel's epilogue, else in the exact XLA scan
-            if self.fuse_lp_dc:
+            # runs as the kernel's epilogue, else in the exact XLA scan.
+            # With fuse_ctcss the FSM schedule (a pure function of RSSI,
+            # fsm_phase_a) is resolved FIRST and fed to the kernel, whose
+            # DFT epilogue consumes the DC-blocked lp rows in VMEM — the
+            # lp plane never exists in HBM (only [K, 38] tone sums leave).
+            if self.fuse_ctcss:
+                from sdr_pmr446_tpu.scanner.fsm import (fsm_phase_a,
+                                                        raw_sums_to_ctcss)
+                carry_in = FsmCarry(
+                    state.fsm_state, state.active_chan, state.rssi,
+                    state.ct_count, state.ct_carry, state.ct_detected,
+                    state.ct_max_idx, state.ct_freq)
+                sched = fsm_phase_a(carry_in, rssi_db, params.channel_mask,
+                                    params.squelch_level, params.lock_max,
+                                    ns)
+                sel_k = jnp.clip(sched.act2, 0, C.NUM_CHANNELS - 1)
+                (audio_hist, lp_dc_x, lp_dc_y, audio_all, raw_pre,
+                 raw_mem) = self.pallas_audio.apply_dc_ctcss(
+                    state.audio_hist, state.lp_dc_x, state.lp_dc_y,
+                    demod, params.audio_gain, sched.b_arr, sel_k,
+                    out_len=K * ns, ns=ns)
+                ct_sums = raw_sums_to_ctcss(sched, raw_pre, raw_mem, ns)
+            elif self.fuse_lp_dc:
                 audio_hist, lp_dc_x, lp_dc_y, audio_all, lp_dcb = \
                     self.pallas_audio.apply_dc(
                         state.audio_hist, state.lp_dc_x, state.lp_dc_y,
@@ -397,20 +423,27 @@ class ScannerChain:
         # in channel-major (the layout the kernels emit) so the CTCSS
         # selection is a row gather, not a channel-minor copy.  On the
         # padded fast path the sub-chunk windows are gathered straight out
-        # of the kernel-padded plane (cols indexes the true frames).
-        carry_in = FsmCarry(state.fsm_state, state.active_chan, state.rssi,
-                            state.ct_count, state.ct_carry,
-                            state.ct_detected, state.ct_max_idx,
-                            state.ct_freq)
+        # of the kernel-padded plane (cols indexes the true frames).  With
+        # fuse_ctcss phases A (schedule) and B (tone sums) already ran —
+        # only the detection chains (phase C) remain.
         if fast_pad:
             cols = (jnp.arange(K, dtype=jnp.int32)[:, None] * ns
                     + jnp.arange(ns, dtype=jnp.int32)[None, :])   # [K, ns]
-            lp_cm = lp_dcb[:, cols]
+        if self.use_pallas and self.fuse_ctcss:
+            from sdr_pmr446_tpu.scanner.fsm import fsm_phase_c
+            carry_out, fo = fsm_phase_c(carry_in, sched, *ct_sums)
         else:
-            lp_cm = lp_dcb.reshape(C.NUM_CHANNELS, K, ns)
-        carry_out, fo = fsm_ctcss_scan_v3(
-            carry_in, rssi_db, None, params.channel_mask,
-            params.squelch_level, params.lock_max, lp_cm=lp_cm)
+            carry_in = FsmCarry(
+                state.fsm_state, state.active_chan, state.rssi,
+                state.ct_count, state.ct_carry, state.ct_detected,
+                state.ct_max_idx, state.ct_freq)
+            if fast_pad:
+                lp_cm = lp_dcb[:, cols]
+            else:
+                lp_cm = lp_dcb.reshape(C.NUM_CHANNELS, K, ns)
+            carry_out, fo = fsm_ctcss_scan_v3(
+                carry_in, rssi_db, None, params.channel_mask,
+                params.squelch_level, params.lock_max, lp_cm=lp_cm)
 
         # 8. select the active channel's audio per sub-chunk — a direct
         # channel-major row gather (reads the selected 1/16th only)

@@ -336,47 +336,36 @@ def _keep_const_scan(keep: jax.Array, val: jax.Array, init: jax.Array):
     return jnp.where(ks, init[None], vs)
 
 
-def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
-                      mask: jax.Array, squelch: jax.Array,
-                      lock_max: jax.Array, lp_cm: jax.Array | None = None):
-    """Associative-scan formulation of fsm_ctcss_scan (identical semantics).
+class FsmSchedule(NamedTuple):
+    """Phase-A outputs: the full FSM/detector schedule, a pure function of
+    the per-sub-chunk RSSI (never of the tone data) — so anything tone-
+    related downstream (the windowed-DFT sums, even inside a Pallas
+    kernel) can be driven by these tiny [K] vectors."""
+    act2: jax.Array       # i32 [K] post-step active channel (-1 = none)
+    rel: jax.Array        # f32 [K]
+    tune: jax.Array       # bool [K]
+    detune: jax.Array     # bool [K]
+    do_change: jax.Array  # bool [K]
+    act_prev: jax.Array   # i32 [K]
+    act1: jax.Array       # i32 [K]
+    is_active: jax.Array  # bool [K]
+    cnt_r: jax.Array      # i32 [K] in-window count after detune reset
+    b_arr: jax.Array      # i32 [K] boundary sample index (n_win-1 - cnt_r)
+    has_b: jax.Array      # bool [K] window completes inside this sub-chunk
+    upd: jax.Array        # bool [K] detection state updates this sub-chunk
+    st_arr: jax.Array     # i32 [K] post-step FSM state
+    cnt_arr: jax.Array    # i32 [K] post-step in-window count
 
-    ``lp_cm`` ([16, K, ns], channel-major — the layout kernels emit) may
-    be passed INSTEAD of ``lp`` ([K, 16, ns]): phase B then gathers the
-    active channel's rows directly, so no channel-minor copy of the full
-    lp tensor is ever materialized (the gather reads only the selected
-    1/16th).  Values are identical either way.
 
-    v2 still runs two sequential lax.scans over K (phase A's FSM
-    transitions, phase C's [38]-carry chain) — on TPU those are 2*K serial
-    loop iterations and profile as the chain's single largest stage.  Every
-    recurrence involved is a composition of maps from tiny monoids:
-
-      - squelch FSM: per-step maps on (state, active_chan) that branch on a
-        2-value state and either KEEP or SET the channel — composable;
-      - detector count: affine maps cnt -> (m*cnt + d) mod 2441, m in {0,1};
-      - Goertzel carry: affine maps cc -> A*cc + B with scalar A in {0,1}
-        (resets cut chains every <=2 active sub-chunks, so f32 sums keep
-        their sequential association in practice);
-      - detected/tone-idx/tone-freq: KEEP-or-SET chains.
-
-    so the whole control layer runs as five jax.lax.associative_scans of
-    log2(K) depth plus batched tensor ops.  Equality with v1 is
-    test-enforced (tests/test_fsm_unit.py).
-    """
-    if lp_cm is not None:
-        assert lp is None
-        nch, K, ns = lp_cm.shape
-    else:
-        K, nch, ns = lp.shape
+def fsm_phase_a(carry_in: FsmCarry, rssi_k: jax.Array, mask: jax.Array,
+                squelch: jax.Array, lock_max: jax.Array,
+                ns: int) -> FsmSchedule:
+    """Associative-scan FSM transitions + detector count schedule (phase A
+    of the v3 formulation), batched over K sub-chunks.  Depends only on
+    RSSI; identical math to the corresponding section of
+    fsm_ctcss_scan_v3 (it IS that section, factored out)."""
+    K = rssi_k.shape[0]
     n_win = C.CTCSS_BLOCK_SIZE
-    freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
-    e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
-    u_table = jnp.asarray(_count_phasor_table())           # [38, 2441]
-    wrap = jnp.asarray(np.exp(
-        1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)
-        / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))   # [38]
-    idx_i = jnp.arange(ns, dtype=jnp.int32)
     nch_en = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
 
     # ---- batched RSSI reductions (no recurrence) ----
@@ -448,9 +437,24 @@ def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
     b_arr = (n_win - 1) - cnt_r
     has_b = is_active & (b_arr < ns)
     upd = is_active & has_b
+    return FsmSchedule(act2, rel, tune, detune, do_change, act_prev, act1,
+                       is_active, cnt_r, b_arr, has_b, upd, st_arr, cnt_arr)
 
-    # ---- batched tone sums (MXU), phase B of v2 ----
-    sel = jnp.clip(act2, 0, nch - 1)
+
+def fsm_tone_sums(sched: FsmSchedule, lp: jax.Array | None,
+                  lp_cm: jax.Array | None, ns: int):
+    """Phase B: batched windowed-DFT sums (MXU) for the schedule's selected
+    channel — (s_pre, s_suf) [K, 38] c64."""
+    K = sched.act2.shape[0]
+    n_win = C.CTCSS_BLOCK_SIZE
+    e0 = jnp.asarray(_phasor_table(ns))                    # [38, ns]
+    u_table = jnp.asarray(_count_phasor_table())           # [38, 2441]
+    wrap = jnp.asarray(np.exp(
+        1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)
+        / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))   # [38]
+    idx_i = jnp.arange(ns, dtype=jnp.int32)
+    nch = C.NUM_CHANNELS
+    sel = jnp.clip(sched.act2, 0, nch - 1)
     if lp_cm is not None:
         # channel-major gather: reads only the selected rows, no
         # channel-minor copy of the [*, 16, ns] tensor
@@ -458,15 +462,57 @@ def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
     else:
         lp_sel = jnp.take_along_axis(lp, sel[:, None, None],
                                      axis=1)[:, 0, :]
-    pre = (idx_i[None, :] <= b_arr[:, None]).astype(jnp.float32)  # [K, ns]
+    pre = (idx_i[None, :] <= sched.b_arr[:, None]).astype(jnp.float32)
     xp = lp_sel * pre
     xs = lp_sel * (1.0 - pre)
     e0t = e0.T                                            # [ns, 38]
-    u = u_table.T[cnt_r]                                  # [K, 38]
+    u = u_table.T[sched.cnt_r]                            # [K, 38]
     hi = jax.lax.Precision.HIGHEST
     s_pre = jnp.matmul(xp.astype(jnp.complex64), e0t, precision=hi) * u
     s_suf = (jnp.matmul(xs.astype(jnp.complex64), e0t, precision=hi)
              * (u * wrap[None, :]))
+    return s_pre, s_suf
+
+
+@functools.lru_cache(maxsize=None)
+def _window_corr_table(k: int, ns: int) -> np.ndarray:
+    """corr[k, t] = e^{+j w_t ns k}: undoes the kernel DFT's global phase
+    (it sums x_p e^{-j w p}; the window wants e^{-j w (p - ns k)})."""
+    w = 2.0 * np.pi * np.asarray(C.CTCSS_FREQS) / C.AUDIO_SAMPLERATE
+    return np.exp(1j * np.outer(np.arange(k) * float(ns),
+                                w)).astype(np.complex64)
+
+
+def raw_sums_to_ctcss(sched: FsmSchedule, raw_pre: jax.Array,
+                      raw_mem: jax.Array, ns: int):
+    """(s_pre, s_suf) [K, 38] c64 from a kernel's global-phase DFT sums
+    (PallasAudioBank.apply_dc_ctcss): raw_pre = pre-boundary sum, raw_mem
+    = whole-sub-chunk sum, both of the SELECTED channel.  Applies the
+    per-sub-chunk window phase (corr), the carried in-window phase (u)
+    and the wrap factor — all [K, 38] scalar tables; same fixed point as
+    fsm_tone_sums to f32 rounding (test-gated)."""
+    k = raw_pre.shape[0]
+    n_win = C.CTCSS_BLOCK_SIZE
+    corr = jnp.asarray(_window_corr_table(k, ns))
+    u_table = jnp.asarray(_count_phasor_table())
+    wrap = jnp.asarray(np.exp(
+        1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)
+        / C.AUDIO_SAMPLERATE * n_win).astype(np.complex64))
+    cu = corr * u_table.T[sched.cnt_r]
+    s_pre = raw_pre * cu
+    s_suf = (raw_mem - raw_pre) * (cu * wrap[None, :])
+    return s_pre, s_suf
+
+
+def fsm_phase_c(carry_in: FsmCarry, sched: FsmSchedule, s_pre: jax.Array,
+                s_suf: jax.Array):
+    """Phase C: Goertzel-carry prefix + detection keep-or-set chains from
+    precomputed tone sums ([K, 38] c64 — from fsm_tone_sums or a kernel's
+    fused DFT epilogue).  Returns (carry_out, FsmOutputs)."""
+    K = sched.act2.shape[0]
+    freqs = jnp.asarray(np.asarray(C.CTCSS_FREQS, np.float32))
+    (act2, rel, tune, detune, do_change, act_prev, act1, is_active,
+     cnt_r, b_arr, has_b, upd, st_arr, cnt_arr) = sched
 
     # ---- Goertzel carry prefix: cc -> A*cc + B ----
     a_cc = jnp.where(jnp.logical_not(detune) & jnp.logical_not(upd),
@@ -518,10 +564,51 @@ def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
 
     last = lambda a, init: a[-1] if K > 0 else init
     carry_out = FsmCarry(
-        last(st_arr, st0).astype(jnp.int32), last(act2, act0),
+        last(st_arr, carry_in.fsm_state).astype(jnp.int32),
+        last(act2, carry_in.active_chan),
         last(rel, carry_in.rssi), last(cnt_arr, carry_in.ct_count),
         last(cc_arr, carry_in.ct_carry), last(det_o, carry_in.ct_detected),
         last(tidx_o, carry_in.ct_max_idx), last(tfreq_o, carry_in.ct_freq))
     outs = FsmOutputs(act2, rel, tune, detune, do_change, act_prev, act1,
                       det_o, tidx_o, tfreq_o, acq_o, chg_o, lost_o)
     return carry_out, outs
+
+
+def fsm_ctcss_scan_v3(carry_in: FsmCarry, rssi_k: jax.Array, lp: jax.Array,
+                      mask: jax.Array, squelch: jax.Array,
+                      lock_max: jax.Array, lp_cm: jax.Array | None = None):
+    """Associative-scan formulation of fsm_ctcss_scan (identical semantics).
+
+    ``lp_cm`` ([16, K, ns], channel-major — the layout kernels emit) may
+    be passed INSTEAD of ``lp`` ([K, 16, ns]): phase B then gathers the
+    active channel's rows directly, so no channel-minor copy of the full
+    lp tensor is ever materialized (the gather reads only the selected
+    1/16th).  Values are identical either way.
+
+    v2 still runs two sequential lax.scans over K (phase A's FSM
+    transitions, phase C's [38]-carry chain) — on TPU those are 2*K serial
+    loop iterations and profile as the chain's single largest stage.  Every
+    recurrence involved is a composition of maps from tiny monoids:
+
+      - squelch FSM: per-step maps on (state, active_chan) that branch on a
+        2-value state and either KEEP or SET the channel — composable;
+      - detector count: affine maps cnt -> (m*cnt + d) mod 2441, m in {0,1};
+      - Goertzel carry: affine maps cc -> A*cc + B with scalar A in {0,1}
+        (resets cut chains every <=2 active sub-chunks, so f32 sums keep
+        their sequential association in practice);
+      - detected/tone-idx/tone-freq: KEEP-or-SET chains.
+
+    so the whole control layer runs as five jax.lax.associative_scans of
+    log2(K) depth plus batched tensor ops, factored here into
+    fsm_phase_a (RSSI-only schedule) -> fsm_tone_sums (MXU DFT) ->
+    fsm_phase_c (detection chains).  Equality with v1 is test-enforced
+    (tests/test_fsm_unit.py).
+    """
+    if lp_cm is not None:
+        assert lp is None
+        _, _, ns = lp_cm.shape
+    else:
+        _, _, ns = lp.shape
+    sched = fsm_phase_a(carry_in, rssi_k, mask, squelch, lock_max, ns)
+    s_pre, s_suf = fsm_tone_sums(sched, lp, lp_cm, ns)
+    return fsm_phase_c(carry_in, sched, s_pre, s_suf)

@@ -36,6 +36,7 @@ def chain_traffic(input_format: str = "cf32w",
                   fuse_dc: bool = True,
                   fuse_lp_dc: bool = False,
                   fuse_rssi: bool = False,
+                  fuse_ctcss: bool = False,
                   waterfall: bool = False) -> dict:
     """Bytes of HBM traffic per input sample, per stage boundary.
 
@@ -60,10 +61,18 @@ def chain_traffic(input_format: str = "cf32w",
     tiny per-tile partials (kernels/pfb_demod.py) — the [16, F]
     magnitude write + read-back vanishes (a ~f_pad*8-byte selector read
     remains, counted below).
+
+    fuse_ctcss: the CTCSS windowed DFT runs as the audio-bank kernel's
+    epilogue on the in-VMEM DC-blocked lp rows, driven by the RSSI-only
+    FSM schedule (audio_bank.apply_dc_ctcss + fsm_phase_a) — the lp
+    plane is never written to HBM at all and the FSM consumes [K, 38]
+    tone sums (negligible).  Implies fuse_lp_dc.
     """
     wire = WIRE_BYTES[input_format]
     if not use_pallas:
-        fuse_dc = fuse_lp_dc = fuse_rssi = False
+        fuse_dc = fuse_lp_dc = fuse_rssi = fuse_ctcss = False
+    if fuse_ctcss:
+        fuse_lp_dc = True
     t: dict[str, float] = {}
     if fuse_dc:
         # cf32 complex64 input pays one XLA interleave pass (read 8 +
@@ -92,15 +101,17 @@ def chain_traffic(input_format: str = "cf32w",
         # |y| written by the kernel, read back by the XLA reduction
         t["pfb_mag"] = 4 * CH
         t["rssi"] = 4 * CH
-    # audio bank kernel: demod in, audio + lp branch out
-    t["audio_bank"] = 4 * CH + 2 * 4 * CH
+    # audio bank kernel: demod in, audio out (+ the lp branch plane
+    # unless the CTCSS DFT consumed it in VMEM)
+    t["audio_bank"] = 4 * CH + (4 * CH if fuse_ctcss else 2 * 4 * CH)
     if not fuse_lp_dc:
         # audio-branch dc blocker: lp in/out (XLA scan between kernels)
         t["lp_dc"] = 4 * CH + 4 * CH
-    # ctcss windowed dft: the FSM's phase B gathers the ACTIVE channel's
-    # lp_dcb rows channel-major (scanner/chain.py step 7) — it reads the
-    # selected 1/16th only, in contiguous 4.9 KB spans
-    t["ctcss"] = 4 * AUDIO
+    if not fuse_ctcss:
+        # ctcss windowed dft: the FSM's phase B gathers the ACTIVE
+        # channel's lp_dcb rows channel-major (scanner/chain.py step 7)
+        # — it reads the selected 1/16th only, in contiguous 4.9 KB spans
+        t["ctcss"] = 4 * AUDIO
     # active-channel select: same row gather on audio_all + the selected
     # [K, ns] write (no channel-minor copy is materialized)
     t["select"] = 4 * AUDIO + 4 * AUDIO
@@ -117,7 +128,9 @@ def min_traffic_b_per_sample(input_format: str = "cf32w",
                              fuse_dc: bool = True,
                              fuse_lp_dc: bool = False,
                              fuse_rssi: bool = False,
+                             fuse_ctcss: bool = False,
                              waterfall: bool = False) -> float:
     """The bench cap denominator for the configured engine."""
     return chain_traffic(input_format, use_pallas, fuse_dc,
-                         fuse_lp_dc, fuse_rssi, waterfall)["total"]
+                         fuse_lp_dc, fuse_rssi, fuse_ctcss,
+                         waterfall)["total"]

@@ -254,3 +254,53 @@ def test_pfb_demod_fused_rssi_matches_mag_sums():
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     assert int(p1) == int(p2)
     np.testing.assert_array_equal(np.asarray(pr1), np.asarray(pr2))
+
+
+def test_audio_bank_fused_ctcss_dft_matches_xla_sums():
+    """apply_dc_ctcss == apply_dc + fsm_tone_sums on the lp plane: audio
+    and carried state bit-exact, tone sums to f32 rounding — across two
+    streamed steps and a schedule that exercises boundary positions
+    (b = ns-1 edge, b >= ns no-boundary, b = 0, mid-window splits)."""
+    from sdr_pmr446_tpu.kernels.audio_bank import PallasAudioBank
+    from sdr_pmr446_tpu.scanner import fsm
+
+    rng = np.random.default_rng(7)
+    K, ns = 8, C.SUBCHUNK_AUDIO
+    f = K * ns
+    bank = PallasAudioBank(interpret=True)
+    hist = jnp.asarray(0.1 * rng.standard_normal((16, bank.hist)),
+                       jnp.float32)
+    dcx = jnp.asarray(0.01 * rng.standard_normal(16), jnp.float32)
+    dcy = jnp.asarray(0.01 * rng.standard_normal(16), jnp.float32)
+    gain = jnp.float32(4.0)
+    n_win = C.CTCSS_BLOCK_SIZE
+    b_np = np.array([n_win - 1, ns - 1, n_win - 1 - ns, 500, 2440, 0,
+                     ns, 900], np.int32)
+    sel_np = np.array([3, 3, 7, 0, 15, 2, 2, 9], np.int32)
+    for step in range(2):
+        demod = jnp.asarray(0.3 * rng.standard_normal((16, f)), jnp.float32)
+        b_arr = jnp.asarray(np.roll(b_np, step))
+        sel = jnp.asarray(np.roll(sel_np, step))
+        cnt_r = (n_win - 1) - b_arr
+        z = jnp.zeros((K,), jnp.int32)
+        zb = jnp.zeros((K,), bool)
+        sched = fsm.FsmSchedule(sel, jnp.zeros((K,), jnp.float32), zb, zb,
+                                zb, z, z, jnp.ones((K,), bool), cnt_r,
+                                b_arr, zb, zb, z, z)
+        h1, dx1, dy1, audio1, lpdc1 = bank.apply_dc(hist, dcx, dcy, demod,
+                                                    gain, out_len=f)
+        sp_ref, ss_ref = fsm.fsm_tone_sums(
+            sched, None, lpdc1.reshape(16, K, ns), ns)
+        hist, dcx, dcy, audio2, raw_pre, raw_mem = bank.apply_dc_ctcss(
+            hist, dcx, dcy, demod, gain, b_arr, sel, out_len=f, ns=ns)
+        sp, ss = fsm.raw_sums_to_ctcss(sched, raw_pre, raw_mem, ns)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(hist))
+        np.testing.assert_array_equal(np.asarray(dx1), np.asarray(dcx))
+        np.testing.assert_array_equal(np.asarray(dy1), np.asarray(dcy))
+        np.testing.assert_array_equal(np.asarray(audio1),
+                                      np.asarray(audio2[:, :f]))
+        scale = float(np.max(np.abs(np.asarray(sp_ref)))) + 1e-6
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sp_ref),
+                                   rtol=0, atol=3e-5 * scale)
+        np.testing.assert_allclose(np.asarray(ss), np.asarray(ss_ref),
+                                   rtol=0, atol=3e-5 * scale)

@@ -296,3 +296,20 @@ def test_packed_input_chain_equals_cf32(fmt, engine):
             else:
                 np.testing.assert_array_equal(
                     a, b, err_msg=f"{fmt}/{engine} field {f} step {i}")
+
+
+def test_fused_ctcss_chain_equality():
+    """fuse_ctcss (in-kernel CTCSS DFT driven by the RSSI-only schedule)
+    vs the lp-plane path: every decision/event stream exact, audio
+    bit-exact (the audio column is untouched by the fusion)."""
+    iq = synth.make_scanner_iq(10 * C.SUBCHUNK_IN, channel=5, ctcss_code=12)
+    res = {}
+    for name, on in [("off", False), ("on", True)]:
+        _, outs, _ = run_chain(iq, use_pallas=True, pallas_interpret=True,
+                               fuse_ctcss=on)
+        res[name] = outs
+    a, b = res["off"], res["on"]
+    for f in a:
+        if f == "waterfall":
+            continue
+        np.testing.assert_array_equal(a[f], b[f], err_msg=f)

@@ -47,6 +47,14 @@ def main():
     ok &= probe("audio_bank", bank.apply, (hist_a, demod, g))
     ok &= probe("audio_bank_dc", bank.apply_dc,
                 (hist_a, dcv, dcv, demod, g))
+    k_sub = 8
+    f8 = k_sub * C.SUBCHUNK_AUDIO
+    demod8 = jnp.zeros((16, f8), jnp.float32)
+    b_arr = jnp.zeros((k_sub,), jnp.int32)
+    sel = jnp.zeros((k_sub,), jnp.int32)
+    ok &= probe("audio_bank_dc_ctcss",
+                lambda *a: bank.apply_dc_ctcss(*a, out_len=f8),
+                (hist_a, dcv, dcv, demod8, g, b_arr, sel))
 
     # GROUP-major band path (K % 8 == 0 geometry): front-end group
     # emitters x4 + the PFB group kernel
