@@ -538,22 +538,6 @@ class PallasAudioBank:
         return new_hist, new_dc_x, new_dc_y, audio, lpdc
 
 
-    def _geometry128(self, demod, out_len):
-        """Like _geometry but rows pad to a multiple of 128 so the DFT
-        epilogue's [k8, tile] selector values have legal (128-multiple)
-        lane dims; tile is the largest 128-multiple divisor <= tile_r."""
-        nch, f_in = demod.shape
-        assert nch == NCH
-        f = out_len if out_len is not None else f_in
-        assert f <= f_in
-        r_rows = -(-f_in // LANES)
-        r128 = -(-r_rows // 128) * 128
-        if r128 * LANES != f_in:
-            demod = jnp.pad(demod, ((0, 0), (0, r128 * LANES - f_in)))
-        tile = 128
-        while tile * 2 <= self.tile_r and r128 % (tile * 2) == 0:
-            tile *= 2
-        return demod.reshape(NCH, r128, LANES), f, tile, r128 // tile
 
     def apply_dc_ctcss(self, hist: jax.Array, dc_x: jax.Array,
                        dc_y: jax.Array, demod: jax.Array, gain: jax.Array,
@@ -574,7 +558,7 @@ class PallasAudioBank:
         assert out_len % ns == 0
         k_sub = out_len // ns
         hist_rows = self.hist // LANES
-        demod3, f, tile, n_tiles = self._geometry128(demod, out_len)
+        demod3, f, tile, n_tiles = self._geometry(demod, out_len)
         k8 = max(8, -(-k_sub // 8) * 8)
         kpad = max(128, -(-k_sub // 128) * 128)
 
