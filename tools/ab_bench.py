@@ -38,12 +38,15 @@ def main():
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--rot", type=int, default=4,
                    help="distinct input realizations rotated across steps")
-    p.add_argument("--mode", choices=["engines", "fusion"],
+    p.add_argument("--mode", choices=["engines", "fusion", "ctcss",
+                                      "group"],
                    default="engines",
                    help="engines: XLA vs fused-Pallas (cf32 input); "
                         "fusion: Pallas cf32w with the lp-DC/RSSI kernel "
                         "fusions ON vs OFF (isolates VERDICT r2 #1's "
-                        "saving from tunnel drift)")
+                        "saving from tunnel drift); ctcss: the in-kernel "
+                        "CTCSS DFT (lp plane never in HBM) ON vs OFF; "
+                        "group: the GROUP-major band handoff ON vs OFF")
     args = p.parse_args()
 
     k = args.subchunks_per_step
@@ -53,6 +56,22 @@ def main():
     if args.mode == "engines":
         variants = (("xla", dict(use_pallas=False)),
                     ("pallas", dict(use_pallas=True)))
+    elif args.mode == "ctcss":
+        variants = (
+            ("lp-plane",
+             dict(use_pallas=True, input_format="cf32w",
+                  fuse_ctcss=False)),
+            ("dft-fused",
+             dict(use_pallas=True, input_format="cf32w")),
+        )
+    elif args.mode == "group":
+        variants = (
+            ("row-band",
+             dict(use_pallas=True, input_format="cf32w",
+                  fuse_group=False)),
+            ("group-band",
+             dict(use_pallas=True, input_format="cf32w")),
+        )
     else:
         variants = (
             ("unfused",
