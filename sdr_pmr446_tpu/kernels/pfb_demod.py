@@ -202,6 +202,167 @@ def _body_group(br_ref, bi_ref, h_ref, kr_ref, ki_ref, prev_ref, alt_ref,
 
 
 @functools.lru_cache(maxsize=None)
+def _packed_consts() -> dict:
+    """Constants for the phase-PACKED group body (_body_group_packed).
+
+    The unpacked body issues 4 matmuls of [gt, 416] x [416, 16] per phase
+    (100 per tile) — each using 16 of the MXU's 128 output lanes (12.5%
+    utilization).  Packing 4 consecutive phases per dot fills the lanes:
+    phases u0..u0+3 share a 464-sample window (phase u0+p's 416 taps sit
+    at offset 16p), and stacking [wr | wi] on the contraction axis folds
+    the complex combination into the SAME dot, so ONE
+    [gt, 928] x [928, 128] matmul yields [yr_p | yi_p] x 4 phases at
+    full lane utilization.  The discriminator + magnitude epilogue then
+    runs in the packed layout via one-hot fold matmuls (lane-offset
+    value slices don't relayout on this Mosaic — CLAUDE.md).
+
+    Layout of a packed vector P [*, 128]: lane 32*p + c holds, for
+    c < 16, yr of phase u0+p channel c; for 16 <= c < 32, yi of channel
+    c-16.
+    """
+    km = _fused_kernel_matrix()                  # [2, 416, 16]
+    kr, ki = km[0].astype(np.float64), km[1].astype(np.float64)
+    w4 = NTAPS + 3 * NCH                         # 464-sample pack window
+    k4 = np.zeros((2 * w4, 4 * 2 * NCH), np.float64)
+    k1 = np.zeros((2 * w4, 4 * 2 * NCH), np.float64)
+    for p in range(4):
+        rows = slice(16 * p, 16 * p + NTAPS)
+        k4[rows, 32 * p:32 * p + 16] = kr        # wr -> yr
+        k4[rows, 32 * p + 16:32 * p + 32] = ki   # wr -> yi
+        k4[w4 + 16 * p:w4 + 16 * p + NTAPS, 32 * p:32 * p + 16] = -ki
+        k4[w4 + 16 * p:w4 + 16 * p + NTAPS, 32 * p + 16:32 * p + 32] = kr
+    k1[0:NTAPS, 0:16] = kr                       # phase-24 single pack
+    k1[0:NTAPS, 16:32] = ki
+    k1[w4:w4 + NTAPS, 0:16] = -ki
+    k1[w4:w4 + NTAPS, 16:32] = kr
+
+    eye16 = np.eye(NCH, dtype=np.float32)
+    swap = np.zeros((128, 128), np.float32)      # yr <-> yi within a slot
+    sh32 = np.zeros((128, 128), np.float32)      # slot p <- slot p-1
+    sel96 = np.zeros((128, 128), np.float32)     # slot 0 <- slot 3
+    fa = np.zeros((128, 64), np.float32)         # out 16p+c = A + B
+    fb = np.zeros((128, 64), np.float32)         # out 16p+c = A - B
+    fold4 = np.zeros((64, NCH), np.float32)      # sum the 4 phase slots
+    for p in range(4):
+        a = slice(32 * p, 32 * p + 16)
+        b = slice(32 * p + 16, 32 * p + 32)
+        o = slice(16 * p, 16 * p + 16)
+        swap[b, a] = eye16
+        swap[a, b] = eye16
+        if p:
+            sh32[32 * (p - 1):32 * (p - 1) + 32, 32 * p:32 * p + 32] = \
+                np.eye(32, dtype=np.float32)
+        fa[a, o] = eye16
+        fa[b, o] = eye16
+        fb[a, o] = eye16
+        fb[b, o] = -eye16
+        fold4[o, :] = eye16
+    sel96[96:128, 0:32] = np.eye(32, dtype=np.float32)
+    sre = np.zeros((128, NCH), np.float32)       # packed slot 0 -> re row
+    sim = np.zeros((128, NCH), np.float32)
+    sre[0:16, :] = eye16
+    sim[16:32, :] = eye16
+    ep = [np.zeros((64, NCH), np.float32) for _ in range(4)]
+    for p in range(4):                           # per-phase demod extract
+        ep[p][16 * p:16 * p + 16, :] = eye16
+    srow = np.where(np.arange(128)[None, :] // 32 % 2 == 0, 1.0,
+                    -1.0).astype(np.float32)     # (-1)^p per packed slot
+    return dict(k4=k4.astype(np.float32), k1=k1.astype(np.float32),
+                swap=swap, sh32=sh32, sel96=sel96, fa=fa, fb=fb,
+                fold4=fold4, sre=sre, sim=sim, ep=ep, srow=srow,
+                ones_row=np.ones((1, 128), np.float32))
+
+
+def _body_group_packed(br_ref, bi_ref, h_ref, k4_ref, k1_ref, prev_ref,
+                       altc_ref, sel_ref, swap_ref, sh32_ref, sel96_ref,
+                       fa_ref, fb_ref, fold4_ref, sre_ref, sim_ref,
+                       ep0_ref, ep1_ref, ep2_ref, ep3_ref,
+                       srow_ref, ones_ref,
+                       demod_out, seg_out, prev_out,
+                       bprev, prevp, bext_r, bext_i, winc):
+    """Phase-packed group body: same math as _body_group, 25 phases in
+    7 full-lane dots (see _packed_consts).  Phase 24 runs FIRST so that
+    phase 0's discriminator (previous group row's phase 24) is a plain
+    sublane shift of an already-computed value instead of a deferred
+    write."""
+    gt = br_ref.shape[0]
+    w4 = NTAPS + 3 * NCH                         # 464
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        bprev[:, :] = h_ref[:, :]                # [2, 400] re/im last row
+        # packed prev-frame row: [yr24 | yi24 | 0...] of the previous
+        # tile's last group row (signed/kernel space, like prev_sc was)
+        prevp[:, :] = jnp.zeros((1, 128), jnp.float32)
+        prevp[0:1, 0:NCH] = prev_ref[0:1, :]
+        prevp[0:1, NCH:2 * NCH] = prev_ref[1:2, :]
+
+    bext_r[0:1, :] = bprev[0:1, :]
+    bext_r[1:, :] = br_ref[:]
+    bext_i[0:1, :] = bprev[1:2, :]
+    bext_i[1:, :] = bi_ref[:]
+    scale = 1.0 / (2.0 * math.pi * C.FM_KF)
+    alt_col = altc_ref[:]                        # [gt, 1] = (-1)^g
+    sgn = jnp.dot(alt_col, srow_ref[:],
+                  preferred_element_type=jnp.float32)   # [gt, 128]
+    sgn24 = jnp.dot(alt_col, ones_ref[:],
+                    preferred_element_type=jnp.float32)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # ---- phase 24 first: window = bext[g, 384:400] ++ bext[g+1, 0:400]
+    winc[:, 0:16] = bext_r[0:gt, 384:400]
+    winc[:, 16:416] = bext_r[1:gt + 1, :]
+    winc[:, 416:w4] = jnp.zeros((gt, w4 - 416), jnp.float32)
+    winc[:, w4:w4 + 16] = bext_i[0:gt, 384:400]
+    winc[:, w4 + 16:w4 + 416] = bext_i[1:gt + 1, :]
+    winc[:, w4 + 416:2 * w4] = jnp.zeros((gt, w4 - 416), jnp.float32)
+    p24 = dot(winc[:], k1_ref[:])                # [gt, 128], slot 0 only
+    p24s = p24 * sgn24                           # (-1)^24 = +1 -> row sign
+    # phase 0's prev = previous row's signed phase 24 (sublane shift)
+    carry0 = jnp.concatenate([prevp[0:1, :], p24s[:gt - 1, :]], axis=0)
+
+    msum64 = None
+    carry = carry0
+    eps = (ep0_ref, ep1_ref, ep2_ref, ep3_ref)
+    for k in range(6):                           # packs u0 = 0,4,...,20
+        u0 = 4 * k
+        cut = 400 - 16 * u0                      # lanes from row g
+        winc[:, 0:cut] = bext_r[0:gt, 16 * u0:]
+        winc[:, cut:w4] = bext_r[1:gt + 1, 0:w4 - cut]
+        winc[:, w4:w4 + cut] = bext_i[0:gt, 16 * u0:]
+        winc[:, w4 + cut:2 * w4] = bext_i[1:gt + 1, 0:w4 - cut]
+        p = dot(winc[:], k4_ref[:])              # [gt, 128] packed 4 phases
+        msq = dot(p * p, fa_ref[:])              # per-phase |y|^2 [gt, 64]
+        m = jnp.sqrt(msq)
+        msum64 = m if msum64 is None else msum64 + m
+        ps = p * sgn
+        pprev = dot(ps, sh32_ref[:]) + carry
+        q1 = ps * pprev
+        q2 = dot(ps, swap_ref[:]) * pprev
+        dr = dot(q1, fa_ref[:])                  # [gt, 64]
+        di = dot(q2, fb_ref[:])
+        dem = kmath.atan2(di, dr) * scale
+        for p_i in range(4):
+            demod_out[:, :, u0 + p_i] = dot(dem, eps[p_i][:]).T
+        carry = dot(ps, sel96_ref[:])            # slot 0 <- phase u0+3
+    # phase 24 epilogue: 1-slot pack, prev = phase 23 (carry)
+    msum64 = msum64 + jnp.sqrt(dot(p24 * p24, fa_ref[:]))
+    q1 = p24s * carry
+    q2 = dot(p24s, swap_ref[:]) * carry
+    dem24 = kmath.atan2(dot(q2, fb_ref[:]), dot(q1, fa_ref[:])) * scale
+    demod_out[:, :, 24] = dot(dem24, ep0_ref[:]).T
+    seg_out[:, :] = dot(sel_ref[:], dot(msum64, fold4_ref[:]))
+    prevp[0:1, :] = p24s[gt - 1:gt, :]
+    prev_out[0:1, :] = dot(prevp[0:1, :], sre_ref[:])
+    prev_out[1:2, :] = dot(prevp[0:1, :], sim_ref[:])
+    bprev[0:1, :] = br_ref[gt - 1:gt, :]
+    bprev[1:2, :] = bi_ref[gt - 1:gt, :]
+
+
+@functools.lru_cache(maxsize=None)
 def _group_selectors(gt: int, n_tiles: int, g_total: int, nsg: int):
     """(sel [n_tiles, n_seg, gt], scatter [n_tiles, n_seg, K]) f32 for
     per-GROUP-row |y| segment sums: sub-chunk k covers group rows
@@ -493,7 +654,8 @@ class PallasPfbDemod:
 
     def call_group(self, bw_r: jax.Array, bw_i: jax.Array,
                    hist: jax.Array, parity: jax.Array, prev: jax.Array,
-                   ns: int = C.SUBCHUNK_AUDIO, tile_g: int = 56):
+                   ns: int = C.SUBCHUNK_AUDIO, tile_g: int = 56,
+                   packed: bool = True):
         """GROUP-major path: bw_r/bw_i [G, 400] straight from the
         front-end group kernel (PallasFrontEnd.apply_*(group_out=True)).
 
@@ -502,7 +664,13 @@ class PallasPfbDemod:
         the standard channel-major [16, F] plane as a FREE view (F =
         25*G exactly: the group geometry has no tail padding at all).
         Requires ns % 25 == 0 and G divisible by a multiple-of-8 tile
-        (chain gates this on subchunks_per_step % 8 == 0)."""
+        (chain gates this on subchunks_per_step % 8 == 0).
+
+        ``packed=True`` (default) runs the phase-PACKED body: 25 phases
+        in 7 full-lane MXU dots instead of 100 sixteen-lane ones (~4x
+        fewer MXU cycles, same math to f32 summation rounding —
+        interleaving re/im in one contraction reorders the adds);
+        ``packed=False`` keeps the one-dot-per-phase body for A/B."""
         from sdr_pmr446_tpu.kernels.front_end import pick_tile
         g_total = bw_r.shape[0]
         assert ns % 25 == 0
@@ -521,6 +689,10 @@ class PallasPfbDemod:
                                                           np.float32)
         sel_np, scatter_np = _group_selectors(gt, n_tiles, g_total, nsg)
         n_seg = sel_np.shape[1]
+        if packed:
+            return self._call_group_packed(
+                bw_r, bw_i, hist_ri, prev_ri, psign, parity, gt, n_tiles,
+                g_total, f_total, sel_np, scatter_np, n_seg)
 
         demod3, segs, ocp = pl.pallas_call(
             _body_group,
@@ -571,6 +743,74 @@ class PallasPfbDemod:
         # the kernel's carried last frame is exact (no padding) but lives
         # in kernel space ((-1)^f * conv = true * (-1)^parity_in): unfold
         # the global parity sign to return the TRUE-space carry
+        new_prev = (jax.lax.complex(ocp[0], ocp[1])
+                    * psign).astype(jnp.complex64)
+        return demod3, mag_sums, new_hist, new_parity, new_prev
+
+    def _call_group_packed(self, bw_r, bw_i, hist_ri, prev_ri, psign,
+                           parity, gt, n_tiles, g_total, f_total,
+                           sel_np, scatter_np, n_seg):
+        """pallas_call plumbing for _body_group_packed (see call_group)."""
+        pc = _packed_consts()
+        w4 = NTAPS + 3 * NCH
+        altc = np.where(np.arange(gt)[:, None] % 2 == 0, 1.0,
+                        -1.0).astype(np.float32)          # [gt, 1]
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        demod3, segs, ocp = pl.pallas_call(
+            _body_group_packed,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((gt, 16 * 25), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),     # bw re
+                pl.BlockSpec((gt, 16 * 25), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),     # bw im
+                vmem(),                                    # hist [2, 400]
+                vmem(), vmem(),                            # k4, k1
+                vmem(),                                    # prev [2, 16]
+                vmem(),                                    # alt col [gt, 1]
+                pl.BlockSpec((None, n_seg, gt), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),     # seg selector
+                vmem(), vmem(), vmem(),                    # swap, sh32, sel96
+                vmem(), vmem(), vmem(),                    # fa, fb, fold4
+                vmem(), vmem(),                            # sre, sim
+                vmem(), vmem(), vmem(), vmem(),            # ep0..ep3
+                vmem(), vmem(),                            # srow, ones_row
+            ],
+            out_specs=[
+                pl.BlockSpec((NCH, gt, 25), lambda s: (0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, n_seg, NCH), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, NCH), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NCH, g_total, 25), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, n_seg, NCH), jnp.float32),
+                jax.ShapeDtypeStruct((2, NCH), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 16 * 25), jnp.float32),    # band carry row
+                pltpu.VMEM((1, 128), jnp.float32),        # packed prev frame
+                pltpu.VMEM((gt + 1, 16 * 25), jnp.float32),
+                pltpu.VMEM((gt + 1, 16 * 25), jnp.float32),
+                pltpu.VMEM((gt, 2 * w4), jnp.float32),    # [wr | wi] window
+            ],
+            interpret=self.interpret,
+        )(bw_r, bw_i, hist_ri, jnp.asarray(pc["k4"]), jnp.asarray(pc["k1"]),
+          prev_ri, jnp.asarray(altc), jnp.asarray(sel_np),
+          jnp.asarray(pc["swap"]), jnp.asarray(pc["sh32"]),
+          jnp.asarray(pc["sel96"]), jnp.asarray(pc["fa"]),
+          jnp.asarray(pc["fb"]), jnp.asarray(pc["fold4"]),
+          jnp.asarray(pc["sre"]), jnp.asarray(pc["sim"]),
+          jnp.asarray(pc["ep"][0]), jnp.asarray(pc["ep"][1]),
+          jnp.asarray(pc["ep"][2]), jnp.asarray(pc["ep"][3]),
+          jnp.asarray(pc["srow"]), jnp.asarray(pc["ones_row"]))
+
+        mag_sums = jnp.einsum("tsc,tsk->kc", segs, jnp.asarray(scatter_np),
+                              precision=jax.lax.Precision.HIGHEST)
+        new_hist = jax.lax.complex(bw_r[g_total - 1], bw_i[g_total - 1])
+        new_parity = (parity + f_total) % 2
         new_prev = (jax.lax.complex(ocp[0], ocp[1])
                     * psign).astype(jnp.complex64)
         return demod3, mag_sums, new_hist, new_parity, new_prev

@@ -88,7 +88,8 @@ class ScannerChain:
                  pallas_tiles: tuple = (1024, 1024, 256),
                  input_format: str = "cf32", fuse_dc: bool = True,
                  fuse_lp_dc: bool = True, fuse_rssi: bool = True,
-                 fuse_group: bool = True, fuse_ctcss: bool = True):
+                 fuse_group: bool = True, fuse_ctcss: bool = True,
+                 pfb_packed: bool = True):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
         # remote compiler, smaller ones add grid-step overhead
@@ -131,6 +132,10 @@ class ScannerChain:
         self.fuse_group = (fuse_group and self.fuse_dc and self.fuse_lp_dc
                            and self.fuse_rssi
                            and self.block.subchunks_per_step % 8 == 0)
+        # phase-PACKED PFB group body: 25 phases in 7 full-lane MXU dots
+        # instead of 100 sixteen-lane ones (kernels/pfb_demod.py
+        # _packed_consts); same math to f32 summation rounding
+        self.pfb_packed = pfb_packed
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
@@ -319,7 +324,7 @@ class ScannerChain:
                 demod3, mag_sums, pfb_hist, parity, demod_prev = \
                     self.pallas_pfb.call_group(
                         br, bi, state.pfb_hist, state.frame_parity,
-                        state.demod_prev, ns)
+                        state.demod_prev, ns, packed=self.pfb_packed)
                 rssi_db = 20.0 * jnp.log10(
                     jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
                 demod = demod3.reshape(C.NUM_CHANNELS, K * ns)

@@ -150,6 +150,81 @@ def test_chain_group_engine_matches_row_engine(fmt):
                                    np.asarray(b.audio), rtol=0, atol=1e-3)
 
 
+def test_pfb_group_packed_matches_unpacked():
+    """The phase-PACKED group body (7 full-lane MXU dots, see
+    kernels/pfb_demod.py::_packed_consts) == the per-phase body: mag
+    sums and carries to f32 summation-reorder rounding (the packed dot
+    contracts [wr | wi] in ONE 928-deep accumulation), demod tight on
+    the ACTIVE channel (noise channels are atan2 branch-flip sensitive
+    by nature, see module docstring)."""
+    n = 8 * C.SUBCHUNK_IN
+    sig = _sig(n)
+    fe = PallasFrontEnd(tile_rows=448, interpret=True)
+    dcx, dcy, hist0 = fe.init_state()
+    _, _, _, bwr, bwi = fe.apply_planes(
+        dcx, dcy, hist0, jnp.asarray(sig.real, jnp.float32),
+        jnp.asarray(sig.imag, jnp.float32), group_out=True)
+    pfb = PallasPfbDemod(tile_f=1024, interpret=True)
+    ph = jnp.zeros((400,), jnp.complex64)
+    rng = np.random.default_rng(5)
+    prev = jnp.asarray(rng.standard_normal(16) + 1j * rng.standard_normal(16),
+                       jnp.complex64)
+    for par_v in (0, 1):
+        par = jnp.asarray(par_v, jnp.int32)
+        d0, m0, h0, p0, pr0 = pfb.call_group(bwr, bwi, ph, par, prev,
+                                             packed=False)
+        d1, m1, h1, p1, pr1 = pfb.call_group(bwr, bwi, ph, par, prev,
+                                             packed=True)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                                   rtol=2e-4, atol=0)
+        assert float(jnp.max(jnp.abs(h1 - h0))) == 0.0
+        assert int(p1) == int(p0)
+        assert float(jnp.max(jnp.abs(pr1 - pr0))) < 1e-5
+        np.testing.assert_allclose(np.asarray(d1)[5], np.asarray(d0)[5],
+                                   rtol=0, atol=5e-3)
+
+
+def test_chain_packed_pfb_matches_unpacked():
+    """Full scanner, two chained blocks: pfb_packed decisions == per-phase
+    decisions exactly, RSSI within 0.01 dB, audio to fp."""
+    from sdr_pmr446_tpu.scanner.chain import ScannerChain, make_runtime_params
+
+    K = 8
+    params = make_runtime_params(C.ScannerArgs())
+    n = C.BlockConfig(K).input_len
+    blocks = []
+    for seed in (0, 7):
+        sig = _sig(n, seed)
+        w = np.empty(2 * n, np.float32)
+        w[0::2] = sig.real
+        w[1::2] = sig.imag
+        blocks.append(w)
+    outs = {}
+    for mode in (True, False):
+        chain = ScannerChain(C.BlockConfig(K), use_pallas=True,
+                             input_format="cf32w", pallas_interpret=True,
+                             pfb_packed=mode)
+        assert chain.fuse_group and chain.pfb_packed == mode
+        st = chain.init_state()
+        res = []
+        for w in blocks:
+            st, o = chain.step(
+                st, jnp.asarray(w.reshape(chain.step_arg_shape)), params)
+            res.append(o)
+        outs[mode] = res
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_array_equal(np.asarray(a.active_chan),
+                                      np.asarray(b.active_chan))
+        np.testing.assert_array_equal(np.asarray(a.ct_detected),
+                                      np.asarray(b.ct_detected))
+        np.testing.assert_array_equal(np.asarray(a.ct_max_idx),
+                                      np.asarray(b.ct_max_idx))
+        np.testing.assert_allclose(np.asarray(a.rssi_db),
+                                   np.asarray(b.rssi_db), rtol=0, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(a.audio),
+                                   np.asarray(b.audio), rtol=0, atol=1e-4)
+
+
 def test_group_engine_gate():
     """fuse_group engages only on the all-fused path with K % 8 == 0."""
     from sdr_pmr446_tpu.scanner.chain import ScannerChain

@@ -85,7 +85,12 @@ def main():
                 (wdcx, wdcy, whist, xh))
     g_total = tg // 2048
     bw = jnp.zeros((g_total, 400), jnp.float32)
-    ok &= probe("pfb_group", pfb.call_group, (bw, bw, hist, par, prev))
+    ok &= probe("pfb_group",
+                lambda *a: pfb.call_group(*a, packed=False),
+                (bw, bw, hist, par, prev))
+    ok &= probe("pfb_group_packed",
+                lambda *a: pfb.call_group(*a, packed=True),
+                (bw, bw, hist, par, prev))
     return 0 if ok else 1
 
 
