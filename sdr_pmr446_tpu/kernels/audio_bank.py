@@ -53,6 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sdr_pmr446_tpu import config as C
+from sdr_pmr446_tpu.kernels import precision
 # the proven one-pole-recurrence-as-matmuls constants (width 128 == LANES)
 from sdr_pmr446_tpu.kernels.front_end import (_row_consts, _tile_consts,
                                               _PJ_LAST, pick_tile)
@@ -113,7 +114,7 @@ def _body(main_ref, hist_ref, k_ref, gcol_ref, grow_ref,
     rows = jnp.concatenate([carry[:], main_ref[:]], axis=0)
     for i in range(win.shape[1] // LANES):
         win[:, i * LANES:(i + 1) * LANES] = rows[i:i + tile_r, :]
-    out = jnp.dot(win[:], k_ref[:], preferred_element_type=jnp.float32)
+    out = _dot(win[:], k_ref[:])
     gmat = _dot(gcol_ref[:], grow_ref[:])        # [tile, 128] = gain
     audio_out[:, :] = out[:, :LANES] * gmat
     lp_out[:, :] = out[:, LANES:]
@@ -122,7 +123,9 @@ def _body(main_ref, hist_ref, k_ref, gcol_ref, grow_ref,
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # HIGHEST: the backend default contracts f32 in bf16 (kernels/precision)
+    return jnp.dot(a, b, precision=precision.get(),
+                   preferred_element_type=jnp.float32)
 
 
 def _body_dc(main_ref, hist_ref, k_ref, gcol_ref, grow_ref, cx_ref, cy_ref,

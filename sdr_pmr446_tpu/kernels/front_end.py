@@ -78,6 +78,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.taps import design as D
+from sdr_pmr446_tpu.kernels import precision
 from sdr_pmr446_tpu.ops.resample import _kernel_matrix
 
 L = C.RESAMP_L            # 25
@@ -200,7 +201,11 @@ def pick_tile(rows: int, requested: int) -> int:
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # HIGHEST: the backend's default contracts f32 in bf16 (see
+    # kernels/precision.py — probed on hardware); every dot here is
+    # value-bearing (recurrence carries, selector folds, FIR windows)
+    return jnp.dot(a, b, precision=precision.get(),
+                   preferred_element_type=jnp.float32)
 
 
 def _plane_dc(ylocal, yprev_11, tt, pvec, pj_ref, e_last, pj_last):

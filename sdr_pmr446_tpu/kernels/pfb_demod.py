@@ -47,12 +47,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.ops.pfb import make_pfb_kernel
-from sdr_pmr446_tpu.kernels import kmath
+from sdr_pmr446_tpu.kernels import kmath, precision
 
 NCH = C.NUM_CHANNELS                  # 16
 NTAPS = 2 * NCH * C.PFB_SEMILENGTH    # 416
 HIST = NTAPS - NCH                    # 400
 SUB = NTAPS // NCH                    # 26 row-blocks per window
+
+
+def _dot(a, b):
+    # HIGHEST: the backend default contracts f32 in bf16 (kernels/precision)
+    return jnp.dot(a, b, precision=precision.get(),
+                   preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -86,10 +92,8 @@ def _body(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
     ki = ki_ref[:]
     wr = win_r[:]
     wi = win_i[:]
-    yr = (jnp.dot(wr, kr, preferred_element_type=jnp.float32)
-          - jnp.dot(wi, ki, preferred_element_type=jnp.float32))
-    yi = (jnp.dot(wr, ki, preferred_element_type=jnp.float32)
-          + jnp.dot(wi, kr, preferred_element_type=jnp.float32))
+    yr = _dot(wr, kr) - _dot(wi, ki)
+    yi = _dot(wr, ki) + _dot(wi, kr)
 
     # (-1)^(local frame index); tile_f is even so the step offset is even too
     f_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_f, NCH), 0)
@@ -165,10 +169,8 @@ def _body_group(br_ref, bi_ref, h_ref, kr_ref, ki_ref, prev_ref, alt_ref,
         # lane-offset-16 values that tpu.concatenate can't relayout)
         wr = win_r[:]
         wi = win_i[:]
-        yr = (jnp.dot(wr, kr, preferred_element_type=jnp.float32)
-              - jnp.dot(wi, ki, preferred_element_type=jnp.float32))
-        yi = (jnp.dot(wr, ki, preferred_element_type=jnp.float32)
-              + jnp.dot(wi, kr, preferred_element_type=jnp.float32))
+        yr = _dot(wr, kr) - _dot(wi, ki)
+        yi = _dot(wr, ki) + _dot(wi, kr)
         m = jnp.sqrt(yr * yr + yi * yi)    # |y| is sign-invariant
         msum = m if msum is None else msum + m
         sgn = alt if u % 2 == 0 else -alt
@@ -192,8 +194,7 @@ def _body_group(br_ref, bi_ref, h_ref, kr_ref, ki_ref, prev_ref, alt_ref,
     dr = yr * pr + yi * pi
     di = yi * pr - yr * pi
     demod_out[:, :, 0] = (kmath.atan2(di, dr) * scale).T
-    seg_out[:, :] = jnp.dot(sel_ref[:], msum,
-                            preferred_element_type=jnp.float32)
+    seg_out[:, :] = _dot(sel_ref[:], msum)
     prev_sc[0:1, :] = y24r[gt - 1:gt, :]
     prev_sc[1:2, :] = y24i[gt - 1:gt, :]
     prev_out[:, :] = prev_sc[:, :]
@@ -304,13 +305,10 @@ def _body_group_packed(br_ref, bi_ref, h_ref, k4_ref, k1_ref, prev_ref,
     bext_i[1:, :] = bi_ref[:]
     scale = 1.0 / (2.0 * math.pi * C.FM_KF)
     alt_col = altc_ref[:]                        # [gt, 1] = (-1)^g
-    sgn = jnp.dot(alt_col, srow_ref[:],
-                  preferred_element_type=jnp.float32)   # [gt, 128]
-    sgn24 = jnp.dot(alt_col, ones_ref[:],
-                    preferred_element_type=jnp.float32)
+    sgn = _dot(alt_col, srow_ref[:])             # [gt, 128]
+    sgn24 = _dot(alt_col, ones_ref[:])
 
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    dot = _dot
 
     # ---- phase 24 first: window = bext[g, 384:400] ++ bext[g+1, 0:400]
     winc[:, 0:16] = bext_r[0:gt, 384:400]
@@ -408,10 +406,8 @@ def _body_rssi(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
     ki = ki_ref[:]
     wr = win_r[:]
     wi = win_i[:]
-    yr = (jnp.dot(wr, kr, preferred_element_type=jnp.float32)
-          - jnp.dot(wi, ki, preferred_element_type=jnp.float32))
-    yi = (jnp.dot(wr, ki, preferred_element_type=jnp.float32)
-          + jnp.dot(wi, kr, preferred_element_type=jnp.float32))
+    yr = _dot(wr, kr) - _dot(wi, ki)
+    yi = _dot(wr, ki) + _dot(wi, kr)
 
     f_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_f, NCH), 0)
     sign = jnp.where((f_idx % 2) == 0, 1.0, -1.0).astype(jnp.float32)
@@ -425,8 +421,7 @@ def _body_rssi(fr_ref, fi_ref, hr_ref, hi_ref, kr_ref, ki_ref, prev_ref,
     demod_out[:, :] = (kmath.atan2(di, dr)
                        * (1.0 / (2.0 * math.pi * C.FM_KF))).T
     mag = jnp.sqrt(yr * yr + yi * yi)                     # [tile, NCH]
-    seg_out[:, :] = jnp.dot(sel_ref[:], mag,
-                            preferred_element_type=jnp.float32)
+    seg_out[:, :] = _dot(sel_ref[:], mag)
     prev_scratch[0:1, :] = yr[tile_f - 1:tile_f, :]
     prev_scratch[1:2, :] = yi[tile_f - 1:tile_f, :]
 
@@ -684,15 +679,15 @@ class PallasPfbDemod:
                              jnp.imag(hist)]).astype(jnp.float32)
         prev_ri = (jnp.stack([jnp.real(prev), jnp.imag(prev)]
                              ).astype(jnp.float32) * psign)
-        alt = np.where(np.arange(gt)[:, None] % 2 == 0, 1.0,
-                       -1.0).astype(np.float32) * np.ones((1, NCH),
-                                                          np.float32)
         sel_np, scatter_np = _group_selectors(gt, n_tiles, g_total, nsg)
         n_seg = sel_np.shape[1]
         if packed:
             return self._call_group_packed(
                 bw_r, bw_i, hist_ri, prev_ri, psign, parity, gt, n_tiles,
                 g_total, f_total, sel_np, scatter_np, n_seg)
+        alt = np.where(np.arange(gt)[:, None] % 2 == 0, 1.0,
+                       -1.0).astype(np.float32) * np.ones((1, NCH),
+                                                          np.float32)
 
         demod3, segs, ocp = pl.pallas_call(
             _body_group,

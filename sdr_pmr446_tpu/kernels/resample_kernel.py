@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdr_pmr446_tpu import config as C
 from sdr_pmr446_tpu.taps import design as D
+from sdr_pmr446_tpu.kernels import precision
 from sdr_pmr446_tpu.ops.resample import _kernel_matrix
 
 L = C.RESAMP_L            # 25
@@ -54,8 +55,11 @@ def _body(fr_ref, fi_ref, er_ref, ei_ref, k_ref, yr_out, yi_out,
         win_r[:, i * M:(i + 1) * M] = xr_frames[i:i + tile_f, :]
         win_i[:, i * M:(i + 1) * M] = xi_frames[i:i + tile_f, :]
     k = k_ref[:]
-    yr_out[:, :] = jnp.dot(win_r[:], k, preferred_element_type=jnp.float32)
-    yi_out[:, :] = jnp.dot(win_i[:], k, preferred_element_type=jnp.float32)
+    # HIGHEST: the backend default contracts f32 in bf16 (kernels/precision)
+    yr_out[:, :] = jnp.dot(win_r[:], k, precision=precision.get(),
+                           preferred_element_type=jnp.float32)
+    yi_out[:, :] = jnp.dot(win_i[:], k, precision=precision.get(),
+                           preferred_element_type=jnp.float32)
 
 
 class PallasResampler:

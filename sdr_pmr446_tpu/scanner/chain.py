@@ -85,14 +85,18 @@ class ScannerChain:
                  lowpass: bool = False, fir_deemph: bool = False,
                  waterfall: int = 0, use_pallas: bool = False,
                  pallas_interpret: bool = False,
-                 pallas_tiles: tuple = (1024, 1024, 256),
+                 pallas_tiles: tuple = (1024, 512, 256),
                  input_format: str = "cf32", fuse_dc: bool = True,
                  fuse_lp_dc: bool = True, fuse_rssi: bool = True,
                  fuse_group: bool = True, fuse_ctcss: bool = True,
                  pfb_packed: bool = True):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
-        # remote compiler, smaller ones add grid-step overhead
+        # remote compiler, smaller ones add grid-step overhead.  pfb_tile
+        # dropped 1024 -> 512 in round 4: HIGHEST-precision dots (true-f32
+        # multi-pass, kernels/precision.py) raise the row-path PFB body's
+        # VMEM stack footprint past the budget at 1024 (compile-probed:
+        # 512 PASS, 768 FAIL); the group path tiles by gt and is unaffected
         self.block = block or C.BlockConfig()
         # "cf32": step takes complex64 [input_len].  "cs16"/"cu8": step
         # takes the capture's RAW wire bytes packed as f32 transport words

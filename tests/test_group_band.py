@@ -13,7 +13,7 @@ does, so chain-level gates are the meaningful ones).
 """
 
 import numpy as np
-import jax
+
 import jax.numpy as jnp
 import pytest
 

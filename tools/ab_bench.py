@@ -39,14 +39,17 @@ def main():
     p.add_argument("--rot", type=int, default=4,
                    help="distinct input realizations rotated across steps")
     p.add_argument("--mode", choices=["engines", "fusion", "ctcss",
-                                      "group"],
+                                      "group", "precision"],
                    default="engines",
                    help="engines: XLA vs fused-Pallas (cf32 input); "
                         "fusion: Pallas cf32w with the lp-DC/RSSI kernel "
                         "fusions ON vs OFF (isolates VERDICT r2 #1's "
                         "saving from tunnel drift); ctcss: the in-kernel "
                         "CTCSS DFT (lp plane never in HBM) ON vs OFF; "
-                        "group: the GROUP-major band handoff ON vs OFF")
+                        "group: the GROUP-major band handoff ON vs OFF; "
+                        "precision: kernel dots at HIGHEST (true f32, the "
+                        "default policy) vs DEFAULT (single-pass bf16 "
+                        "contraction — see kernels/precision.py)")
     args = p.parse_args()
 
     k = args.subchunks_per_step
@@ -71,6 +74,14 @@ def main():
                   fuse_group=False)),
             ("group-band",
              dict(use_pallas=True, input_format="cf32w")),
+        )
+    elif args.mode == "precision":
+        variants = (
+            ("mxu-f32",
+             dict(use_pallas=True, input_format="cf32w")),
+            ("mxu-bf16",
+             dict(use_pallas=True, input_format="cf32w",
+                  _fast_mxu=True)),
         )
     else:
         variants = (
@@ -99,11 +110,20 @@ def main():
     chains = {}
     names = [name for name, _ in variants]
     for name, kw in variants:
-        chain = ScannerChain(C.BlockConfig(k), **kw)
-        iqs = [stage(s, chain) for s in sigs]
-        st = chain.init_state()
-        st, out = chain.step(st, iqs[0], pstep(0))    # compile + warm
-        jax.block_until_ready(out)
+        kw = dict(kw)
+        # precision is a TRACE-time knob: toggle it around construction +
+        # the compiling first step (kernels/precision.py)
+        fast_mxu = kw.pop("_fast_mxu", False)
+        from sdr_pmr446_tpu.kernels import precision as _prec
+        _prec.set_fast(fast_mxu)
+        try:
+            chain = ScannerChain(C.BlockConfig(k), **kw)
+            iqs = [stage(s, chain) for s in sigs]
+            st = chain.init_state()
+            st, out = chain.step(st, iqs[0], pstep(0))    # compile + warm
+            jax.block_until_ready(out)
+        finally:
+            _prec.set_fast(False)
         chains[name] = (chain, iqs, st, 1)        # (chain, inputs, state, i)
 
     results = {name: [] for name in names}

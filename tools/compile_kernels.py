@@ -27,7 +27,9 @@ def main():
     ok = fe_main() == 0                   # the five front-end variants
 
     from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
-    pfb = PallasPfbDemod(tile_f=1024)
+    # 512: the largest row-path tile that fits VMEM with HIGHEST-precision
+    # dots (kernels/precision.py); 768+ OOMs the compile (probed 2026-08-20)
+    pfb = PallasPfbDemod(tile_f=512)
     t = 2 * C.SUBCHUNK_AUDIO * 16
     br = jnp.zeros((t,), jnp.float32)
     hist = jnp.zeros((400,), jnp.complex64)

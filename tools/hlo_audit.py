@@ -92,7 +92,7 @@ def main():
 
     chain = ScannerChain(
         C.BlockConfig(args.k), use_pallas=(args.engine == "pallas"),
-        pallas_tiles=(1024, 1024, 256), input_format=args.format,
+        pallas_tiles=(1024, 512, 256), input_format=args.format,
         waterfall=args.waterfall,
         fuse_ctcss=not args.no_fuse_ctcss,
         fuse_group=not args.no_fuse_group)

@@ -20,7 +20,6 @@ Ops probed (the known-good baseline ops are included as controls):
 
 import os
 import sys
-import functools
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
