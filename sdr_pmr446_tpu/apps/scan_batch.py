@@ -249,17 +249,23 @@ def main(argv=None) -> int:
     total_got = 0             # real samples read (longest capture)
     n_fuse = max(1, ns.steps_per_dispatch)
 
+    # the fused sharded engine consumes wire words in the kernels' 2-D row
+    # layout [S, rows, width] (a free host reshape of the same bytes)
+    extra_dims = len(chain.step_arg_shape) - 1
+
     def _dispatch(group):
         nonlocal state
         if multihost:
             from jax.sharding import PartitionSpec as P
+            tail = (None,) * extra_dims
             if len(group) == 1:
                 x = dist.make_global_array(
-                    mesh, P(STREAM_AXIS, TIME_AXIS), group[0])
+                    mesh, P(STREAM_AXIS, TIME_AXIS, *tail), group[0])
                 state, out = chain.step(state, x, params)
             else:
                 xs = dist.make_global_array(
-                    mesh, P(None, STREAM_AXIS, TIME_AXIS), np.stack(group))
+                    mesh, P(None, STREAM_AXIS, TIME_AXIS, *tail),
+                    np.stack(group))
                 state, out = chain.multi_step(state, xs, params)
         elif len(group) == 1:
             state, out = chain.step(state, group[0], params)
@@ -317,8 +323,10 @@ def main(argv=None) -> int:
             eof = got < block_len
             # multihost: keep blocks as host numpy and globalize at
             # dispatch so each process ships only its addressable shards
-            group.append(np.asarray(blk) if multihost
-                         else jnp.asarray(blk, feed_dtype))
+            blk = np.asarray(blk)
+            if extra_dims:
+                blk = blk.reshape((blk.shape[0],) + chain.step_arg_shape)
+            group.append(blk if multihost else jnp.asarray(blk, feed_dtype))
         if not group or (len(group) < n_fuse and not eof):
             continue
         out = _dispatch(group)

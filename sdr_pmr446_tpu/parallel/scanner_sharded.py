@@ -47,7 +47,10 @@ class ShardedScannerChain:
                  lowpass: bool = False, fir_deemph: bool = False,
                  waterfall: int = 0, halo_dma: bool = False,
                  use_pallas: bool = False, pallas_interpret: bool = False,
-                 input_format: str = "cf32"):
+                 input_format: str = "cf32", fuse_dc: bool = True,
+                 fuse_lp_dc: bool = True, fuse_rssi: bool = True,
+                 fuse_group: bool = True, fuse_ctcss: bool = True,
+                 pfb_packed: bool = True):
         self.mesh = mesh
         self.block = block or C.BlockConfig()
         # "cs16"/"cu8": step takes [S, words] raw wire bytes packed as f32
@@ -63,6 +66,22 @@ class ShardedScannerChain:
         self.waterfall = waterfall
         spectrogram.validate_width(waterfall)
         self.use_pallas = use_pallas
+        self.n_time = mesh.shape[TIME_AXIS]
+        self.n_stream = mesh.shape[STREAM_AXIS]
+        assert self.block.subchunks_per_step % self.n_time == 0, (
+            "subchunks_per_step must divide evenly across the time axis")
+        k_local = self.block.subchunks_per_step // self.n_time
+        # FUSED flagship path (the engine bench.py records): in-kernel DC
+        # blockers + wire decode, GROUP-major band handoff, in-kernel RSSI
+        # segments and CTCSS DFT.  All-or-nothing like the single-chip
+        # gating (scanner/chain.py): the group geometry needs K % 8 == 0
+        # PER SHARD; otherwise the round-1 per-op kernel set runs.  The
+        # cross-shard one-pole carries use zero-init kernel runs + exact
+        # affine post-correction (parallel/fused_halo.py).
+        self.pfb_packed = pfb_packed
+        self.fused = bool(use_pallas and fuse_dc and fuse_lp_dc
+                          and fuse_rssi and fuse_group and fuse_ctcss
+                          and k_local % 8 == 0)
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
@@ -74,6 +93,17 @@ class ShardedScannerChain:
             self.pallas_audio = PallasAudioBank(
                 lowpass=lowpass, fir_deemph=fir_deemph,
                 interpret=pallas_interpret)
+        if self.fused:
+            from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
+            from sdr_pmr446_tpu.parallel import fused_halo
+            self.pallas_front = PallasFrontEnd(
+                interpret=pallas_interpret,
+                wide=input_format in ("cu8", "cs8"))
+            t_local = self.block.input_len // self.n_time
+            self._fe_consts = fused_halo.front_end_consts(
+                t_local, self.pallas_front.hist_len)
+            self._ct_consts = fused_halo.ctcss_corr_consts(
+                k_local, C.SUBCHUNK_AUDIO)
         # halo transport for the two front-end FIR histories: ppermute
         # collectives (default) or the Pallas remote-DMA ring shift
         # (kernels/halo_dma.py; interpret-simulated off-TPU)
@@ -90,10 +120,6 @@ class ShardedScannerChain:
         else:
             self._hist_resamp = halo.shard_hist
             self._hist_pfb = halo.shard_hist
-        self.n_time = mesh.shape[TIME_AXIS]
-        self.n_stream = mesh.shape[STREAM_AXIS]
-        assert self.block.subchunks_per_step % self.n_time == 0, (
-            "subchunks_per_step must divide evenly across the time axis")
 
         self.resampler = PolyResampler(D.resampler_taps(), C.RESAMP_L,
                                        C.RESAMP_M)
@@ -104,9 +130,16 @@ class ShardedScannerChain:
                             else D.deemph_fir_equiv()).astype(np.float32)
         self.deemph_hist_len = self.deemph_taps.shape[0] - 1
 
+        if len(self.step_arg_shape) == 2:
+            # fused wire formats take the kernels' native 2-D row layout
+            # [S, rows, width]: rows shard over time (row counts divide
+            # evenly — K_local % 8 == 0 implies whole rows per shard)
+            iq_spec = P(STREAM_AXIS, TIME_AXIS, None)
+        else:
+            iq_spec = P(STREAM_AXIS, TIME_AXIS)     # iq [S, T]
         in_specs = (
             jax.tree.map(lambda _: P(STREAM_AXIS), self._state_struct()),
-            P(STREAM_AXIS, TIME_AXIS),          # iq [S, T]
+            iq_spec,
             jax.tree.map(lambda _: P(), RuntimeParams(0, 0, 0, 0)),
         )
         out_specs = (
@@ -123,7 +156,9 @@ class ShardedScannerChain:
 
     # -- pytree structure helpers (specs need matching treedefs) ----------
     def _state_struct(self):
-        return init_scanner_state(self.resampler.hist_len, self.pfb.hist_len,
+        resamp_hist_len = (self.pallas_front.hist_len if self.fused
+                           else self.resampler.hist_len)
+        return init_scanner_state(resamp_hist_len, self.pfb.hist_len,
                                   self.deemph_hist_len,
                                   waterfall=self.waterfall,
                                   audio_hist_len=(self.pallas_audio.hist
@@ -146,27 +181,244 @@ class ShardedScannerChain:
             return self.block.input_len
         return decode_op.packed_len(self.block.input_len, self.input_format)
 
+    @property
+    def step_arg_shape(self) -> tuple:
+        """PREFERRED per-stream step() input shape (prepend the stream
+        axis when calling step()).  The fused wire formats take the
+        kernels' native 2-D row layout, exactly like the single-chip
+        chain (scanner/chain.py::step_arg_shape) — a free host reshape
+        of the same bytes that also lets the time axis shard whole rows."""
+        if self.fused and self.input_format != "cf32":
+            if self.input_format == "cf32w":
+                return (self.block.input_len // 128, 256)
+            return (self.step_arg_len // 128, 128)
+        return (self.step_arg_len,)
+
+    def _shape_iq(self, iq: jax.Array, lead: int) -> jax.Array:
+        """Reshape flat wire words to the fused path's [.., rows, width]
+        row layout (a free view; callers may also pre-shape)."""
+        want = self.step_arg_shape
+        if iq.ndim != lead + len(want):
+            iq = iq.reshape(iq.shape[:lead] + want)
+        return iq
+
     def step(self, state: ScannerState, iq: jax.Array,
              params: RuntimeParams):
         """iq: [n_streams, input_len] complex64 (cf32) or
-        [n_streams, step_arg_len] packed f32 wire words (cs16/cu8)."""
-        return self._step(state, iq, params)
+        [n_streams, *step_arg_shape] packed f32 wire words (cs16/cu8/
+        cf32w; flat [n_streams, step_arg_len] also accepted)."""
+        return self._step(state, self._shape_iq(iq, 1), params)
 
     def multi_step(self, state: ScannerState, iqs: jax.Array,
                    params: RuntimeParams):
         """S stacked blocks in one dispatch: iqs [S, n_streams,
-        step_arg_len]; output leaves come back [n_streams, S*K, ...] —
+        *step_arg_shape]; output leaves come back [n_streams, S*K, ...] —
         per stream and in order, equal to S step() calls (decisions
         exactly, floats to f32 rounding; tests/test_multistep.py — see
         runtime/fuse.py for the rationale)."""
-        return self._multi_step(state, iqs, params)
+        return self._multi_step(state, self._shape_iq(iqs, 2), params)
 
     # ------------------------------------------------------------------
     def _step_shard(self, state: ScannerState, iq: jax.Array,
                     params: RuntimeParams):
         """Per-device body under shard_map: iq [S_local, T_local]."""
-        single = functools.partial(self._step_one_stream, params=params)
+        fn = (self._step_one_stream_fused if self.fused
+              else self._step_one_stream)
+        single = functools.partial(fn, params=params)
         return jax.vmap(single)(state, iq)
+
+    def _step_one_stream_fused(self, state: ScannerState, iq: jax.Array,
+                               params: RuntimeParams):
+        """The FLAGSHIP fused engine, time-sharded.
+
+        Per shard: the unmodified fused kernels run with ZERO incoming
+        one-pole state; the exact incoming state is recovered by a tiny
+        gathered fold and applied as affine post-corrections (band ramp +
+        history block for the IQ blocker, geometric-phasor tone-sum terms
+        for the CTCSS-branch blocker) — parallel/fused_halo.py.  FIR-class
+        carries (resampler history, PFB group row, discriminator previous
+        frame, audio look-behind) move as plain halos of materialized
+        kernel outputs.  The FSM schedule and detection chains run
+        replicated on all-gathered [K, 16] RSSI / [K, 38] tone sums,
+        exactly like the round-1 sharded path."""
+        from sdr_pmr446_tpu.parallel import fused_halo as FH
+        from sdr_pmr446_tpu.kernels.pfb_demod import last_frame_output
+        from sdr_pmr446_tpu.scanner.fsm import (fsm_phase_a,
+                                                raw_sums_to_ctcss,
+                                                fsm_phase_c)
+        ax = TIME_AXIS
+        ntime = self.n_time
+        d = jax.lax.axis_index(ax)
+        K = self.block.subchunks_per_step
+        K_local = K // ntime
+        ns = C.SUBCHUNK_AUDIO
+        fmt = self.input_format
+        fe = self.pallas_front
+        fc = self._fe_consts
+
+        # 0. the DC blocker's x[-1] is exact via a 1-sample halo (the
+        # last raw sample decodes in a few scalar XLA ops per format)
+        if fmt == "cf32":
+            xlast = iq[-1].astype(jnp.complex64)
+        elif fmt == "cf32w":
+            r = iq.shape[0]
+            xlast = jax.lax.complex(iq[r - 1, 254], iq[r - 1, 255])
+        else:
+            r = iq.shape[0]
+            xr_l, xi_l = decode_op.decode_planes(iq[r - 1, 127:128], fmt)
+            i_last = 1 if fmt in ("cu8", "cs8") else 0
+            xlast = jax.lax.complex(xr_l[i_last], xi_l[i_last])
+        dcx_in, dcx_carry = halo.shard_scalar_prev(state.dc_x,
+                                                   xlast[None], ax)
+
+        # 1+2. fused front end from zero y / zero history (group output)
+        zy = jnp.zeros((), jnp.complex64)
+        zh = jnp.zeros((fe.hist_len,), jnp.complex64)
+        if fmt == "cf32w":
+            _, dcy0, hist0, bwr0, bwi0 = fe.apply_interleaved(
+                dcx_in, zy, zh, iq, group_out=True)
+        elif fmt == "cs16":
+            _, dcy0, hist0, bwr0, bwi0 = fe.apply_packed(
+                dcx_in, zy, zh, iq, group_out=True)
+        elif fmt in ("cu8", "cs8"):
+            _, dcy0, hist0, bwr0, bwi0 = fe.apply_packed2(
+                dcx_in, zy, zh, iq, fmt, group_out=True)
+        else:
+            _, dcy0, hist0, bwr0, bwi0 = fe.apply_iq(
+                dcx_in, zy, zh, iq, group_out=True)
+
+        # compose the IQ DC y across shards (g=0: x[-1] was exact) and
+        # correct the carried history + the band planes
+        y_in, _, dcy_carry, _ = FH.compose_dc_chain(
+            dcy0, xlast, state.dc_y, state.dc_x, fc["p_t1"], 0.0, ax)
+        tail_true = hist0 + y_in * jnp.asarray(fc["tail_ramp"])
+        hist_in, rh_carry = FH.shard_pass_right(state.resamp_hist,
+                                                tail_true, ax)
+        bwr = FH.correct_band(bwr0, jnp.real(y_in).astype(jnp.float32),
+                              jnp.real(hist_in).astype(jnp.float32), fc)
+        bwi = FH.correct_band(bwi0, jnp.imag(y_in).astype(jnp.float32),
+                              jnp.imag(hist_in).astype(jnp.float32), fc)
+
+        # 3-5. PFB group kernel: one-group-row history halo + the 416-tap
+        # last-frame discriminator halo (same recipe as the row path)
+        g_local = bwr.shape[0]
+        f_local = 25 * g_local
+        parity_d = (state.frame_parity + d * f_local) % 2
+        band_r = bwr.reshape(-1)
+        band_i = bwi.reshape(-1)
+        lsign = (1.0 - 2.0 * ((parity_d + f_local - 1) % 2)
+                 ).astype(jnp.float32)
+        cand = last_frame_output(band_r[-416:], band_i[-416:], lsign)
+        fm_prev, fm_carry = halo.shard_scalar_prev(state.demod_prev,
+                                                   cand[:, None], ax)
+        tail_row = jax.lax.complex(bwr[g_local - 1], bwi[g_local - 1])
+        pfb_hist_in, ph_carry = FH.shard_pass_right(state.pfb_hist,
+                                                    tail_row, ax)
+        demod3, mag_sums, _, _, _ = self.pallas_pfb.call_group(
+            bwr, bwi, pfb_hist_in, parity_d, fm_prev, ns,
+            packed=self.pfb_packed)
+        new_parity = (state.frame_parity + ntime * f_local) % 2
+        rssi_local = 20.0 * jnp.log10(
+            jnp.maximum(mag_sums * (1.0 / ns), 1e-30))     # [K_local, 16]
+        demod = demod3.reshape(C.NUM_CHANNELS, K_local * ns)
+
+        # 6b. waterfall rows on the corrected local band shard
+        wf_cnt = state.wf_cnt
+        if self.waterfall > 0:
+            band = jax.lax.complex(band_r, band_i)
+            wf_hist_loc, wf_carry = halo.shard_hist(
+                state.wf_hist, band, spectrogram.hist_len(self.waterfall),
+                ax)
+            if spectrogram.uses_fast_path(self.waterfall):
+                _, wf_rows = spectrogram.asgram_rows(
+                    wf_hist_loc, band, K_local, self.waterfall)
+            else:
+                s_local = K_local * C.SUBCHUNK_RESAMP
+                _, _, wf_rows = spectrogram.asgram_rows_any(
+                    wf_hist_loc, state.wf_cnt, band, K_local,
+                    self.waterfall, cnt_offset=d * s_local)
+                delay = self.waterfall // 4
+                wf_cnt = (state.wf_cnt + ntime * s_local) % delay
+        else:
+            wf_carry = state.wf_hist
+            wf_rows = jnp.zeros((K_local, 0), jnp.float32)
+
+        # 7a. replicated RSSI-only schedule from the gathered sums
+        rssi_all = jax.lax.all_gather(rssi_local, ax, tiled=True)  # [K, 16]
+        carry_in = FsmCarry(state.fsm_state, state.active_chan, state.rssi,
+                            state.ct_count, state.ct_carry,
+                            state.ct_detected, state.ct_max_idx,
+                            state.ct_freq)
+        sched = fsm_phase_a(carry_in, rssi_all, params.channel_mask,
+                            params.squelch_level, params.lock_max, ns)
+        sel_all = jnp.clip(sched.act2, 0, C.NUM_CHANNELS - 1)
+        off = d * K_local
+        sel_loc = jax.lax.dynamic_slice_in_dim(sel_all, off, K_local)
+        b_loc = jax.lax.dynamic_slice_in_dim(sched.b_arr, off, K_local)
+
+        # 6. fused audio bank + in-kernel CTCSS DFT from zero lp-DC state;
+        # the zero-state error in the tone sums is delta * zeta^pos —
+        # added back exactly from host-float64 geometric-phasor tables
+        ah_local, ah_carry = halo.shard_hist(
+            state.audio_hist, demod, state.audio_hist.shape[-1], ax)
+        z16 = jnp.zeros((C.NUM_CHANNELS,), jnp.float32)
+        _, ndx0, dcy0_lp, audio_all, raw_pre, raw_mem = \
+            self.pallas_audio.apply_dc_ctcss(
+                ah_local, z16, z16, demod, params.audio_gain, b_loc,
+                sel_loc, out_len=K_local * ns, ns=ns)
+        cc = self._ct_consts
+        _, delta_lp, lpy_carry, lpx_carry = FH.compose_dc_chain(
+            dcy0_lp, ndx0, state.lp_dc_y, state.lp_dc_x, cc["p_t1"],
+            FH._G, ax)
+        delta_sel = jnp.take(delta_lp, sel_loc)            # [K_local]
+        raw_pre, raw_mem = FH.correct_raw_sums(raw_pre, raw_mem,
+                                               delta_sel, b_loc, cc, ns)
+
+        # 7b. gather tone sums; replicated detection chains.  period =
+        # K_local: each shard's kernel phase restarts at its own sample 0
+        pre_all = jax.lax.all_gather(raw_pre, ax, tiled=True)   # [K, 38]
+        mem_all = jax.lax.all_gather(raw_mem, ax, tiled=True)
+        s_pre, s_suf = raw_sums_to_ctcss(sched, pre_all, mem_all, ns,
+                                         period=K_local)
+        carry_out, fo = fsm_phase_c(carry_in, sched, s_pre, s_suf)
+
+        # 8. local audio selection straight from the padded kernel plane
+        cols = (jnp.arange(K_local, dtype=jnp.int32)[:, None] * ns
+                + jnp.arange(ns, dtype=jnp.int32)[None, :])   # [K_local, ns]
+        audio_sel = audio_all[sel_loc[:, None], cols]
+
+        loc = lambda a: jax.lax.dynamic_slice_in_dim(a, off, K_local)
+        outputs = StepOutputs(
+            audio=audio_sel, audio_valid=loc(fo.active_chan >= 0),
+            active_chan=loc(fo.active_chan), rel_rssi=loc(fo.rel_rssi),
+            rssi_db=rssi_local,
+            ev_tuned=loc(fo.ev_tuned), ev_detuned=loc(fo.ev_detuned),
+            ev_changed=loc(fo.ev_changed), ev_prev_chan=loc(fo.ev_prev_chan),
+            ev_new_chan=loc(fo.ev_new_chan),
+            ct_detected=loc(fo.ct_detected), ct_max_idx=loc(fo.ct_max_idx),
+            ct_freq=loc(fo.ct_freq),
+            ev_ct_acquired=loc(fo.ev_ct_acquired),
+            ev_ct_changed=loc(fo.ev_ct_changed),
+            ev_ct_lost=loc(fo.ev_ct_lost),
+            waterfall=wf_rows,
+        )
+        new_state = ScannerState(
+            dc_x=dcx_carry, dc_y=dcy_carry, resamp_hist=rh_carry,
+            pfb_hist=ph_carry, frame_parity=new_parity,
+            demod_prev=fm_carry,
+            hp_hist=state.hp_hist, delay_hist=state.delay_hist,
+            lp_dc_x=lpx_carry, lp_dc_y=lpy_carry,
+            deemph_hist=state.deemph_hist,
+            audio_lp_hist=state.audio_lp_hist, audio_hist=ah_carry,
+            fsm_state=carry_out.fsm_state,
+            active_chan=carry_out.active_chan,
+            rssi=carry_out.rssi, ct_count=carry_out.ct_count,
+            ct_carry=carry_out.ct_carry,
+            ct_detected=carry_out.ct_detected,
+            ct_max_idx=carry_out.ct_max_idx, ct_freq=carry_out.ct_freq,
+            wf_hist=wf_carry, wf_cnt=wf_cnt,
+        )
+        return new_state, outputs
 
     def _step_one_stream(self, state: ScannerState, iq: jax.Array,
                          params: RuntimeParams):

@@ -475,25 +475,31 @@ def fsm_tone_sums(sched: FsmSchedule, lp: jax.Array | None,
 
 
 @functools.lru_cache(maxsize=None)
-def _window_corr_table(k: int, ns: int) -> np.ndarray:
-    """corr[k, t] = e^{+j w_t ns k}: undoes the kernel DFT's global phase
-    (it sums x_p e^{-j w p}; the window wants e^{-j w (p - ns k)})."""
+def _window_corr_table(k: int, ns: int,
+                       period: int | None = None) -> np.ndarray:
+    """corr[k, t] = e^{+j w_t ns (k mod period)}: undoes the kernel DFT's
+    global phase (it sums x_p e^{-j w p}; the window wants
+    e^{-j w (p - ns k)}).  ``period`` covers TIME-SHARDED kernels, whose
+    sample index restarts at 0 every K_local sub-chunks — the gathered
+    sums then carry phase e^{-j w ns (k mod K_local)} (host float64)."""
     w = 2.0 * np.pi * np.asarray(C.CTCSS_FREQS) / C.AUDIO_SAMPLERATE
-    return np.exp(1j * np.outer(np.arange(k) * float(ns),
-                                w)).astype(np.complex64)
+    idx = np.arange(k) if period is None else np.arange(k) % period
+    return np.exp(1j * np.outer(idx * float(ns), w)).astype(np.complex64)
 
 
 def raw_sums_to_ctcss(sched: FsmSchedule, raw_pre: jax.Array,
-                      raw_mem: jax.Array, ns: int):
+                      raw_mem: jax.Array, ns: int,
+                      period: int | None = None):
     """(s_pre, s_suf) [K, 38] c64 from a kernel's global-phase DFT sums
     (PallasAudioBank.apply_dc_ctcss): raw_pre = pre-boundary sum, raw_mem
     = whole-sub-chunk sum, both of the SELECTED channel.  Applies the
     per-sub-chunk window phase (corr), the carried in-window phase (u)
     and the wrap factor — all [K, 38] scalar tables; same fixed point as
-    fsm_tone_sums to f32 rounding (test-gated)."""
+    fsm_tone_sums to f32 rounding (test-gated).  ``period`` = K_local for
+    time-sharded kernel sums (see _window_corr_table)."""
     k = raw_pre.shape[0]
     n_win = C.CTCSS_BLOCK_SIZE
-    corr = jnp.asarray(_window_corr_table(k, ns))
+    corr = jnp.asarray(_window_corr_table(k, ns, period))
     u_table = jnp.asarray(_count_phasor_table())
     wrap = jnp.asarray(np.exp(
         1j * 2.0 * np.pi * np.asarray(C.CTCSS_FREQS)

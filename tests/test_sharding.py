@@ -426,3 +426,110 @@ def test_sharded_packed_input_equals_cf32(fmt):
             np.testing.assert_array_equal(
                 np.asarray(getattr(o_r, f)), np.asarray(getattr(o_p, f)),
                 err_msg=f"{fmt} field {f} step {i}")
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP fused engine, time-sharded (round 4): the exact configuration
+# bench.py records (fused front end + GROUP band + in-kernel RSSI/DC/CTCSS)
+# running through ShardedScannerChain with zero-init kernel runs + affine
+# post-correction (parallel/fused_halo.py).
+# ---------------------------------------------------------------------------
+
+def _iq_to_wire(sig, fmt, shape):
+    from sdr_pmr446_tpu.ops import decode as decode_op
+    if fmt == "cf32w":
+        w = np.empty(2 * len(sig), np.float32)
+        w[0::2] = np.asarray(sig).real
+        w[1::2] = np.asarray(sig).imag
+        return w.reshape(shape)
+    return decode_op.pack_iq(np.asarray(sig), fmt).reshape(shape)
+
+
+def _run_fused_pair(fmt, K, nt, n_steps=2, waterfall=0):
+    """(refs, outs): single-chip flagship vs fused sharded, same wire."""
+    step_len = K * C.SUBCHUNK_IN
+    iq = synth.make_scanner_iq(n_steps * step_len, channel=5, ctcss_code=12)
+    params = make_runtime_params(C.ScannerArgs())
+    if fmt in ("cs16", "cu8"):
+        from sdr_pmr446_tpu.ops import decode as decode_op
+        raw = decode_op.pack_iq(np.asarray(iq), fmt)
+
+    ref_chain = ScannerChain(C.BlockConfig(K), use_pallas=True,
+                             pallas_interpret=True, input_format=fmt,
+                             waterfall=waterfall)
+    assert ref_chain.fuse_group and ref_chain.fuse_ctcss
+    wl = ref_chain.step_arg_len
+    st1 = ref_chain.init_state()
+    refs = []
+    for i in range(n_steps):
+        if fmt == "cf32w":
+            w = _iq_to_wire(iq[i * step_len:(i + 1) * step_len], fmt,
+                            ref_chain.step_arg_shape)
+        else:
+            w = raw[i * wl:(i + 1) * wl].reshape(ref_chain.step_arg_shape)
+        st1, o = ref_chain.step(st1, jnp.asarray(w), params)
+        refs.append(jax.tree.map(np.asarray, o))
+
+    mesh = make_mesh(1, nt)
+    chain = ShardedScannerChain(mesh, C.BlockConfig(K), use_pallas=True,
+                                pallas_interpret=True, input_format=fmt,
+                                waterfall=waterfall)
+    assert chain.fused, "flagship fused sharded path must engage"
+    st2 = chain.init_state(1)
+    outs = []
+    for i in range(n_steps):
+        if fmt == "cf32w":
+            w = _iq_to_wire(iq[i * step_len:(i + 1) * step_len], fmt,
+                            chain.step_arg_shape)
+        else:
+            w = raw[i * wl:(i + 1) * wl].reshape(chain.step_arg_shape)
+        st2, o = chain.step(st2, jnp.asarray(w)[None], params)
+        outs.append(jax.tree.map(np.asarray, o))
+    return refs, outs
+
+
+def _assert_fused_equal(refs, outs):
+    for i, (ref, out) in enumerate(zip(refs, outs)):
+        # decisions + events EXACT (the group-path gate,
+        # tests/test_group_band.py); audio/rssi to f32-correction rounding
+        for f in ("active_chan", "ct_detected", "ct_max_idx", "ev_tuned",
+                  "ev_detuned", "ev_changed", "ev_prev_chan", "ev_new_chan",
+                  "ev_ct_acquired", "ev_ct_changed", "ev_ct_lost",
+                  "audio_valid"):
+            np.testing.assert_array_equal(getattr(out, f)[0],
+                                          getattr(ref, f),
+                                          err_msg=f"{f} step {i}")
+        np.testing.assert_allclose(out.rssi_db[0], ref.rssi_db, rtol=0,
+                                   atol=5e-3, err_msg=f"rssi step {i}")
+        np.testing.assert_allclose(out.audio[0], ref.audio, rtol=0,
+                                   atol=1e-3, err_msg=f"audio step {i}")
+        assert np.max(np.abs(out.audio[0] - ref.audio)) < 1e-4
+        if ref.waterfall.shape[-1]:
+            np.testing.assert_allclose(out.waterfall[0], ref.waterfall,
+                                       rtol=0, atol=0.05,
+                                       err_msg=f"waterfall step {i}")
+
+
+def test_sharded_fused_flagship_equals_unsharded():
+    """The RECORDED engine (cf32w fused-group chain) time-sharded over 2
+    devices == the single-chip flagship, across two streaming steps (so
+    every cross-shard carry — IQ DC affine, resampler history, PFB group
+    row, discriminator frame, audio look-behind, lp-DC affine, CTCSS
+    phase/carry — survives a step boundary)."""
+    refs, outs = _run_fused_pair("cf32w", K=16, nt=2)
+    _assert_fused_equal(refs, outs)
+
+
+@pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+def test_sharded_fused_packed_formats(fmt):
+    """In-kernel wire decode (cs16 narrow / cu8 wide-row) under time
+    sharding: same wire bytes, same decisions, audio to the group gate."""
+    refs, outs = _run_fused_pair(fmt, K=16, nt=2, n_steps=1)
+    _assert_fused_equal(refs, outs)
+
+
+def test_sharded_fused_waterfall_four_shards():
+    """Waterfall tap on the CORRECTED band planes, 4 time shards."""
+    refs, outs = _run_fused_pair("cf32w", K=32, nt=4, n_steps=1,
+                                 waterfall=64)
+    _assert_fused_equal(refs, outs)
