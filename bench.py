@@ -466,23 +466,43 @@ def main() -> int:
         from sdr_pmr446_tpu.scanner.chain import make_runtime_params
         n_streams = 8
         mesh = make_mesh(1, 1)
-        # 8 streams move 8x the bytes per step: K=10 keeps the aggregate
-        # rate within the measured HBM envelope (see scanner ladder note)
-        attempts = ([(k, True), (k, False)] if k else
-                    [(10, True), (10, False)])
+        # 8 streams move 8x the bytes per step; the flagship rung feeds
+        # the cf32w WIRE at K=8 (the fused engine's smallest group
+        # geometry — 51 MB/step, under the old K=10 cf32 feed), so
+        # multi-capture serving runs the exact engine bench records
+        # (round-4: ShardedScannerChain auto-engages it at K % 8 == 0)
+        attempts = ([(k, True, "cf32w"), (k, True, "cf32"),
+                     (k, False, "cf32")] if k else
+                    [(8, True, "cf32w"), (10, True, "cf32"),
+                     (10, False, "cf32")])
         chain = None
         last_err = None
-        for k_try, use_pallas in attempts:
+
+        def _stage8(chain, r0):
+            sigs = [synth.make_scanner_iq(chain.block.input_len,
+                                          channel=2 + s, ctcss_code=3 + s,
+                                          seed=r0 * 8 + s)
+                    for s in range(n_streams)]
+            if chain.input_format == "cf32w":
+                ws = []
+                for sig in sigs:
+                    w = np.empty(2 * sig.shape[0], np.float32)
+                    w[0::2] = sig.real
+                    w[1::2] = sig.imag
+                    ws.append(w.reshape(chain.step_arg_shape))
+                return jnp.asarray(np.stack(ws))
+            return jnp.asarray(np.stack(sigs), jnp.complex64)
+
+        for k_try, use_pallas, fmt in attempts:
             try:
                 chain = ShardedScannerChain(mesh, C.BlockConfig(k_try),
-                                            use_pallas=use_pallas)
+                                            use_pallas=use_pallas,
+                                            input_format=fmt)
+                if fmt == "cf32w" and not chain.fused:
+                    raise RuntimeError("fused batch8 rung did not engage")
                 state = chain.init_state(n_streams)
                 n = chain.block.input_len * n_streams
-                iq = jnp.asarray(np.stack([
-                    synth.make_scanner_iq(chain.block.input_len,
-                                          channel=2 + s, ctcss_code=3 + s,
-                                          seed=s)
-                    for s in range(n_streams)]), jnp.complex64)
+                iq = _stage8(chain, 0)
                 params8 = make_runtime_params(C.ScannerArgs())
                 state, out = chain.step(state, iq, params8)
                 jax.block_until_ready(out)
@@ -491,15 +511,12 @@ def main() -> int:
             except Exception as e:
                 last_err = e
                 print(f"bench: batch8 rung (K={k_try}, "
-                      f"pallas={use_pallas}) failed: {e}", file=sys.stderr)
+                      f"pallas={use_pallas}, {fmt}) failed: {e}",
+                      file=sys.stderr)
                 chain = None
         if chain is None:
             raise last_err
-        iqs = [jnp.asarray(np.stack([
-            synth.make_scanner_iq(chain.block.input_len, channel=2 + s,
-                                  ctcss_code=3 + s, seed=8 * r + s)
-            for s in range(n_streams)]), jnp.complex64)
-            for r in range(n_rot)]
+        iqs = [_stage8(chain, r) for r in range(n_rot)]
         variants = [
             (iqs[i % n_rot],
              params8._replace(squelch_level=jnp.float32(
@@ -541,7 +558,7 @@ def main() -> int:
             min_b = _min_traffic(chain, args.input_format,
                                  waterfall=args.config == "waterfall")
         elif args.config == "batch8":
-            min_b = _min_traffic(chain, "cf32")
+            min_b = _min_traffic(chain, chain.input_format)
         else:
             min_b = _min_traffic(None, "cf32")
         bound = envelope_gbps * 1e9 / min_b / 1e6

@@ -82,6 +82,10 @@ class ShardedScannerChain:
         self.fused = bool(use_pallas and fuse_dc and fuse_lp_dc
                           and fuse_rssi and fuse_group and fuse_ctcss
                           and k_local % 8 == 0)
+        # mirror the single-chip chain's flag names so engine-keyed
+        # consumers (bench._min_traffic) see the configuration that ran
+        self.fuse_dc = self.fuse_lp_dc = self.fuse_rssi = self.fused
+        self.fuse_group = self.fuse_ctcss = self.fused
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
