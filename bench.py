@@ -27,6 +27,7 @@ correction).
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -159,6 +160,47 @@ def _measure(step, state, inputs, n_samples_per_step, iters, warmup, secs,
 #: 157 GB with 37 ms RTT subtracted; RESULTS.md) — the fallback cap when
 #: the live probe cannot produce a sound number
 DEFAULT_ENVELOPE_GBPS = 773.0
+
+def _try_rungs(name, attempts, build):
+    """Build the first chain rung that constructs + compiles; returns
+    (chain, k).  Rungs: fused-Pallas first (use_pallas=True — compiles on
+    real TPUs only), XLA fallback (same ladder idea as the scanner's)."""
+    import jax
+    import jax.numpy as jnp
+    last_err = None
+    for k_try, use_pallas in attempts:
+        try:
+            chain = build(k_try, use_pallas)
+            st = chain.init_state()
+            if chain.input_format == "cf32":
+                x = jnp.zeros((chain.input_len,), jnp.complex64)
+            else:
+                x = jnp.zeros(chain.step_arg_shape, jnp.float32)
+            _, out = chain.step(st, x)
+            jax.block_until_ready(out)
+            return chain, k_try
+        except Exception as e:
+            last_err = e
+            print(f"bench: {name} rung (K={k_try}, pallas={use_pallas}) "
+                  f"failed: {e}", file=sys.stderr)
+    raise last_err
+
+
+def _stage_wire(chain, seed, channel):
+    """Synth realization ``seed`` staged in the chain's preferred input
+    form: complex64 for cf32, the cf32w wire rows otherwise."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.io import synth
+    sig = synth.make_scanner_iq(chain.input_len, channel=channel, seed=seed)
+    if chain.input_format == "cf32":
+        return jnp.asarray(sig, jnp.complex64)
+    assert chain.input_format == "cf32w"
+    w = np.empty(2 * sig.shape[0], np.float32)
+    w[0::2] = sig.real
+    w[1::2] = sig.imag
+    return jnp.asarray(w.reshape(chain.step_arg_shape))
+
 
 def _min_traffic(chain=None, input_format: str = "cf32",
                  waterfall: bool = False) -> float:
@@ -437,25 +479,31 @@ def main() -> int:
         }[args.config]
     elif args.config == "single":
         from sdr_pmr446_tpu.scanner.single import SingleChannelChain
-        # K=20 (16 MB/step): these simpler chains have a lower dispatch
-        # floor, so the physically-defensible geometry is smaller than the
-        # scanner's (see the scanner ladder note)
-        k = k or 20
-        chain = SingleChannelChain(channel=5, subchunks_per_step=k)
+        # fused-engine rung first (K=16: the smallest %8 geometry above
+        # the old K=20's byte budget floor — these simpler chains have a
+        # lower dispatch floor than the scanner's, see the ladder note);
+        # XLA K=20 fallback
+        chain, k = _try_rungs(
+            "single",
+            ([(k, True), (k, False)] if k else [(16, True), (20, False)]),
+            lambda k_try, pal: SingleChannelChain(
+                channel=5, subchunks_per_step=k_try, use_pallas=pal,
+                input_format="cf32w" if pal else "cf32"))
         state = chain.init_state()
         n = chain.input_len
-        iq = jnp.asarray(synth.make_scanner_iq(n, channel=5),
-                         jnp.complex64)
-        # per-step uniqueness: rotate realizations + a tiny unique complex
-        # offset fused into the chain's first input touch (no extra HBM pass)
+        mk = functools.partial(_stage_wire, chain, channel=5)
+        iq = mk(0)
+        # per-step uniqueness: rotate realizations + a tiny unique offset
+        # fused into the chain's first input touch (no extra HBM pass)
         base_step = chain.step
         step = jax.jit(lambda st, x, eps: base_step(st, x + eps),
                        donate_argnums=(0,))
-        iqs = [jnp.asarray(synth.make_scanner_iq(n, channel=5, seed=s),
-                           jnp.complex64) for s in range(n_rot)]
-        variants = [(iqs[i % n_rot], jnp.complex64(1e-7 * (i + 1)))
+        iqs = [mk(s) for s in range(n_rot)]
+        eps_t = (jnp.float32 if chain.input_format != "cf32"
+                 else jnp.complex64)
+        variants = [(iqs[i % n_rot], eps_t(1e-7 * (i + 1)))
                     for i in range(args.warmup + args.repeats * args.iters)]
-        inputs = (iq, jnp.complex64(0.0))
+        inputs = (iq, eps_t(0.0))
         metric = "single-channel NBFM chain input throughput per chip"
     elif args.config == "batch8":
         # aggregate throughput over 8 independent IQ streams on one chip
@@ -527,20 +575,25 @@ def main() -> int:
         metric = "16ch scanner chain, 8-stream batch, aggregate per chip"
     else:
         from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
-        k = k or 20        # 16 MB/step — see the `single` note
-        chain = DsdInChain(subchunks_per_step=k)
+        chain, k = _try_rungs(
+            "dsd",
+            ([(k, True), (k, False)] if k else [(16, True), (20, False)]),
+            lambda k_try, pal: DsdInChain(
+                subchunks_per_step=k_try, use_pallas=pal,
+                input_format="cf32w" if pal else "cf32"))
         state = chain.init_state()
         n = chain.input_len
-        iq = jnp.asarray(synth.make_scanner_iq(n, channel=8),
-                         jnp.complex64)
+        mk = functools.partial(_stage_wire, chain, channel=8)
+        iq = mk(0)
         base_step = chain.step
         step = jax.jit(lambda st, x, eps: base_step(st, x + eps),
                        donate_argnums=(0,))
-        iqs = [jnp.asarray(synth.make_scanner_iq(n, channel=8, seed=s),
-                           jnp.complex64) for s in range(n_rot)]
-        variants = [(iqs[i % n_rot], jnp.complex64(1e-7 * (i + 1)))
+        iqs = [mk(s) for s in range(n_rot)]
+        eps_t = (jnp.float32 if chain.input_format != "cf32"
+                 else jnp.complex64)
+        variants = [(iqs[i % n_rot], eps_t(1e-7 * (i + 1)))
                     for i in range(args.warmup + args.repeats * args.iters)]
-        inputs = (iq, jnp.complex64(0.0))
+        inputs = (iq, eps_t(0.0))
         metric = "dsd_in chain input throughput per chip"
 
     msps = _measure(step, state, inputs, n, args.iters, args.warmup,
@@ -559,6 +612,13 @@ def main() -> int:
                                  waterfall=args.config == "waterfall")
         elif args.config == "batch8":
             min_b = _min_traffic(chain, chain.input_format)
+        elif getattr(chain, "use_pallas", False):
+            # fused dsd/single: wire read + the band-plane write+read
+            # between the front-end and tail kernels (2 planes x f32 x
+            # 25/128 rate each way = 3.125 B/sample) — output writes are
+            # crumbs (<=0.2 B/sample)
+            from sdr_pmr446_tpu.utils.traffic import WIRE_BYTES
+            min_b = WIRE_BYTES[chain.input_format] + 3.125
         else:
             min_b = _min_traffic(None, "cf32")
         bound = envelope_gbps * 1e9 / min_b / 1e6

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="for cs16/cu8 captures: ship the raw wire bytes to "
                         "the device and decode there (2-4x less "
                         "host->device traffic)")
+    p.add_argument("--engine",
+                   choices=["auto", "xla", "pallas", "pallas-interpret"],
+                   default="auto",
+                   help="auto: fused Pallas kernels on TPU (needs "
+                        "--subchunks-per-step %% 8 == 0; falls back to "
+                        "XLA otherwise), XLA elsewhere")
     return p
 
 
@@ -67,8 +73,27 @@ def main(argv=None) -> int:
                           "(got format %r)",
                           "/".join(decode.PACKED_FORMATS), fmt)
             return 1
+    from sdr_pmr446_tpu.runtime.driver import resolve_engine
+    engine = resolve_engine(ns.engine)
+    use_pallas = engine.startswith("pallas")
+    if use_pallas and ns.subchunks_per_step % 8 != 0:
+        if ns.engine == "auto":
+            logging.info("engine auto: K=%d %% 8 != 0 — the fused group "
+                         "geometry needs multiples of 8, using XLA",
+                         ns.subchunks_per_step)
+            use_pallas = False
+        else:
+            logging.error("--engine %s needs --subchunks-per-step %% 8 "
+                          "== 0 (group-band geometry)", ns.engine)
+            return 1
+    import jax
     chain = DsdInChain(subchunks_per_step=ns.subchunks_per_step,
-                       input_format=packed_fmt or "cf32")
+                       input_format=packed_fmt or "cf32",
+                       use_pallas=use_pallas,
+                       # Mosaic lowers on real TPUs only (scan_batch
+                       # does the same off-TPU)
+                       pallas_interpret=(engine == "pallas-interpret"
+                                         or jax.default_backend() != "tpu"))
     live_source = None
     if live:
         # live network SDR at the -f frequency (reference init_soapy role,

@@ -717,8 +717,10 @@ class PallasFrontEnd:
         self.consts = _row_consts_wide() if wide else _row_consts()
 
     def init_state(self):
-        z = jnp.zeros((), jnp.complex64)
-        return z, z, jnp.zeros((self.hist_len,), jnp.complex64)
+        # distinct arrays: donated jit args must not alias (f(donate(a),
+        # donate(a)) is rejected by the runtime)
+        return (jnp.zeros((), jnp.complex64), jnp.zeros((), jnp.complex64),
+                jnp.zeros((self.hist_len,), jnp.complex64))
 
     def apply(self, dc_x: jax.Array, dc_y: jax.Array, hist: jax.Array,
               x: jax.Array):

@@ -62,15 +62,36 @@ class DsdState(NamedTuple):
     up_hist: jax.Array
 
 
+class PallasDsdState(NamedTuple):
+    """Fused-engine state: the front end carries 384 DC-blocked samples
+    (kernels/front_end.py), the tail two band group rows + the last
+    decimated sample + 50 demod samples (kernels/chan_tail.py)."""
+    dc_x: jax.Array          # c64 []
+    dc_y: jax.Array          # c64 []
+    front_hist: jax.Array    # c64 [384 | 512]
+    band_hist: jax.Array     # c64 [2*400]
+    sig_prev: jax.Array      # c64 []
+    demod_hist: jax.Array    # f32 [2*25]
+
+
 class DsdOutputs(NamedTuple):
     pcm: jax.Array        # i16 [T_in * 3 // 64]  48 kHz s16le audio
 
 
 class DsdInChain:
-    """Jittable block step: (state, iq[T]) -> (state', s16 pcm [T*3/64])."""
+    """Jittable block step: (state, iq[T]) -> (state', s16 pcm [T*3/64]).
+
+    ``use_pallas`` (needs subchunks_per_step % 8 == 0 for the group-band
+    geometry) runs the FUSED engine: the scanner's front-end kernel
+    (in-kernel DC blocker + wire decode + 25/128 resampler, GROUP-major
+    band) feeding one tail kernel (16x decimator + discriminator + 96/25
+    upsampler + s16 scale/clip, kernels/chan_tail.py) — two kernel
+    launches for the whole chain, band planes the only intermediate HBM.
+    """
 
     def __init__(self, subchunks_per_step: int = 10,
-                 input_format: str = "cf32"):
+                 input_format: str = "cf32", use_pallas: bool = False,
+                 pallas_interpret: bool = False):
         self.input_len = subchunks_per_step * C.SUBCHUNK_IN
         assert self.input_len % C.INPUT_GRANULE == 0
         # "cs16"/"cu8": step takes raw wire bytes packed as f32 words and
@@ -79,6 +100,17 @@ class DsdInChain:
         if input_format != "cf32" and \
                 input_format not in decode_op.PACKED_FORMATS:
             raise ValueError(f"unsupported input_format: {input_format!r}")
+        if use_pallas and subchunks_per_step % 8 != 0:
+            raise ValueError("the fused dsd engine needs "
+                             "subchunks_per_step % 8 == 0 (group band)")
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
+            from sdr_pmr446_tpu.kernels.chan_tail import PallasChanTail
+            self.front = PallasFrontEnd(
+                interpret=pallas_interpret,
+                wide=input_format in ("cu8", "cs8"))
+            self.tail = PallasChanTail("dsd", interpret=pallas_interpret)
         self.res1 = PolyResampler(D.resampler_taps(), C.RESAMP_L, C.RESAMP_M)
         self.res2 = PolyResampler(np.asarray(stage2_taps()), 1, 16)
         self.up = PolyResampler(np.asarray(up_taps()), 96, 25)
@@ -93,7 +125,21 @@ class DsdInChain:
             return self.input_len
         return decode_op.packed_len(self.input_len, self.input_format)
 
-    def init_state(self) -> DsdState:
+    @property
+    def step_arg_shape(self) -> tuple:
+        """Preferred input shape: the fused wire formats take the
+        kernels' 2-D row layout (scanner/chain.py rationale)."""
+        if self.use_pallas and self.input_format != "cf32":
+            if self.input_format == "cf32w":
+                return (self.input_len // 128, 256)
+            return (self.step_arg_len // 128, 128)
+        return (self.step_arg_len,)
+
+    def init_state(self):
+        if self.use_pallas:
+            dc_x, dc_y, fh = self.front.init_state()
+            bh, sp, dh = self.tail.init_state()
+            return PallasDsdState(dc_x, dc_y, fh, bh, sp, dh)
         return DsdState(
             dc_x=jnp.zeros((), jnp.complex64),
             dc_y=jnp.zeros((), jnp.complex64),
@@ -103,15 +149,28 @@ class DsdInChain:
             up_hist=self.up.init(dtype=jnp.float32),
         )
 
-    def step(self, state: DsdState, iq: jax.Array):
+    def step(self, state, iq: jax.Array):
         return self._step(state, iq)
 
-    def multi_step(self, state: DsdState, iqs: jax.Array):
+    def multi_step(self, state, iqs: jax.Array):
         """S stacked blocks in one dispatch; pcm flattened to [S*out_len]
         — equal to S step() calls within 1 int16 LSB (runtime/fuse.py)."""
         return self._multi_step(state, iqs)
 
-    def _step_impl(self, state: DsdState, iq: jax.Array):
+    def _step_impl(self, state, iq: jax.Array):
+        if self.use_pallas:
+            from sdr_pmr446_tpu.kernels.chan_tail import front_dispatch
+            if iq.ndim == 1 and len(self.step_arg_shape) == 2:
+                iq = iq.reshape(self.step_arg_shape)
+            dc_x, dc_y, fh, bwr, bwi = front_dispatch(
+                self.front, self.input_format, state.dc_x, state.dc_y,
+                state.front_hist, iq)
+            bh, sp, dh, out48 = self.tail.apply(
+                state.band_hist, state.sig_prev, state.demod_hist,
+                bwr, bwi)
+            pcm = out48.astype(jnp.int16)      # scaled+clipped in-kernel
+            return (PallasDsdState(dc_x, dc_y, fh, bh, sp, dh),
+                    DsdOutputs(pcm=pcm))
         if self.input_format != "cf32":
             iq = decode_op.decode_complex(iq, self.input_format)
         (dc_x, dc_y), x = iir.dc_blocker_apply(

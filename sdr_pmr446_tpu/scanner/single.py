@@ -44,15 +44,51 @@ class SingleState(NamedTuple):
     n0: jax.Array          # global 200 kHz sample index (mod 32) for the mixer
 
 
+class PallasSingleState(NamedTuple):
+    """Fused-engine state (kernels/front_end.py + kernels/chan_tail.py)."""
+    dc_x: jax.Array          # c64 []
+    dc_y: jax.Array          # c64 []
+    front_hist: jax.Array    # c64 [384]
+    band_hist: jax.Array     # c64 [3*400]
+    sig_prev: jax.Array      # c64 []  (TRUE space; rot handled per step)
+    demod_hist: jax.Array    # f32 [17*25]
+    n0: jax.Array            # i32 []  band index mod 32 (mixer phase)
+
+
 class SingleChannelChain:
-    """(state, iq[T]) -> (state, audio[T*25/2048]) for one fixed channel."""
+    """(state, iq[T]) -> (state, audio[T*25/2048]) for one fixed channel.
+
+    ``use_pallas`` (needs subchunks_per_step % 8 == 0) runs the FUSED
+    engine: the scanner's front-end kernel (GROUP-major band) + one tail
+    kernel with the NCO mixer FOLDED into the complex decimator taps and
+    the (CTCSS-HP x gain x de-emphasis) stack composed into one FIR
+    matrix (kernels/chan_tail.py) — two kernel launches end to end.
+    """
 
     def __init__(self, channel: int, subchunks_per_step: int = 10,
-                 audio_gain: float = C.SDR_DEFAULT_AUDIO_GAIN):
+                 audio_gain: float = C.SDR_DEFAULT_AUDIO_GAIN,
+                 input_format: str = "cf32", use_pallas: bool = False,
+                 pallas_interpret: bool = False):
         assert 1 <= channel <= C.NUM_CHANNELS
         self.channel = channel
         self.audio_gain = audio_gain
         self.input_len = subchunks_per_step * C.SUBCHUNK_IN
+        self.input_format = input_format
+        if use_pallas and subchunks_per_step % 8 != 0:
+            raise ValueError("the fused single-channel engine needs "
+                             "subchunks_per_step % 8 == 0 (group band)")
+        if input_format != "cf32" and not use_pallas:
+            raise ValueError("wire input formats need the fused engine")
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
+            from sdr_pmr446_tpu.kernels.chan_tail import PallasChanTail
+            self.front = PallasFrontEnd(
+                interpret=pallas_interpret,
+                wide=input_format in ("cu8", "cs8"))
+            self.tail = PallasChanTail("single", channel=channel,
+                                       audio_gain=audio_gain,
+                                       interpret=pallas_interpret)
         self.res = PolyResampler(D.resampler_taps(), C.RESAMP_L, C.RESAMP_M)
         self.chf = PolyResampler(np.asarray(channel_filter_taps()), 1,
                                  C.NUM_CHANNELS)
@@ -69,7 +105,22 @@ class SingleChannelChain:
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._multi_step = fused_steps(self._step_impl)
 
-    def init_state(self) -> SingleState:
+    @property
+    def step_arg_shape(self) -> tuple:
+        from sdr_pmr446_tpu.ops import decode as decode_op
+        if self.use_pallas and self.input_format != "cf32":
+            if self.input_format == "cf32w":
+                return (self.input_len // 128, 256)
+            return (decode_op.packed_len(self.input_len,
+                                         self.input_format) // 128, 128)
+        return (self.input_len,)
+
+    def init_state(self):
+        if self.use_pallas:
+            dc_x, dc_y, fh = self.front.init_state()
+            bh, sp, dh = self.tail.init_state()
+            return PallasSingleState(dc_x, dc_y, fh, bh, sp, dh,
+                                     jnp.zeros((), jnp.int32))
         return SingleState(
             dc_x=jnp.zeros((), jnp.complex64),
             dc_y=jnp.zeros((), jnp.complex64),
@@ -81,15 +132,17 @@ class SingleChannelChain:
             n0=jnp.zeros((), jnp.int32),
         )
 
-    def step(self, state: SingleState, iq: jax.Array):
+    def step(self, state, iq: jax.Array):
         return self._step(state, iq)
 
-    def multi_step(self, state: SingleState, iqs: jax.Array):
+    def multi_step(self, state, iqs: jax.Array):
         """S stacked blocks in one dispatch; audio flattened to [S*T_audio]
         — equal to S step() calls within f32 rounding (runtime/fuse.py)."""
         return self._multi_step(state, iqs)
 
-    def _step_impl(self, state: SingleState, iq: jax.Array):
+    def _step_impl(self, state, iq: jax.Array):
+        if self.use_pallas:
+            return self._step_pallas(state, iq)
         (dc_x, dc_y), x = iir.dc_blocker_apply(
             (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA)
         rh, band = self.res.apply(state.res_hist, x)
@@ -112,3 +165,23 @@ class SingleChannelChain:
         n0 = (state.n0 + t_band) % self.phase_period
         new_state = SingleState(dc_x, dc_y, rh, ch_h, fm_prev, hp_h, de_h, n0)
         return new_state, audio
+
+    def _step_pallas(self, state, iq: jax.Array):
+        from sdr_pmr446_tpu.kernels.chan_tail import front_dispatch
+        if iq.ndim == 1 and len(self.step_arg_shape) == 2:
+            iq = iq.reshape(self.step_arg_shape)
+        dc_x, dc_y, fh, bwr, bwi = front_dispatch(
+            self.front, self.input_format, state.dc_x, state.dc_y,
+            state.front_hist, iq)
+        # mixer global phase: rot = e^{-j w b0}, b0 = state.n0 (exact
+        # 32-entry table — offsets are multiples of fs/32)
+        tab = jnp.asarray(np.exp(
+            -1j * self.omega
+            * np.arange(self.phase_period)).astype(np.complex64))
+        rot = tab[state.n0]
+        bh, sp, dh, audio = self.tail.apply(
+            state.band_hist, state.sig_prev, state.demod_hist, bwr, bwi,
+            rot=rot)
+        t_band = bwr.shape[0] * 400
+        n0 = (state.n0 + t_band) % self.phase_period
+        return (PallasSingleState(dc_x, dc_y, fh, bh, sp, dh, n0), audio)

@@ -115,3 +115,48 @@ def test_dsd_app_device_decode_matches_host(tmp_path):
     assert app.main(base + ["--output", o2, "--device-decode"]) == 0
     np.testing.assert_array_equal(np.fromfile(o1, dtype="<i2"),
                                   np.fromfile(o2, dtype="<i2"))
+
+
+def test_pallas_engine_matches_xla():
+    """The fused engine (front-end kernel + chan_tail kernel, two Pallas
+    launches end to end) == the XLA op chain, streaming across steps.
+    PCM is int16: gate differential SNR + max LSB error."""
+    K = 8
+    n = K * C.SUBCHUNK_IN
+    iq = _mk_iq(2 * n)
+    ref = DsdInChain(K)
+    pal = DsdInChain(K, use_pallas=True, pallas_interpret=True)
+    st1, st2 = ref.init_state(), pal.init_state()
+    for i in range(2):
+        x = jnp.asarray(iq[i * n:(i + 1) * n], jnp.complex64)
+        st1, o1 = ref.step(st1, x)
+        st2, o2 = pal.step(st2, x)
+        p1 = np.asarray(o1.pcm, np.float64)
+        p2 = np.asarray(o2.pcm, np.float64)
+        err = p1 - p2
+        snr = 10 * np.log10(np.mean(p1 ** 2) / max(np.mean(err ** 2),
+                                                   1e-30))
+        assert snr > 60.0, f"step {i}: {snr:.1f} dB"
+        assert np.abs(err).max() <= 2.0
+
+
+def test_pallas_engine_packed_wire():
+    """cs16 wire bytes through the fused engine's in-kernel decode == the
+    XLA chain fed the host-decoded samples of the same wire."""
+    from sdr_pmr446_tpu.ops import decode as decode_op
+    K = 8
+    n = K * C.SUBCHUNK_IN
+    iq = _mk_iq(n)
+    raw = decode_op.pack_iq(iq, "cs16")
+    dec = decode_op.decode_complex(jnp.asarray(raw), "cs16")
+    ref = DsdInChain(K)
+    pal = DsdInChain(K, input_format="cs16", use_pallas=True,
+                     pallas_interpret=True)
+    st1, o1 = ref.step(ref.init_state(), dec)
+    st2, o2 = pal.step(pal.init_state(),
+                       jnp.asarray(raw).reshape(pal.step_arg_shape))
+    p1 = np.asarray(o1.pcm, np.float64)
+    p2 = np.asarray(o2.pcm, np.float64)
+    err = p1 - p2
+    snr = 10 * np.log10(np.mean(p1 ** 2) / max(np.mean(err ** 2), 1e-30))
+    assert snr > 60.0, f"{snr:.1f} dB"

@@ -97,6 +97,34 @@ def test_single_channel_chain():
     assert snr > 35.0, f"single-channel tone SNR {snr:.1f}"
 
 
+def test_single_channel_pallas_engine():
+    """The fused single-channel engine (front-end kernel + chan_tail with
+    the mixer folded into the decimator taps) == the XLA chain, streaming
+    across steps."""
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu import config as C
+    from sdr_pmr446_tpu.io import synth
+    from sdr_pmr446_tpu.scanner.single import SingleChannelChain
+    K = 8
+    ref = SingleChannelChain(channel=5, subchunks_per_step=K)
+    pal = SingleChannelChain(channel=5, subchunks_per_step=K,
+                             use_pallas=True, pallas_interpret=True)
+    n = 2 * ref.input_len
+    iq = synth.make_scanner_iq(n, channel=5, ctcss_code=12)
+    st1, st2 = ref.init_state(), pal.init_state()
+    for i in range(2):
+        x = jnp.asarray(iq[i * ref.input_len:(i + 1) * ref.input_len],
+                        jnp.complex64)
+        st1, a1 = ref.step(st1, x)
+        st2, a2 = pal.step(st2, x)
+        a1 = np.asarray(a1, np.float64)
+        a2 = np.asarray(a2, np.float64)
+        err = a1 - a2
+        snr = 10 * np.log10(np.mean(a1 ** 2) / max(np.mean(err ** 2),
+                                                   1e-30))
+        assert snr > 60.0, f"step {i}: differential SNR {snr:.1f} dB"
+
+
 def test_transfer_fetch_roundtrip():
     import jax.numpy as jnp
     from sdr_pmr446_tpu.runtime.transfer import fetch

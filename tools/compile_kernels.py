@@ -93,6 +93,16 @@ def main():
     ok &= probe("pfb_group_packed",
                 lambda *a: pfb.call_group(*a, packed=True),
                 (bw, bw, hist, par, prev))
+
+    # fused dsd_in / single-channel tail (kernels/chan_tail.py)
+    from sdr_pmr446_tpu.kernels.chan_tail import PallasChanTail
+    for mode, kw in (("dsd", {}), ("single", dict(channel=5,
+                                                  audio_gain=4.0))):
+        tl = PallasChanTail(mode, **kw)
+        bh, sp, dh = tl.init_state()
+        args = (bh, sp, dh, bw, bw) + (
+            (jnp.ones((), jnp.complex64),) if mode == "single" else ())
+        ok &= probe(f"chan_tail_{mode}", tl.apply, args)
     return 0 if ok else 1
 
 
