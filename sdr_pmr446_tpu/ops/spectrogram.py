@@ -92,6 +92,56 @@ def asgram_init(w: int) -> jax.Array:
     return jnp.zeros((hist_len(w),), jnp.complex64)
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_win_packed(w: int) -> np.ndarray:
+    """[w, 2w] f32 one-shot window+DFT matrix over PACKED hop rows
+    [wr | wi]: out columns f < w give Re S_f, columns w+f give Im S_f,
+    with the Hamming window folded in.  One matmul per step — XLA will
+    not output-fuse a PAIR of dots being added, so splitting re/im into
+    four dots materializes every partial product (hlo-audited); packing
+    the complex combination into one contraction leaves exactly two
+    waterfall buffers: the packed windows and the packed spectra.  (A
+    strided-conv re-expression was also tried and REVERTED: this
+    toolchain lowers a 2-channel stride-16 conv through im2col patch
+    materialization at 2x the windows-matmul traffic.)
+    """
+    wl = w // 2
+    win = _window(w).astype(np.float64)
+    j = np.arange(wl)[:, None]
+    k = np.arange(w)[None, :]
+    th = 2.0 * np.pi * j * k / w
+    cm = np.cos(th) * win[:, None]
+    sm = np.sin(th) * win[:, None]
+    k4 = np.zeros((w, 2 * w), np.float64)
+    k4[:wl, :w] = cm                      # wr -> Re
+    k4[wl:, :w] = sm                      # wi -> Re
+    k4[:wl, w:] = -sm                     # wr -> Im
+    k4[wl:, w:] = cm                      # wi -> Im
+    return k4.astype(np.float32)
+
+
+def _hop_spectra(xr: jax.Array, xi: jax.Array, w: int, frames: int):
+    """Packed hop spectra from band PLANES: windows start at xr[i*delay],
+    i < frames, assembled from four shifted frame-row slices (50%
+    overlap, no gather) into ONE packed [n, w] matrix.  Returns the
+    packed [frames, 2w] spectra ([Re | Im]); callers reduce SQUARES of
+    this buffer directly (sum then add the halves), so the per-hop
+    periodogram never materializes — the waterfall tap's HBM traffic is
+    exactly two buffers: packed windows + packed spectra."""
+    delay = w // 4
+    need = (frames + 1) * delay
+    fr = xr[:need].reshape(frames + 1, delay)
+    fi = xi[:need].reshape(frames + 1, delay)
+    wcat = jnp.concatenate([fr[:frames], fr[1:],
+                            fi[:frames], fi[1:]], axis=-1)   # [n, w]
+    # barrier: XLA otherwise rewrites dot(concat(..)) into a SUM of four
+    # dots, materializing every [n, 2w] partial product (hlo-audited at
+    # 4x this formulation's traffic)
+    wcat = jax.lax.optimization_barrier(wcat)
+    return jnp.matmul(wcat, jnp.asarray(_dft_win_packed(w)),
+                      precision=jax.lax.Precision.HIGHEST)   # [n, 2w]
+
+
 def asgram_rows(hist: jax.Array, band: jax.Array, k: int, w: int,
                 subchunk: int = C.SUBCHUNK_RESAMP):
     """hist [w//2] c64, band [k*subchunk] c64 -> (new_hist, rows [k, w] f32).
@@ -99,38 +149,36 @@ def asgram_rows(hist: jax.Array, band: jax.Array, k: int, w: int,
     Row j is the dB-average periodogram of sub-chunk j's hops (fftshifted,
     DC at center), i.e. exactly what asgramcf_execute prints per chunk.
     """
+    new_hist, rows = asgram_rows_p(
+        hist, jnp.real(band).astype(jnp.float32),
+        jnp.imag(band).astype(jnp.float32), k, w, subchunk)
+    return new_hist, rows
+
+
+def asgram_rows_p(hist: jax.Array, br: jax.Array, bi: jax.Array, k: int,
+                  w: int, subchunk: int = C.SUBCHUNK_RESAMP):
+    """Plane-input fast path (the fused kernels emit band planes — feeding
+    them here skips the complex band materialization entirely)."""
     wl = w // 2
     delay = w // 4
     n_seg = subchunk // delay              # transforms per sub-chunk
     n_tot = k * n_seg
-    xe = jnp.concatenate([hist, band])     # [(n_tot + 2) * delay]
-    frames = xe.reshape(n_tot + 2, delay)
-    # hop t's window = xe[(t+1)*delay : (t+1)*delay + wl] = frame rows
-    # t+1, t+2 — 50% overlap means two shifted row-slices, no gather
-    windows = jnp.concatenate([frames[1:n_tot + 1], frames[2:n_tot + 2]],
-                              axis=-1)     # [n_tot, wl]
-    p = _periodograms(windows, w).reshape(k, n_seg, w)
-    p_avg = jnp.mean(p, axis=1)
+    xr = jnp.concatenate([jnp.real(hist).astype(jnp.float32), br])
+    xi = jnp.concatenate([jnp.imag(hist).astype(jnp.float32), bi])
+    # hop t's window starts at xe[(t+1)*delay]
+    sp = _hop_spectra(xr[delay:], xi[delay:], w, n_tot)  # [n_tot, 2w]
+    # strided-window reduction, NOT reshape(k, n_seg, .).sum(1): n_seg is
+    # not a multiple of 8, so the 3-D view has a different physical
+    # tiling and XLA would copy the whole spectra buffer first
+    s2 = jax.lax.reduce_window(
+        sp ** 2, 0.0, jax.lax.add, window_dimensions=(n_seg, 1),
+        window_strides=(n_seg, 1), padding="VALID")      # [k, 2w]
+    p_avg = (s2[:, :w] + s2[:, w:]) * (1.0 / n_seg)      # [k, w]
     rows = 10.0 * jnp.log10(jnp.maximum(p_avg, 1e-30)).astype(jnp.float32)
     rows = jnp.fft.fftshift(rows, axes=-1)
-    new_hist = xe[xe.shape[-1] - wl:]
+    new_hist = jax.lax.complex(xr[xr.shape[-1] - wl:],
+                               xi[xi.shape[-1] - wl:])
     return new_hist, rows
-
-
-def _periodograms(windows: jax.Array, w: int) -> jax.Array:
-    """[n, w//2] c64 windows -> [n, w] |FFT|^2 via MXU DFT matmuls."""
-    win = jnp.asarray(_window(w))
-    wr = jnp.real(windows) * win[None, :]
-    wi = jnp.imag(windows) * win[None, :]
-    dft = _dft_planes(w)
-    fr = jnp.asarray(dft[0])
-    fi = jnp.asarray(dft[1])
-    hi = jax.lax.Precision.HIGHEST
-    sr = (jnp.matmul(wr, fr, precision=hi)
-          - jnp.matmul(wi, fi, precision=hi))
-    si = (jnp.matmul(wr, fi, precision=hi)
-          + jnp.matmul(wi, fr, precision=hi))
-    return sr ** 2 + si ** 2
 
 
 def asgram_rows_any(hist: jax.Array, cnt: jax.Array, band: jax.Array,
@@ -156,18 +204,28 @@ def asgram_rows_any(hist: jax.Array, cnt: jax.Array, band: jax.Array,
     returned new_cnt is local to THIS call's k sub-chunks; a sharded
     caller advances the carried counter by the full step outside.
     """
+    return asgram_rows_any_p(
+        hist, cnt, jnp.real(band).astype(jnp.float32),
+        jnp.imag(band).astype(jnp.float32), k, w, subchunk, cnt_offset)
+
+
+def asgram_rows_any_p(hist: jax.Array, cnt: jax.Array, br: jax.Array,
+                      bi: jax.Array, k: int,
+                      w: int, subchunk: int = C.SUBCHUNK_RESAMP,
+                      cnt_offset: jax.Array | None = None):
+    """Plane-input arbitrary-width variant (see asgram_rows_any)."""
     wl = w // 2
     delay = w // 4
     ks = k * subchunk
     if cnt_offset is not None:
         cnt = (cnt + cnt_offset) % delay
-    xe = jnp.concatenate([hist, band])          # [wl + ks]
+    xr = jnp.concatenate([jnp.real(hist).astype(jnp.float32), br])
+    xi = jnp.concatenate([jnp.imag(hist).astype(jnp.float32), bi])
     n_max = ks // delay + 1
     u0 = delay - cnt                            # first fire at xe[u0+wl-1]
-    xr = jnp.roll(xe, -u0)
-    frames = xr[: (n_max + 1) * delay].reshape(n_max + 1, delay)
-    windows = jnp.concatenate([frames[:n_max], frames[1:]], axis=-1)
-    p = _periodograms(windows, w)               # [n_max, w]
+    xr_r = jnp.roll(xr, -u0)
+    xi_r = jnp.roll(xi, -u0)
+    sp = _hop_spectra(xr_r, xi_r, w, n_max)     # [n_max, 2w]
     # fire i consumes band sample u0 + i*delay (1-based); its row is the
     # sub-chunk containing it; fires past the step (u > ks) one-hot to
     # nothing.  delay <= subchunk (validate_width) => every row >= 1 fire.
@@ -175,11 +233,13 @@ def asgram_rows_any(hist: jax.Array, cnt: jax.Array, band: jax.Array,
     row = (u - 1) // subchunk                   # [n_max]; >= k for non-fires
     a = jax.nn.one_hot(row, k, dtype=jnp.float32)   # [n_max, k]
     hi = jax.lax.Precision.HIGHEST
-    rows_sum = jnp.matmul(a.T, p, precision=hi)
+    m2 = jnp.matmul(a.T, sp ** 2, precision=hi)     # [k, 2w]
+    rows_sum = m2[:, :w] + m2[:, w:]
     counts = jnp.maximum(jnp.sum(a, axis=0), 1.0)
     p_avg = rows_sum / counts[:, None]
     rows = 10.0 * jnp.log10(jnp.maximum(p_avg, 1e-30)).astype(jnp.float32)
     rows = jnp.fft.fftshift(rows, axes=-1)
-    new_hist = xe[xe.shape[-1] - wl:]
+    new_hist = jax.lax.complex(xr[xr.shape[-1] - wl:],
+                               xi[xi.shape[-1] - wl:])
     new_cnt = (cnt + ks) % delay
     return new_hist, new_cnt.astype(jnp.int32), rows

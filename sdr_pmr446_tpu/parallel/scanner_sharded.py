@@ -326,20 +326,27 @@ class ShardedScannerChain:
             jnp.maximum(mag_sums * (1.0 / ns), 1e-30))     # [K_local, 16]
         demod = demod3.reshape(C.NUM_CHANNELS, K_local * ns)
 
-        # 6b. waterfall rows on the corrected local band shard
+        # 6b. waterfall rows on the corrected local band PLANES (the _p
+        # asgram variants never materialize a complex band; the halo moves
+        # per-plane tails and only the tiny [w/2] history goes complex)
         wf_cnt = state.wf_cnt
         if self.waterfall > 0:
-            band = jax.lax.complex(band_r, band_i)
-            wf_hist_loc, wf_carry = halo.shard_hist(
-                state.wf_hist, band, spectrogram.hist_len(self.waterfall),
-                ax)
+            wl2 = spectrogram.hist_len(self.waterfall)
+            whr, wcr = halo.shard_hist(
+                jnp.real(state.wf_hist).astype(jnp.float32), band_r,
+                wl2, ax)
+            whi, wci = halo.shard_hist(
+                jnp.imag(state.wf_hist).astype(jnp.float32), band_i,
+                wl2, ax)
+            wf_carry = jax.lax.complex(wcr, wci)
+            wf_hist_loc = jax.lax.complex(whr, whi)
             if spectrogram.uses_fast_path(self.waterfall):
-                _, wf_rows = spectrogram.asgram_rows(
-                    wf_hist_loc, band, K_local, self.waterfall)
+                _, wf_rows = spectrogram.asgram_rows_p(
+                    wf_hist_loc, band_r, band_i, K_local, self.waterfall)
             else:
                 s_local = K_local * C.SUBCHUNK_RESAMP
-                _, _, wf_rows = spectrogram.asgram_rows_any(
-                    wf_hist_loc, state.wf_cnt, band, K_local,
+                _, _, wf_rows = spectrogram.asgram_rows_any_p(
+                    wf_hist_loc, state.wf_cnt, band_r, band_i, K_local,
                     self.waterfall, cnt_offset=d * s_local)
                 delay = self.waterfall // 4
                 wf_cnt = (state.wf_cnt + ntime * s_local) % delay

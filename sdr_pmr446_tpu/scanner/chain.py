@@ -392,7 +392,11 @@ class ScannerChain:
             audio_lp_hist = state.audio_lp_hist
             band = None
             if self.waterfall > 0:
-                band = jax.lax.complex(br.reshape(-1), bi.reshape(-1))
+                # the asgram consumes the kernel's band PLANES in place
+                # (ops/spectrogram _p variants): no complex band is ever
+                # materialized for the waterfall tap
+                wf_br = br.reshape(-1)
+                wf_bi = bi.reshape(-1)
         else:
             if self.input_format != "cf32":
                 iq = decode_op.decode_complex(iq, self.input_format)
@@ -470,7 +474,15 @@ class ScannerChain:
         # any other multiple of 4 carries the hop counter (wf_cnt)
         wf_cnt = state.wf_cnt
         if self.waterfall > 0:
-            if spectrogram.uses_fast_path(self.waterfall):
+            if band is None:                  # pallas: planes in place
+                wf_args = (state.wf_hist, wf_br, wf_bi, K, self.waterfall)
+                if spectrogram.uses_fast_path(self.waterfall):
+                    wf_hist, wf = spectrogram.asgram_rows_p(*wf_args)
+                else:
+                    wf_hist, wf_cnt, wf = spectrogram.asgram_rows_any_p(
+                        state.wf_hist, state.wf_cnt, wf_br, wf_bi, K,
+                        self.waterfall)
+            elif spectrogram.uses_fast_path(self.waterfall):
                 wf_hist, wf = spectrogram.asgram_rows(
                     state.wf_hist, band, K, self.waterfall)
             else:

@@ -1,0 +1,108 @@
+"""Value-verify ONE fused-front-end kernel execution on the real TPU.
+
+Every kernel numerics gate so far runs on CPU (interpret mode); real-
+backend activity has been compile probes, which prove lowering, not
+values (VERDICT r3 weak #3).  This tool stages the one transfer the
+tunnel's pathology permits (CLAUDE.md): a fresh process may fetch a small
+f32 2-D result at process start, BEFORE any other nontrivial program has
+poisoned the transfer path.
+
+Two subprocesses:
+  1. --expected: CPU backend (jax_platforms=cpu beats the axon plugin),
+     runs the front-end kernel in interpret mode on a fixed seeded input,
+     writes the band planes to an npz;
+  2. --device: default (TPU) backend, compiles + runs the SAME kernel
+     once, fetches yr/yi via runtime/transfer.fetch (f32 transport), and
+     compares against the npz — the PASS line is the first value-level
+     evidence that a Pallas kernel computes correctly on this hardware,
+     and (because kernels pin HIGHEST) that the f32 contract-precision
+     policy is in effect end to end (a bf16 contraction would show up as
+     ~1e-3 relative error; the gate is 5e-5).
+
+Run:  python tools/value_verify_kernel.py         (drives both)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+NPZ = "/tmp/value_verify_front_end.npz"
+T = 8 * 2048                  # 128 rows: one 8-row tile x 16, tiny
+GATE = 5e-5                   # f32-contract rounding; bf16 would be ~1e-3
+
+
+def _build_input():
+    import numpy as np
+    rng = np.random.default_rng(20260820)
+    xr = rng.standard_normal(T).astype(np.float32) * 0.3
+    xi = rng.standard_normal(T).astype(np.float32) * 0.3
+    return xr, xi
+
+
+def _run(interpret: bool):
+    """One jitted program returning ONLY the f32 band planes: the complex
+    state epilogue (new_dc_x/new_hist) is dead-code-eliminated, keeping
+    the program in the tunnel's transfer-safe all-f32 class (complex ops
+    poison later fetches — CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
+    xr, xi = _build_input()
+    fe = PallasFrontEnd(interpret=interpret)
+
+    def band_only(xr, xi):
+        dcx, dcy, hist = fe.init_state()
+        _, _, _, yr, yi = fe.apply_planes(dcx, dcy, hist, xr, xi)
+        return jnp.concatenate([yr, yi], axis=1)      # [rows, 50] f32
+
+    return jax.jit(band_only)(jnp.asarray(xr), jnp.asarray(xi))
+
+
+def main_expected() -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    y = _run(interpret=True)
+    np.savez(NPZ, y=np.asarray(y))
+    print(f"expected: wrote {NPZ}", flush=True)
+
+
+def main_device() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import numpy as np
+    exp = np.load(NPZ)["y"]
+    y = _run(interpret=False)
+    got = np.asarray(jax.device_get(y))   # plain f32 2-D fetch (the safe
+    #                                       class, probe_precision pattern)
+    scale = np.max(np.abs(exp)) + 1e-30
+    rel = np.max(np.abs(got - exp)) / scale
+    verdict = "PASS" if rel < GATE else "FAIL"
+    print(f"value_verify band: max rel err {rel:.2e} "
+          f"(gate {GATE:g}) -> {verdict}", flush=True)
+    if verdict == "FAIL":
+        sys.exit(1)
+    print("value_verify: PASS — first value-level kernel evidence on "
+          "this backend (f32 contract precision confirmed)", flush=True)
+
+
+def main() -> None:
+    if "--expected" in sys.argv:
+        return main_expected()
+    if "--device" in sys.argv:
+        return main_device()
+    me = os.path.abspath(__file__)
+    for flag in ("--expected", "--device"):
+        r = subprocess.run([sys.executable, me, flag], timeout=2400)
+        if r.returncode != 0:
+            sys.exit(r.returncode)
+
+
+if __name__ == "__main__":
+    main()
