@@ -116,9 +116,12 @@ def chain_traffic(input_format: str = "cf32w",
     # [K, ns] write (no channel-minor copy is materialized)
     t["select"] = 4 * AUDIO + 4 * AUDIO
     if waterfall:
-        # spgram tap: band planes re-read (complex materialization +
-        # windowed-DFT read; count one band read = lower bound)
-        t["waterfall"] = 8 * BAND
+        # spgram tap (round-4 plane pipeline, ops/spectrogram.py): band
+        # planes re-read + the packed hop-window matrix [n, w] and packed
+        # spectra [n, 2w] writes (n = band/(w/4) hops) — w=80 is the
+        # bench waterfall config's width.  Lower bound: writes only.
+        w = 80.0
+        t["waterfall"] = 8 * BAND + BAND * w / 4.0 + BAND * w / 2.0
     t["total"] = round(sum(t.values()), 2)
     return t
 
