@@ -24,8 +24,15 @@ def main() -> int:
     p.add_argument("--platform", default=None, choices=[None, "cpu"],
                    nargs="?")
     p.add_argument("--devices", type=int, nargs="*", default=None)
-    p.add_argument("--subchunks-per-step", type=int, default=40)
+    p.add_argument("--subchunks-per-step", type=int, default=0,
+                   help="0 = auto: 64 for the fused engine (divisible by "
+                        "8 per shard at every device count), 40 for XLA")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="auto: the recorded fused engine on TPU (scaling "
+                        "numbers should measure the engine deployments "
+                        "run), XLA elsewhere")
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -50,15 +57,24 @@ def main() -> int:
                                                          make_mesh)
     from sdr_pmr446_tpu.scanner.chain import make_runtime_params
 
+    from sdr_pmr446_tpu.runtime.driver import resolve_engine
+    engine = resolve_engine(args.engine)
+    use_pallas = engine.startswith("pallas")
     n_avail = len(jax.devices())
     counts = args.devices or [d for d in (1, 2, 4, 8) if d <= n_avail]
-    k = args.subchunks_per_step
+    k = args.subchunks_per_step or (64 if use_pallas else 40)
     params = make_runtime_params(C.ScannerArgs())
 
     base = None
     for d in counts:
         mesh = make_mesh(1, d)
-        chain = ShardedScannerChain(mesh, C.BlockConfig(k))
+        chain = ShardedScannerChain(
+            mesh, C.BlockConfig(k), use_pallas=use_pallas,
+            pallas_interpret=jax.default_backend() != "tpu")
+        if use_pallas and not chain.fused:
+            print(f"# d={d}: K={k} not divisible by 8 per shard — "
+                  f"round-1 kernel set runs instead of the fused engine",
+                  file=sys.stderr)
         state = chain.init_state(1)
         n = chain.block.input_len
         iq = jnp.asarray(
