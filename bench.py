@@ -613,12 +613,14 @@ def main() -> int:
         elif args.config == "batch8":
             min_b = _min_traffic(chain, chain.input_format)
         elif getattr(chain, "use_pallas", False):
-            # fused dsd/single: wire read + the band-plane write+read
-            # between the front-end and tail kernels (2 planes x f32 x
-            # 25/128 rate each way = 3.125 B/sample) — output writes are
-            # crumbs (<=0.2 B/sample)
+            # fused dsd/single.  MONO (one-kernel) engine: the band never
+            # leaves VMEM — traffic is the wire read + the tiny output
+            # write (~0.1 B/sample), i.e. the input-read speed of light.
+            # Two-kernel engine: + the band-plane write+read between the
+            # kernels (2 planes x f32 x 25/128 rate each way = 3.125).
             from sdr_pmr446_tpu.utils.traffic import WIRE_BYTES
-            min_b = WIRE_BYTES[chain.input_format] + 3.125
+            min_b = WIRE_BYTES[chain.input_format] + (
+                0.1 if getattr(chain, "mono", False) else 3.125)
         else:
             min_b = _min_traffic(None, "cf32")
         bound = envelope_gbps * 1e9 / min_b / 1e6

@@ -135,7 +135,6 @@ def _body(br_ref, bi_ref, hbr_ref, hbi_ref, prev_ref, hd_ref,
           bext_r, bext_i, win_r, win_i, wind, psc, dsc,
           *, hb: int, dh: int, cplx: bool, clip: bool):
     """One tile: gt group rows -> [gt, out_w]."""
-    gt = br_ref.shape[0]
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -145,8 +144,24 @@ def _body(br_ref, bi_ref, hbr_ref, hbi_ref, prev_ref, hd_ref,
         psc[:, :] = prev_ref[:, :]
         dsc[:, :] = hd_ref[:, :]
 
-    bext_r[hb:, :] = br_ref[:]
-    bext_i[hb:, :] = bi_ref[:]
+    _tail_core(br_ref[:], bi_ref[:], kdr_ref, kdi_ref, alt_ref, kp_ref,
+               s25_ref, e24_ref, oh0_ref, out_ref, obh_r, obh_i, oprev,
+               ohd, bext_r, bext_i, win_r, win_i, wind, psc, dsc,
+               hb=hb, dh=dh, cplx=cplx, clip=clip)
+
+
+def _tail_core(bw_r, bw_i, kdr_ref, kdi_ref, alt_ref, kp_ref,
+               s25_ref, e24_ref, oh0_ref,
+               out_ref, obh_r, obh_i, oprev, ohd,
+               bext_r, bext_i, win_r, win_i, wind, psc, dsc,
+               *, hb: int, dh: int, cplx: bool, clip: bool):
+    """Decimator + discriminator + post-FIR over band group-row VALUES
+    (bw_r/bw_i [gt, 400]) — shared by the two-kernel tail (_body) and
+    the MONO single-kernel chains, whose front end leaves the band in
+    VMEM scratch.  Scratch init (s == 0) is the CALLER's job."""
+    gt = bw_r.shape[0]
+    bext_r[hb:, :] = bw_r
+    bext_i[hb:, :] = bw_i
     bvr = bext_r[:, :]
     bvi = bext_i[:, :]
     for i in range(hb + 1):
@@ -378,3 +393,376 @@ class PallasChanTail:
             new_prev = prev_k_new
         return (new_bh, new_prev, ohd.reshape(-1),
                 out.reshape(g_total * self.out_w))
+
+
+# ---------------------------------------------------------------------------
+# MONO chains: front end + tail in ONE kernel — the band never leaves VMEM
+# ---------------------------------------------------------------------------
+
+from sdr_pmr446_tpu.kernels import front_end as FE
+
+
+def _mono_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, hbr_ref,
+                     hbi_ref, prev_ref, hd_ref, yh_r, yh_i, xwrow, ysc,
+                     bext_r, bext_i, psc, dsc, hb):
+    @pl.when(s == 0)
+    def _():
+        yh_r[:, :] = fhr_ref[:, :]
+        yh_i[:, :] = fhi_ref[:, :]
+        xwrow[:, :] = cx_ref[:, :]
+        ysc[:, :] = cy_ref[:, :]
+        bext_r[0:hb, :] = hbr_ref[:, :]
+        bext_i[0:hb, :] = hbi_ref[:, :]
+        psc[:, :] = prev_ref[:, :]
+        dsc[:, :] = hd_ref[:, :]
+
+
+def _mono_body_ilv(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref,
+                   hbr_ref, hbi_ref, prev_ref, hd_ref,
+                   wcr_ref, wci_ref, u0_ref, pj_ref, tt_ref, pvec_ref,
+                   k2_ref, el_ref, ewr_ref, ewi_ref,
+                   kdr_ref, kdi_ref, alt_ref, kp_ref, s25_ref, e24_ref,
+                   oh0_ref,
+                   out_ref, ohr, ohi, ocy, obh_r, obh_i, oprev, ohd,
+                   yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
+                   bext_r, bext_i, win_r, win_i, wind, psc, dsc,
+                   *, hb: int, dh: int, cplx: bool, clip: bool):
+    """cf32w wire -> DC + resampler (front_end group math, band into VMEM
+    scratch) -> decimator + discriminator + post-FIR (_tail_core): the
+    WHOLE dsd/single chain in one kernel launch; only the wire read and
+    the tiny output leave HBM."""
+    tile = xw_ref.shape[0]
+    s = pl.program_id(0)
+    _mono_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, hbr_ref,
+                     hbi_ref, prev_ref, hd_ref, yh_r, yh_i, xwrow, ysc,
+                     bext_r, bext_i, psc, dsc, hb)
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    xw = xw_ref[:]
+    xwprev = jnp.concatenate([xwrow[0:1, :], xw[:tile - 1, :]], axis=0)
+    prev_r = FE._dot(xwprev, ewr_ref[:])
+    prev_i = FE._dot(xwprev, ewi_ref[:])
+    yloc_r = FE._dot(xw, wcr_ref[:]) - FE._dot(prev_r, u0_ref[:])
+    yloc_i = FE._dot(xw, wci_ref[:]) - FE._dot(prev_i, u0_ref[:])
+    y_r, yl_r = FE._plane_dc(yloc_r, ysc[0:1, 0:1], tt, pvec, pj_ref,
+                             e_last, FE._PJ_LAST)
+    y_i, yl_i = FE._plane_dc(yloc_i, ysc[1:2, 0:1], tt, pvec, pj_ref,
+                             e_last, FE._PJ_LAST)
+    FE._emit_group(y_r, yh_r, k2_ref, gw, win_g, bwr_sc, FE.M,
+                   FE.HIST_ROWS)
+    FE._emit_group(y_i, yh_i, k2_ref, gw, win_g, bwi_sc, FE.M,
+                   FE.HIST_ROWS)
+    xwrow[0:1, :] = xw[tile - 1:tile, :]
+    FE._store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi,
+                      ocy)
+    _tail_core(bwr_sc[:, :], bwi_sc[:, :], kdr_ref, kdi_ref, alt_ref,
+               kp_ref, s25_ref, e24_ref, oh0_ref, out_ref, obh_r, obh_i,
+               oprev, ohd, bext_r, bext_i, win_r, win_i, wind, psc, dsc,
+               hb=hb, dh=dh, cplx=cplx, clip=clip)
+
+
+def _mono_body_cs16(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref,
+                    hbr_ref, hbi_ref, prev_ref, hd_ref,
+                    w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref,
+                    k2_ref, el_ref,
+                    kdr_ref, kdi_ref, alt_ref, kp_ref, s25_ref, e24_ref,
+                    oh0_ref,
+                    out_ref, ohr, ohi, ocy, obh_r, obh_i, oprev, ohd,
+                    yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
+                    bext_r, bext_i, win_r, win_i, wind, psc, dsc,
+                    *, hb: int, dh: int, cplx: bool, clip: bool):
+    """cs16 wire variant (in-kernel decode, front_end._decode_cs16)."""
+    tile = xw_ref.shape[0]
+    s = pl.program_id(0)
+    _mono_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, hbr_ref,
+                     hbi_ref, prev_ref, hd_ref, yh_r, yh_i, xwrow, ysc,
+                     bext_r, bext_i, psc, dsc, hb)
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    xr, xi = FE._decode_cs16(xw_ref[:])
+    xprev_r = jnp.concatenate([xwrow[0:1, :], xr[:tile - 1, :]], axis=0)
+    xprev_i = jnp.concatenate([xwrow[1:2, :], xi[:tile - 1, :]], axis=0)
+    yloc_r = FE._ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
+    yloc_i = FE._ylocal(xi, xprev_i, w1_ref, u0_ref, e_last)
+    y_r, yl_r = FE._plane_dc(yloc_r, ysc[0:1, 0:1], tt, pvec, pj_ref,
+                             e_last, FE._PJ_LAST)
+    y_i, yl_i = FE._plane_dc(yloc_i, ysc[1:2, 0:1], tt, pvec, pj_ref,
+                             e_last, FE._PJ_LAST)
+    FE._emit_group(y_r, yh_r, k2_ref, gw, win_g, bwr_sc, FE.M,
+                   FE.HIST_ROWS)
+    FE._emit_group(y_i, yh_i, k2_ref, gw, win_g, bwi_sc, FE.M,
+                   FE.HIST_ROWS)
+    xwrow[0:1, :] = xr[tile - 1:tile, :]
+    xwrow[1:2, :] = xi[tile - 1:tile, :]
+    FE._store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi,
+                      ocy)
+    _tail_core(bwr_sc[:, :], bwi_sc[:, :], kdr_ref, kdi_ref, alt_ref,
+               kp_ref, s25_ref, e24_ref, oh0_ref, out_ref, obh_r, obh_i,
+               oprev, ohd, bext_r, bext_i, win_r, win_i, wind, psc, dsc,
+               hb=hb, dh=dh, cplx=cplx, clip=clip)
+
+
+def _mono_body_pk2(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref,
+                   hbr_ref, hbi_ref, prev_ref, hd_ref,
+                   w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref,
+                   k2_ref, el_ref, g0_ref, g1_ref,
+                   kdr_ref, kdi_ref, alt_ref, kp_ref, s25_ref, e24_ref,
+                   oh0_ref,
+                   out_ref, ohr, ohi, ocy, obh_r, obh_i, oprev, ohd,
+                   yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
+                   bext_r, bext_i, win_r, win_i, wind, psc, dsc,
+                   *, hb: int, dh: int, cplx: bool, clip: bool,
+                   signed: bool):
+    """cu8/cs8 wide-row variant (two samples per transport word)."""
+    tile = xw_ref.shape[0]
+    s = pl.program_id(0)
+    _mono_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, hbr_ref,
+                     hbi_ref, prev_ref, hd_ref, yh_r, yh_i, xwrow, ysc,
+                     bext_r, bext_i, psc, dsc, hb)
+
+    tt = tt_ref[:]
+    pvec = pvec_ref[:]
+    e_last = el_ref[:]
+    b0, b1, b2, b3 = FE._decode_bytes(xw_ref[:], signed)
+    g0 = g0_ref[:]
+    g1 = g1_ref[:]
+    xr = FE._dot(b0, g0) + FE._dot(b2, g1)
+    xi = FE._dot(b1, g0) + FE._dot(b3, g1)
+    xprev_r = jnp.concatenate([xwrow[0:1, :], xr[:tile - 1, :]], axis=0)
+    xprev_i = jnp.concatenate([xwrow[1:2, :], xi[:tile - 1, :]], axis=0)
+    yloc_r = FE._ylocal(xr, xprev_r, w1_ref, u0_ref, e_last)
+    yloc_i = FE._ylocal(xi, xprev_i, w1_ref, u0_ref, e_last)
+    y_r, yl_r = FE._plane_dc(yloc_r, ysc[0:1, 0:1], tt, pvec, pj_ref,
+                             e_last, FE._PJ_LAST_W)
+    y_i, yl_i = FE._plane_dc(yloc_i, ysc[1:2, 0:1], tt, pvec, pj_ref,
+                             e_last, FE._PJ_LAST_W)
+    FE._emit_group(y_r, yh_r, k2_ref, gw, win_g, bwr_sc, FE.W2,
+                   FE.HIST_ROWS_W)
+    FE._emit_group(y_i, yh_i, k2_ref, gw, win_g, bwi_sc, FE.W2,
+                   FE.HIST_ROWS_W)
+    xwrow[0:1, :] = xr[tile - 1:tile, :]
+    xwrow[1:2, :] = xi[tile - 1:tile, :]
+    yh_r[:, :] = y_r[tile - FE.HIST_ROWS_W:, :]
+    yh_i[:, :] = y_i[tile - FE.HIST_ROWS_W:, :]
+    ysc[0:1, 0:1] = yl_r[tile - 1:tile, :]
+    ysc[1:2, 0:1] = yl_i[tile - 1:tile, :]
+    ohr[:, :] = yh_r[:, :]
+    ohi[:, :] = yh_i[:, :]
+    ocy[:, :] = ysc[:, :]
+    _tail_core(bwr_sc[:, :], bwi_sc[:, :], kdr_ref, kdi_ref, alt_ref,
+               kp_ref, s25_ref, e24_ref, oh0_ref, out_ref, obh_r, obh_i,
+               oprev, ohd, bext_r, bext_i, win_r, win_i, wind, psc, dsc,
+               hb=hb, dh=dh, cplx=cplx, clip=clip)
+
+
+class PallasMonoChain:
+    """The WHOLE dsd_in / single chain as ONE kernel launch.
+
+    Composes the fused front end (in-kernel DC blocker + wire decode +
+    25/128 resampler, kernels/front_end.py group math) with _tail_core in
+    a single pallas_call: the band group rows live only in VMEM scratch,
+    so the chain's HBM traffic is the wire read plus the (tiny) 48 kHz
+    PCM / 12.5 kHz audio write — the input-read speed of light
+    (8/4/2 B per input sample for cf32w/cs16/cu8).
+
+    Same carried state as (PallasFrontEnd, PallasChanTail) concatenated;
+    bit-identical math to the two-kernel engine (the band merely skips
+    its HBM round trip) — test-gated exact.
+    """
+
+    def __init__(self, mode: str, fmt: str, channel: int | None = None,
+                 audio_gain: float = 1.0, tile_rows: int = 448,
+                 interpret: bool = False):
+        assert fmt in ("cf32", "cf32w", "cs16", "cu8", "cs8")
+        self.mode = mode
+        self.fmt = fmt
+        self.wide = fmt in ("cu8", "cs8")
+        self.tile_rows = tile_rows
+        self.interpret = interpret
+        self.tail = PallasChanTail(mode, channel=channel,
+                                   audio_gain=audio_gain,
+                                   interpret=interpret)
+        self.fcn = (FE._row_consts_wide() if self.wide
+                    else FE._row_consts())
+        self.front_hist_len = FE.HIST_W if self.wide else FE.HIST
+        self.omega = self.tail.omega
+
+    # state: (dc_x, dc_y, front_hist) + (band_hist, sig_prev, demod_hist)
+    def init_state(self):
+        front = (jnp.zeros((), jnp.complex64), jnp.zeros((), jnp.complex64),
+                 jnp.zeros((self.front_hist_len,), jnp.complex64))
+        return front + self.tail.init_state()
+
+    def apply(self, dc_x, dc_y, front_hist, band_hist, sig_prev,
+              demod_hist, wire, rot=None):
+        """wire: the 2-D row layout ([rows, 256] cf32w / [rows, 128]
+        cs16/cu8) or [T] complex64 (cf32 — interleaved in one XLA pass).
+        Returns (dc_x', dc_y', front_hist', band_hist', sig_prev',
+        demod_hist', out [G*out_w] f32)."""
+        from sdr_pmr446_tpu.ops.decode import decode_planes
+        fmt = self.fmt
+        tl = self.tail
+        cn = self.fcn
+        m = FE.M
+        cplx = self.mode == "single"
+        if cplx:
+            assert rot is not None
+            prev_k = sig_prev * jnp.conj(rot)
+        else:
+            prev_k = sig_prev
+
+        # stage wire rows + the decoded-x[-1] carry row per format
+        if fmt == "cf32":
+            xw = jnp.stack([jnp.real(wire), jnp.imag(wire)],
+                           axis=-1).reshape(-1).astype(jnp.float32)
+            wire = xw.reshape(wire.shape[-1] // m, 2 * m)
+            fmt = "cf32w"
+        if fmt == "cf32w":
+            rows, width, x_width = wire.shape[0], m, 2 * m
+            body = _mono_body_ilv
+            cxv = jnp.stack([jnp.real(dc_x),
+                             jnp.imag(dc_x)]).astype(jnp.float32)
+            sel = np.zeros((2, 2 * m), np.float32)
+            sel[0, 2 * m - 2] = 1.0
+            sel[1, 2 * m - 1] = 1.0
+            cx_row = (cxv[:, None] * sel).sum(axis=0, keepdims=True)
+            fcon = (cn["wcat_r"], cn["wcat_i"])
+            fcon_tail = (cn["ew_r"], cn["ew_i"])
+        elif fmt == "cs16":
+            rows, width, x_width = wire.shape[0], m, m
+            body = _mono_body_cs16
+            cxv = jnp.stack([jnp.real(dc_x),
+                             jnp.imag(dc_x)]).astype(jnp.float32)
+            sel = np.zeros((1, m), np.float32)
+            sel[0, m - 1] = 1.0
+            cx_row = cxv[:, None] * sel
+            fcon = (cn["w1"],)
+            fcon_tail = ()
+        else:
+            rows, width, x_width = wire.shape[0], FE.W2, m
+            body = functools.partial(_mono_body_pk2, signed=fmt == "cs8")
+            cxv = jnp.stack([jnp.real(dc_x),
+                             jnp.imag(dc_x)]).astype(jnp.float32)
+            sel = np.zeros((1, FE.W2), np.float32)
+            sel[0, FE.W2 - 1] = 1.0
+            cx_row = cxv[:, None] * sel
+            fcon = (cn["w1"],)
+            fcon_tail = (cn["g0"], cn["g1"])
+
+        row_mult = 64 if self.wide else 128
+        tile = FE.pick_tile_group(rows, self.tile_rows, row_mult)
+        n_tiles = rows // tile
+        gt = tile * width // (16 * m)
+        g_total = rows * width // (16 * m)
+        hist_rows = FE.HIST_ROWS_W if self.wide else FE.HIST_ROWS
+        tt, pvec = FE._tile_consts(tile, width)
+        k2 = FE._row_consts()["k2"]           # narrow k2, both widths
+        hb, dh, out_w = tl.hb, tl.dh, tl.out_w
+        wb = (hb + 1) * GL
+        wp = (dh + 1) * DPS
+
+        fhr = jnp.real(front_hist).astype(jnp.float32).reshape(hist_rows,
+                                                               width)
+        fhi = jnp.imag(front_hist).astype(jnp.float32).reshape(hist_rows,
+                                                               width)
+        cy = FE.PallasFrontEnd._cy_rows(dc_y)
+        hbr = jnp.real(band_hist).astype(jnp.float32).reshape(hb, GL)
+        hbi = jnp.imag(band_hist).astype(jnp.float32).reshape(hb, GL)
+        lane = np.zeros((1, DPS), np.float32)
+        lane[0, DPS - 1] = 1.0
+        prev_ri = jnp.stack([jnp.real(prev_k),
+                             jnp.imag(prev_k)]).astype(jnp.float32)
+        prev_rows = prev_ri[:, None] * lane
+        hd = demod_hist.reshape(dh, DPS)
+        kdi = (jnp.asarray(tl.kd_i) if cplx
+               else jnp.zeros((1, 1), jnp.float32))
+        alt = (jnp.asarray(tl._alt(gt)) if cplx
+               else jnp.zeros((1, 1), jnp.float32))
+
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        grid_block = lambda w: pl.BlockSpec((tile, w), lambda s: (s, 0),
+                                            memory_space=pltpu.VMEM)
+        gout_block = pl.BlockSpec((gt, out_w), lambda s: (s, 0),
+                                  memory_space=pltpu.VMEM)
+        whole = lambda shape: pl.BlockSpec(
+            shape, lambda s: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        bodyp = functools.partial(body, hb=hb, dh=dh, cplx=cplx,
+                                  clip=self.mode == "dsd")
+        (out, ohr, ohi, ocy, obh_r, obh_i, oprev, ohd) = pl.pallas_call(
+            bodyp,
+            grid=(n_tiles,),
+            in_specs=[
+                grid_block(x_width),               # wire rows
+                whole((hist_rows, width)), whole((hist_rows, width)),
+                whole(cx_row.shape), whole((2, m)),
+                whole((hb, GL)), whole((hb, GL)),
+                whole((2, DPS)), whole((dh, DPS)),
+            ] + [vmem()] * (len(fcon) + 6 + len(fcon_tail) + 7),
+            out_specs=[
+                gout_block,
+                whole((hist_rows, width)), whole((hist_rows, width)),
+                whole((2, m)),
+                whole((hb, GL)), whole((hb, GL)),
+                whole((2, DPS)), whole((dh, DPS)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((g_total, out_w), jnp.float32),
+                jax.ShapeDtypeStruct((hist_rows, width), jnp.float32),
+                jax.ShapeDtypeStruct((hist_rows, width), jnp.float32),
+                jax.ShapeDtypeStruct((2, m), jnp.float32),
+                jax.ShapeDtypeStruct((hb, GL), jnp.float32),
+                jax.ShapeDtypeStruct((hb, GL), jnp.float32),
+                jax.ShapeDtypeStruct((2, DPS), jnp.float32),
+                jax.ShapeDtypeStruct((dh, DPS), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hist_rows, width), jnp.float32),   # yh_r
+                pltpu.VMEM((hist_rows, width), jnp.float32),   # yh_i
+                pltpu.VMEM(cx_row.shape, jnp.float32),         # xwrow
+                pltpu.VMEM((2, m), jnp.float32),               # ysc
+                pltpu.VMEM((1, 16 * m), jnp.float32),          # gw
+                pltpu.VMEM((gt, FE.W_PAD), jnp.float32),       # win_g
+                pltpu.VMEM((gt, GL), jnp.float32),             # bwr_sc
+                pltpu.VMEM((gt, GL), jnp.float32),             # bwi_sc
+                pltpu.VMEM((gt + hb, GL), jnp.float32),        # bext_r
+                pltpu.VMEM((gt + hb, GL), jnp.float32),        # bext_i
+                pltpu.VMEM((gt, wb), jnp.float32),             # win_r
+                pltpu.VMEM((gt, wb), jnp.float32),             # win_i
+                pltpu.VMEM((gt, wp), jnp.float32),             # wind
+                pltpu.VMEM((2, DPS), jnp.float32),             # psc
+                pltpu.VMEM((dh, DPS), jnp.float32),            # dsc
+            ],
+            interpret=self.interpret,
+        )(wire, fhr, fhi, cx_row, cy,
+          hbr, hbi, prev_rows, hd,
+          *(jnp.asarray(c) for c in fcon),
+          jnp.asarray(cn["u0"]), jnp.asarray(cn["pj"]),
+          jnp.asarray(tt), jnp.asarray(pvec), jnp.asarray(k2),
+          jnp.asarray(cn["e_last"]),
+          *(jnp.asarray(c) for c in fcon_tail),
+          jnp.asarray(tl.kd_r), kdi, alt, jnp.asarray(tl.kp),
+          jnp.asarray(tl._s25), jnp.asarray(tl._e24),
+          jnp.asarray(tl._oh0))
+
+        new_dc_y = jax.lax.complex(ocy[0, 0], ocy[1, 0])
+        new_fh = jax.lax.complex(ohr.reshape(-1), ohi.reshape(-1))
+        new_bh = jax.lax.complex(obh_r.reshape(-1), obh_i.reshape(-1))
+        prev_k_new = jax.lax.complex(oprev[0, DPS - 1], oprev[1, DPS - 1])
+        new_prev = prev_k_new * rot if cplx else prev_k_new
+        # new x[-1]: the block's last raw sample (format-specific scalars)
+        if fmt == "cf32w":
+            new_dc_x = jax.lax.complex(wire[rows - 1, 2 * m - 2],
+                                       wire[rows - 1, 2 * m - 1])
+        elif fmt == "cs16":
+            xr_l, xi_l = decode_planes(wire[rows - 1, m - 1:m], "cs16")
+            new_dc_x = jax.lax.complex(xr_l[0], xi_l[0])
+        else:
+            xr_l, xi_l = decode_planes(wire[rows - 1, m - 1:m], self.fmt)
+            new_dc_x = jax.lax.complex(xr_l[1], xi_l[1])
+        return (new_dc_x, new_dc_y, new_fh, new_bh, new_prev,
+                ohd.reshape(-1), out.reshape(g_total * out_w))

@@ -91,7 +91,7 @@ class DsdInChain:
 
     def __init__(self, subchunks_per_step: int = 10,
                  input_format: str = "cf32", use_pallas: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, mono: bool = True):
         self.input_len = subchunks_per_step * C.SUBCHUNK_IN
         assert self.input_len % C.INPUT_GRANULE == 0
         # "cs16"/"cu8": step takes raw wire bytes packed as f32 words and
@@ -104,7 +104,16 @@ class DsdInChain:
             raise ValueError("the fused dsd engine needs "
                              "subchunks_per_step % 8 == 0 (group band)")
         self.use_pallas = use_pallas
-        if use_pallas:
+        # mono (default): the WHOLE chain as ONE kernel launch — the band
+        # never leaves VMEM, HBM traffic = wire read + PCM write (the
+        # input-read speed of light); mono=False keeps the two-kernel
+        # engine for A/B
+        self.mono = mono and use_pallas
+        if self.mono:
+            from sdr_pmr446_tpu.kernels.chan_tail import PallasMonoChain
+            self.mono_k = PallasMonoChain("dsd", input_format,
+                                          interpret=pallas_interpret)
+        elif use_pallas:
             from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
             from sdr_pmr446_tpu.kernels.chan_tail import PallasChanTail
             self.front = PallasFrontEnd(
@@ -136,6 +145,8 @@ class DsdInChain:
         return (self.step_arg_len,)
 
     def init_state(self):
+        if self.mono:
+            return PallasDsdState(*self.mono_k.init_state())
         if self.use_pallas:
             dc_x, dc_y, fh = self.front.init_state()
             bh, sp, dh = self.tail.init_state()
@@ -158,10 +169,15 @@ class DsdInChain:
         return self._multi_step(state, iqs)
 
     def _step_impl(self, state, iq: jax.Array):
+        if self.use_pallas and iq.ndim == 1 and \
+                len(self.step_arg_shape) == 2:
+            iq = iq.reshape(self.step_arg_shape)
+        if self.mono:
+            *new_state, out48 = self.mono_k.apply(*state, iq)
+            return (PallasDsdState(*new_state),
+                    DsdOutputs(pcm=out48.astype(jnp.int16)))
         if self.use_pallas:
             from sdr_pmr446_tpu.kernels.chan_tail import front_dispatch
-            if iq.ndim == 1 and len(self.step_arg_shape) == 2:
-                iq = iq.reshape(self.step_arg_shape)
             dc_x, dc_y, fh, bwr, bwi = front_dispatch(
                 self.front, self.input_format, state.dc_x, state.dc_y,
                 state.front_hist, iq)

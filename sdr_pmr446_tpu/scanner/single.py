@@ -68,7 +68,7 @@ class SingleChannelChain:
     def __init__(self, channel: int, subchunks_per_step: int = 10,
                  audio_gain: float = C.SDR_DEFAULT_AUDIO_GAIN,
                  input_format: str = "cf32", use_pallas: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, mono: bool = True):
         assert 1 <= channel <= C.NUM_CHANNELS
         self.channel = channel
         self.audio_gain = audio_gain
@@ -80,7 +80,16 @@ class SingleChannelChain:
         if input_format != "cf32" and not use_pallas:
             raise ValueError("wire input formats need the fused engine")
         self.use_pallas = use_pallas
-        if use_pallas:
+        # mono (default): the whole chain in ONE kernel launch — band
+        # stays in VMEM (kernels/chan_tail.py::PallasMonoChain)
+        self.mono = mono and use_pallas
+        if self.mono:
+            from sdr_pmr446_tpu.kernels.chan_tail import PallasMonoChain
+            self.mono_k = PallasMonoChain("single", input_format,
+                                          channel=channel,
+                                          audio_gain=audio_gain,
+                                          interpret=pallas_interpret)
+        elif use_pallas:
             from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
             from sdr_pmr446_tpu.kernels.chan_tail import PallasChanTail
             self.front = PallasFrontEnd(
@@ -116,6 +125,9 @@ class SingleChannelChain:
         return (self.input_len,)
 
     def init_state(self):
+        if self.mono:
+            return PallasSingleState(*self.mono_k.init_state(),
+                                     jnp.zeros((), jnp.int32))
         if self.use_pallas:
             dc_x, dc_y, fh = self.front.init_state()
             bh, sp, dh = self.tail.init_state()
@@ -167,21 +179,24 @@ class SingleChannelChain:
         return new_state, audio
 
     def _step_pallas(self, state, iq: jax.Array):
-        from sdr_pmr446_tpu.kernels.chan_tail import front_dispatch
         if iq.ndim == 1 and len(self.step_arg_shape) == 2:
             iq = iq.reshape(self.step_arg_shape)
-        dc_x, dc_y, fh, bwr, bwi = front_dispatch(
-            self.front, self.input_format, state.dc_x, state.dc_y,
-            state.front_hist, iq)
         # mixer global phase: rot = e^{-j w b0}, b0 = state.n0 (exact
         # 32-entry table — offsets are multiples of fs/32)
         tab = jnp.asarray(np.exp(
             -1j * self.omega
             * np.arange(self.phase_period)).astype(np.complex64))
         rot = tab[state.n0]
+        t_band = self.input_len * 25 // 128
+        n0 = (state.n0 + t_band) % self.phase_period
+        if self.mono:
+            *ns_, audio = self.mono_k.apply(*state[:-1], iq, rot=rot)
+            return (PallasSingleState(*ns_, n0), audio)
+        from sdr_pmr446_tpu.kernels.chan_tail import front_dispatch
+        dc_x, dc_y, fh, bwr, bwi = front_dispatch(
+            self.front, self.input_format, state.dc_x, state.dc_y,
+            state.front_hist, iq)
         bh, sp, dh, audio = self.tail.apply(
             state.band_hist, state.sig_prev, state.demod_hist, bwr, bwi,
             rot=rot)
-        t_band = bwr.shape[0] * 400
-        n0 = (state.n0 + t_band) % self.phase_period
         return (PallasSingleState(dc_x, dc_y, fh, bh, sp, dh, n0), audio)

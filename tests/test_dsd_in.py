@@ -160,3 +160,25 @@ def test_pallas_engine_packed_wire():
     err = p1 - p2
     snr = 10 * np.log10(np.mean(p1 ** 2) / max(np.mean(err ** 2), 1e-30))
     assert snr > 60.0, f"{snr:.1f} dB"
+
+
+def test_mono_engine_equals_two_kernel():
+    """The MONO engine (whole chain in ONE kernel — band never leaves
+    VMEM) == the two-kernel fused engine, streaming.  The band carries
+    are bit-exact; sig/PCM differ only by matmul-shape accumulation
+    order (different group tiling), so gate at f32 rounding."""
+    K = 8
+    n = K * C.SUBCHUNK_IN
+    iq = _mk_iq(2 * n)
+    two = DsdInChain(K, use_pallas=True, pallas_interpret=True,
+                     mono=False)
+    one = DsdInChain(K, use_pallas=True, pallas_interpret=True)
+    assert one.mono and not two.mono
+    st1, st2 = two.init_state(), one.init_state()
+    for i in range(2):
+        x = jnp.asarray(iq[i * n:(i + 1) * n], jnp.complex64)
+        st1, o1 = two.step(st1, x)
+        st2, o2 = one.step(st2, x)
+        d = np.abs(np.asarray(o1.pcm, np.int32)
+                   - np.asarray(o2.pcm, np.int32))
+        assert d.max() <= 1, f"step {i}: {d.max()} LSB"

@@ -125,6 +125,35 @@ def test_single_channel_pallas_engine():
         assert snr > 60.0, f"step {i}: differential SNR {snr:.1f} dB"
 
 
+def test_single_mono_engine_equals_two_kernel():
+    """MONO single-channel engine == two-kernel fused engine."""
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu import config as C
+    from sdr_pmr446_tpu.io import synth
+    from sdr_pmr446_tpu.scanner.single import SingleChannelChain
+    K = 8
+    two = SingleChannelChain(channel=5, subchunks_per_step=K,
+                             use_pallas=True, pallas_interpret=True,
+                             mono=False)
+    one = SingleChannelChain(channel=5, subchunks_per_step=K,
+                             use_pallas=True, pallas_interpret=True)
+    assert one.mono and not two.mono
+    n = 2 * two.input_len
+    iq = synth.make_scanner_iq(n, channel=5, ctcss_code=12)
+    st1, st2 = two.init_state(), one.init_state()
+    for i in range(2):
+        x = jnp.asarray(iq[i * two.input_len:(i + 1) * two.input_len],
+                        jnp.complex64)
+        st1, a1 = two.step(st1, x)
+        st2, a2 = one.step(st2, x)
+        a1 = np.asarray(a1, np.float64)
+        a2 = np.asarray(a2, np.float64)
+        err = a1 - a2
+        snr = 10 * np.log10(np.mean(a1 ** 2) / max(np.mean(err ** 2),
+                                                   1e-30))
+        assert snr > 100.0, f"step {i}: {snr:.1f} dB"
+
+
 def test_transfer_fetch_roundtrip():
     import jax.numpy as jnp
     from sdr_pmr446_tpu.runtime.transfer import fetch

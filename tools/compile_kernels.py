@@ -95,7 +95,8 @@ def main():
                 (bw, bw, hist, par, prev))
 
     # fused dsd_in / single-channel tail (kernels/chan_tail.py)
-    from sdr_pmr446_tpu.kernels.chan_tail import PallasChanTail
+    from sdr_pmr446_tpu.kernels.chan_tail import (PallasChanTail,
+                                                  PallasMonoChain)
     for mode, kw in (("dsd", {}), ("single", dict(channel=5,
                                                   audio_gain=4.0))):
         tl = PallasChanTail(mode, **kw)
@@ -103,6 +104,21 @@ def main():
         args = (bh, sp, dh, bw, bw) + (
             (jnp.ones((), jnp.complex64),) if mode == "single" else ())
         ok &= probe(f"chan_tail_{mode}", tl.apply, args)
+
+    # MONO chains: front end + tail in ONE kernel (band never in HBM)
+    for mode, fmt, kw in (("dsd", "cf32w", {}), ("dsd", "cs16", {}),
+                          ("dsd", "cu8", {}),
+                          ("single", "cf32w", dict(channel=5,
+                                                   audio_gain=4.0))):
+        mc = PallasMonoChain(mode, fmt, **kw)
+        st = mc.init_state()
+        rows = (8 * C.SUBCHUNK_IN // 256 if fmt in ("cu8", "cs8")
+                else 8 * C.SUBCHUNK_IN // 128)
+        xwidth = 256 if fmt == "cf32w" else 128
+        wire = jnp.zeros((rows, xwidth), jnp.float32)
+        args = (*st, wire) + ((jnp.ones((), jnp.complex64),)
+                              if mode == "single" else ())
+        ok &= probe(f"mono_{mode}_{fmt}", mc.apply, args)
     return 0 if ok else 1
 
 
