@@ -286,23 +286,47 @@ def _body_group_packed(br_ref, bi_ref, h_ref, k4_ref, k1_ref, prev_ref,
     phase 0's discriminator (previous group row's phase 24) is a plain
     sublane shift of an already-computed value instead of a deferred
     write."""
-    gt = br_ref.shape[0]
-    w4 = NTAPS + 3 * NCH                         # 464
     s = pl.program_id(0)
 
     @pl.when(s == 0)
     def _():
-        bprev[:, :] = h_ref[:, :]                # [2, 400] re/im last row
-        # packed prev-frame row: [yr24 | yi24 | 0...] of the previous
-        # tile's last group row (signed/kernel space, like prev_sc was)
-        prevp[:, :] = jnp.zeros((1, 128), jnp.float32)
-        prevp[0:1, 0:NCH] = prev_ref[0:1, :]
-        prevp[0:1, NCH:2 * NCH] = prev_ref[1:2, :]
+        _pfb_packed_init(h_ref, prev_ref, bprev, prevp)
 
+    _pfb_group_core(br_ref[:], bi_ref[:], k4_ref, k1_ref, altc_ref,
+                    sel_ref, swap_ref, sh32_ref, sel96_ref, fa_ref,
+                    fb_ref, fold4_ref, sre_ref, sim_ref, ep0_ref,
+                    ep1_ref, ep2_ref, ep3_ref, srow_ref, ones_ref,
+                    demod_out, seg_out, prev_out, bprev, prevp,
+                    bext_r, bext_i, winc)
+
+
+def _pfb_packed_init(h_ref, prev_ref, bprev, prevp):
+    """s == 0 scratch init shared by _body_group_packed and the DUO
+    (front-end-merged) scanner body."""
+    bprev[:, :] = h_ref[:, :]                    # [2, 400] re/im last row
+    # packed prev-frame row: [yr24 | yi24 | 0...] of the previous
+    # tile's last group row (signed/kernel space, like prev_sc was)
+    prevp[:, :] = jnp.zeros((1, 128), jnp.float32)
+    prevp[0:1, 0:NCH] = prev_ref[0:1, :]
+    prevp[0:1, NCH:2 * NCH] = prev_ref[1:2, :]
+
+
+def _pfb_group_core(bw_r, bw_i, k4_ref, k1_ref, altc_ref, sel_ref,
+                    swap_ref, sh32_ref, sel96_ref, fa_ref, fb_ref,
+                    fold4_ref, sre_ref, sim_ref, ep0_ref, ep1_ref,
+                    ep2_ref, ep3_ref, srow_ref, ones_ref,
+                    demod_out, seg_out, prev_out,
+                    bprev, prevp, bext_r, bext_i, winc):
+    """Packed PFB+discriminator over band group-row VALUES — shared by
+    the standalone kernel (_body_group_packed) and the DUO scanner body
+    whose front end leaves the band in VMEM scratch.  Scratch init at
+    s == 0 (_pfb_packed_init) is the caller's job."""
+    gt = bw_r.shape[0]
+    w4 = NTAPS + 3 * NCH                         # 464
     bext_r[0:1, :] = bprev[0:1, :]
-    bext_r[1:, :] = br_ref[:]
+    bext_r[1:, :] = bw_r
     bext_i[0:1, :] = bprev[1:2, :]
-    bext_i[1:, :] = bi_ref[:]
+    bext_i[1:, :] = bw_i
     scale = 1.0 / (2.0 * math.pi * C.FM_KF)
     alt_col = altc_ref[:]                        # [gt, 1] = (-1)^g
     sgn = _dot(alt_col, srow_ref[:])             # [gt, 128]
@@ -356,8 +380,8 @@ def _body_group_packed(br_ref, bi_ref, h_ref, k4_ref, k1_ref, prev_ref,
     prevp[0:1, :] = p24s[gt - 1:gt, :]
     prev_out[0:1, :] = dot(prevp[0:1, :], sre_ref[:])
     prev_out[1:2, :] = dot(prevp[0:1, :], sim_ref[:])
-    bprev[0:1, :] = br_ref[gt - 1:gt, :]
-    bprev[1:2, :] = bi_ref[gt - 1:gt, :]
+    bprev[0:1, :] = bw_r[gt - 1:gt, :]
+    bprev[1:2, :] = bw_i[gt - 1:gt, :]
 
 
 @functools.lru_cache(maxsize=None)

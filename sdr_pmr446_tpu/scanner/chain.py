@@ -89,7 +89,7 @@ class ScannerChain:
                  input_format: str = "cf32", fuse_dc: bool = True,
                  fuse_lp_dc: bool = True, fuse_rssi: bool = True,
                  fuse_group: bool = True, fuse_ctcss: bool = True,
-                 pfb_packed: bool = True):
+                 pfb_packed: bool = True, fuse_band: bool = False):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
         # remote compiler, smaller ones add grid-step overhead.  pfb_tile
@@ -140,6 +140,13 @@ class ScannerChain:
         # instead of 100 sixteen-lane ones (kernels/pfb_demod.py
         # _packed_consts); same math to f32 summation rounding
         self.pfb_packed = pfb_packed
+        # DUO: front end + PFB in ONE kernel (kernels/duo.py) — the band
+        # group rows never leave VMEM (saves their 3.1 B/sample HBM round
+        # trip).  Needs the all-fused group path and NO waterfall (the
+        # spgram tap reads the band).  Off by default until the sharded
+        # path runs it too (the recorded engine must stay shardable).
+        self.fuse_band = bool(fuse_band and self.fuse_group
+                              and self.fuse_ctcss and waterfall <= 0)
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
@@ -147,6 +154,10 @@ class ScannerChain:
             res_tile, pfb_tile, audio_tile = pallas_tiles
             self.pallas_pfb = PallasPfbDemod(tile_f=pfb_tile,
                                              interpret=pallas_interpret)
+            if self.fuse_band:
+                from sdr_pmr446_tpu.kernels.duo import PallasScannerDuo
+                self.pallas_duo = PallasScannerDuo(
+                    input_format, interpret=pallas_interpret)
             if self.fuse_dc:
                 from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
                 # cu8/cs8 pack TWO samples per transport word -> the
@@ -258,7 +269,17 @@ class ScannerChain:
             # front end and the audio bank stays in plane/real form — zero
             # complex materialization, zero XLA glue between kernels
             # (VERDICT r1 #1).
-            if self.fuse_dc and self.input_format == "cf32w":
+            if self.fuse_band:
+                # 1-5 in ONE kernel: DC + wire decode + resampler + PFB +
+                # discriminator (kernels/duo.py) — the band group rows
+                # never leave VMEM, removing their 3.1 B/sample handoff
+                # (waterfall is off on this path by construction)
+                (dc_x, dc_y, resamp_hist, demod3, mag_sums, pfb_hist,
+                 parity, demod_prev) = self.pallas_duo.apply(
+                    state.dc_x, state.dc_y, state.resamp_hist,
+                    state.pfb_hist, state.frame_parity,
+                    state.demod_prev, iq, ns)
+            elif self.fuse_dc and self.input_format == "cf32w":
                 # 1+2. fused IQ DC blocker + 25/128 polyphase resampler,
                 # consuming the cf32 WIRE bytes in place: the (re,im)
                 # interleave is undone inside the kernel's first matmul and
@@ -321,7 +342,12 @@ class ScannerChain:
             # audio/lp planes come back padded — the sub-chunk windows are
             # gathered out directly, so NONE of the slice/reshape XLA glue
             # passes (measured ~10 B/input-sample at K=8) run at all.
-            if self.fuse_group:
+            if self.fuse_band:
+                # demod/mag came out of the duo kernel above
+                rssi_db = 20.0 * jnp.log10(
+                    jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
+                demod = demod3.reshape(C.NUM_CHANNELS, K * ns)
+            elif self.fuse_group:
                 # GROUP-major: the PFB kernel eats br/bi [G, 400] exactly
                 # as emitted; demod3.reshape is a free [16, F] view with
                 # zero tail padding (F = 25*G exactly)

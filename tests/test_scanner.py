@@ -313,3 +313,25 @@ def test_fused_ctcss_chain_equality():
         if f == "waterfall":
             continue
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+
+
+def test_fuse_band_duo_chain_equality():
+    """fuse_band (front end + PFB in ONE kernel, kernels/duo.py — the
+    band never leaves VMEM) vs the two-kernel group path: decisions and
+    CTCSS events exact, audio to f32 rounding, streaming state carried."""
+    iq = synth.make_scanner_iq(16 * C.SUBCHUNK_IN, channel=5,
+                               ctcss_code=12)
+    res = {}
+    for name, fb in [("trio", False), ("duo", True)]:
+        _, outs, ch = run_chain(iq, subchunks_per_step=8, use_pallas=True,
+                                pallas_interpret=True, fuse_band=fb)
+        assert ch.fuse_band == fb
+        res[name] = outs
+    a, b = res["trio"], res["duo"]
+    for f in a:
+        if f in ("audio", "rel_rssi", "rssi_db", "ct_freq", "waterfall"):
+            continue
+        np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+    np.testing.assert_allclose(a["rssi_db"], b["rssi_db"], rtol=0,
+                               atol=5e-3)
+    assert np.max(np.abs(a["audio"] - b["audio"])) < 1e-4

@@ -39,7 +39,7 @@ def main():
     p.add_argument("--rot", type=int, default=4,
                    help="distinct input realizations rotated across steps")
     p.add_argument("--mode", choices=["engines", "fusion", "ctcss",
-                                      "group", "precision"],
+                                      "group", "precision", "band"],
                    default="engines",
                    help="engines: XLA vs fused-Pallas (cf32 input); "
                         "fusion: Pallas cf32w with the lp-DC/RSSI kernel "
@@ -49,7 +49,9 @@ def main():
                         "group: the GROUP-major band handoff ON vs OFF; "
                         "precision: kernel dots at HIGHEST (true f32, the "
                         "default policy) vs DEFAULT (single-pass bf16 "
-                        "contraction — see kernels/precision.py)")
+                        "contraction — see kernels/precision.py); "
+                        "band: front+PFB as ONE kernel (kernels/duo.py) "
+                        "vs the two-kernel group path")
     args = p.parse_args()
 
     k = args.subchunks_per_step
@@ -74,6 +76,14 @@ def main():
                   fuse_group=False)),
             ("group-band",
              dict(use_pallas=True, input_format="cf32w")),
+        )
+    elif args.mode == "band":
+        variants = (
+            ("trio",
+             dict(use_pallas=True, input_format="cf32w")),
+            ("duo",
+             dict(use_pallas=True, input_format="cf32w",
+                  fuse_band=True)),
         )
     elif args.mode == "precision":
         variants = (
