@@ -227,7 +227,8 @@ def _min_traffic(chain=None, input_format: str = "cf32",
         fuse_lp_dc=getattr(chain, "fuse_lp_dc", False),
         fuse_rssi=getattr(chain, "fuse_rssi", False),
         fuse_ctcss=getattr(chain, "fuse_ctcss", False),
-        waterfall=waterfall)
+        waterfall=waterfall,
+        fuse_band=getattr(chain, "fuse_band", False))
 
 
 def _envelope_probe_main(mb=512, iters=300) -> int:

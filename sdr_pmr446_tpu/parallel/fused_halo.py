@@ -199,6 +199,97 @@ def correct_band(bw, y_in_plane, hist_plane, consts):
 
 
 # ---------------------------------------------------------------------------
+# DUO (front+PFB one-kernel) sharding: exact-state pre-pass
+# ---------------------------------------------------------------------------
+#
+# The duo kernel never materializes the band, so the zero-init +
+# band-correction recipe above has nothing to correct (the PFB's atan2 is
+# past the linear stages).  Instead a READ-ONLY pre-pass computes each
+# shard's zero-state DC summaries without materializing any [T] plane:
+# per-128-row weighted reductions (two matmuls per plane) + a [rows]
+# first-order fold.  compose_dc_chain then yields the TRUE incoming
+# (x[-1], y[-1]) — fed straight to the unmodified kernel — and the
+# outgoing halo values (resampler-history tail, PFB band row, last-frame
+# candidate) are rebuilt from a short corrected DC tail pushed through the
+# XLA resampler (a ~2.5k-sample computation per shard).
+
+@functools.lru_cache(maxsize=None)
+def _zero_summary_consts(t_local: int, tail_len: int) -> dict:
+    """Host-float64 constants for front_zero_summary."""
+    p = np.float64(_P)
+    j = np.arange(128, dtype=np.float64)
+    # end-of-row zero-state response to in-row samples:
+    #   sum_j' p^(127-j') g (x[j'] - x[j'-1])  ->  weights on x[j]
+    v = np.where(j < 127, p ** (127.0 - j) - p ** (126.0 - j), 1.0)
+    rows = t_local // 128
+    r = np.arange(rows, dtype=np.float64)
+    pr_last = (p ** (128.0 * (rows - 1 - r)))          # fold to final y
+    tail_rows = tail_len // 128
+    # correction ramp at the tail positions: p^n, n = T - tail_len + j
+    n_tail = np.arange(tail_len, dtype=np.float64) + (t_local - tail_len)
+    return dict(v=(_G * v).astype(np.float32),
+                gp127=np.float32(_G * p ** 127.0),
+                p128=float(p ** 128.0),
+                pr_last=pr_last.astype(np.float32),
+                rows=rows, tail_rows=tail_rows,
+                tail_ramp=(p ** n_tail).astype(np.float32),
+                p_t1=float(p ** (t_local - 1.0)))
+
+
+def front_zero_summary(xr: jax.Array, xi: jax.Array, tail_len: int):
+    """Zero-state ((x[-1], y[-1]) = 0) DC-blocker summaries of a shard's
+    input planes xr/xi [T] (T % 128 == 0, tail_len % 128 == 0):
+
+    returns (y00, y_pre, x_pre, xlast, tail_x) with y00 = zero-state
+    final y (c64), y_pre = zero-state y at T - tail_len - 1, x_pre =
+    x[T - tail_len - 1], xlast = x[T - 1], tail_x [tail_len] c64 = the
+    RAW input tail (for the subsequent short DC scan).  One read pass;
+    nothing [T]-sized is written."""
+    from sdr_pmr446_tpu.ops import iir
+    t = xr.shape[-1]
+    cc = _zero_summary_consts(t, tail_len)
+    rows = cc["rows"]
+    xp = jnp.stack([xr, xi]).reshape(2, rows, 128)
+    w = jnp.matmul(xp, jnp.asarray(cc["v"])[:, None],
+                   precision=jax.lax.Precision.HIGHEST)[..., 0]  # [2, R]
+    xl_col = xp[..., 127]                                        # [2, R]
+    prev_last = jnp.concatenate(
+        [jnp.zeros((2, 1), xl_col.dtype), xl_col[:, :-1]], axis=1)
+    t_r = w - cc["gp127"] * prev_last
+    b = iir.first_order_scan(t_r, cc["p128"],
+                             jnp.zeros((2,), t_r.dtype))         # [2, R]
+    y00 = jax.lax.complex(b[0, rows - 1], b[1, rows - 1])
+    tr = cc["tail_rows"]
+    y_pre = jax.lax.complex(b[0, rows - tr - 1], b[1, rows - tr - 1])
+    x_pre = jax.lax.complex(xl_col[0, rows - tr - 1],
+                            xl_col[1, rows - tr - 1])
+    xlast = jax.lax.complex(xl_col[0, rows - 1], xl_col[1, rows - 1])
+    tail_x = jax.lax.complex(
+        xp[0, rows - tr:].reshape(-1), xp[1, rows - tr:].reshape(-1))
+    return y00, y_pre, x_pre, xlast, tail_x
+
+
+def dc_tail_exact(tail_x: jax.Array, y_pre, x_pre, delta, t_local: int):
+    """The TRUE DC-blocked input tail: a short scan from the zero-state
+    boundary values plus the delta * p^n correction (delta from
+    compose_dc_chain; exact affine identity)."""
+    from sdr_pmr446_tpu.ops import iir
+    tail_len = tail_x.shape[-1]
+    cc = _zero_summary_consts(t_local, tail_len)
+    xs = jnp.stack([jnp.real(tail_x), jnp.imag(tail_x)])
+    xprev = jnp.concatenate(
+        [jnp.stack([jnp.real(x_pre), jnp.imag(x_pre)])[:, None],
+         xs[:, :-1]], axis=1)
+    z = _G * (xs - xprev)
+    y0 = jnp.stack([jnp.real(y_pre), jnp.imag(y_pre)])
+    y00_tail = iir.first_order_scan(z, _P, y0)          # [2, tail]
+    ramp = jnp.asarray(cc["tail_ramp"])
+    dcol = jnp.stack([jnp.real(delta), jnp.imag(delta)])[:, None]
+    y_true = y00_tail + dcol * ramp[None, :]
+    return jax.lax.complex(y_true[0], y_true[1])
+
+
+# ---------------------------------------------------------------------------
 # audio-bank (fused CTCSS-branch DC blocker + DFT) correction constants
 # ---------------------------------------------------------------------------
 

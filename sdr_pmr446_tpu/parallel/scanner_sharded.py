@@ -50,7 +50,7 @@ class ShardedScannerChain:
                  input_format: str = "cf32", fuse_dc: bool = True,
                  fuse_lp_dc: bool = True, fuse_rssi: bool = True,
                  fuse_group: bool = True, fuse_ctcss: bool = True,
-                 pfb_packed: bool = True):
+                 pfb_packed: bool = True, fuse_band: bool = True):
         self.mesh = mesh
         self.block = block or C.BlockConfig()
         # "cs16"/"cu8": step takes [S, words] raw wire bytes packed as f32
@@ -97,6 +97,13 @@ class ShardedScannerChain:
             self.pallas_audio = PallasAudioBank(
                 lowpass=lowpass, fir_deemph=fir_deemph,
                 interpret=pallas_interpret)
+        # DUO variant: front+PFB one-kernel (kernels/duo.py) per shard,
+        # with an exact-state READ-ONLY pre-pass instead of the zero-init
+        # + band-correction recipe (the duo never materializes a band to
+        # correct) — parallel/fused_halo.py front_zero_summary.  Needs
+        # the fused path and no waterfall (the spgram tap reads the band).
+        self.fused_duo = bool(self.fused and fuse_band and waterfall <= 0)
+        self.fuse_band = self.fused_duo
         if self.fused:
             from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
             from sdr_pmr446_tpu.parallel import fused_halo
@@ -108,6 +115,11 @@ class ShardedScannerChain:
                 t_local, self.pallas_front.hist_len)
             self._ct_consts = fused_halo.ctcss_corr_consts(
                 k_local, C.SUBCHUNK_AUDIO)
+            self._t_local = t_local
+        if self.fused_duo:
+            from sdr_pmr446_tpu.kernels.duo import PallasScannerDuo
+            self.pallas_duo = PallasScannerDuo(
+                input_format, interpret=pallas_interpret)
         # halo transport for the two front-end FIR histories: ppermute
         # collectives (default) or the Pallas remote-DMA ring shift
         # (kernels/halo_dma.py; interpret-simulated off-TPU)
@@ -231,35 +243,70 @@ class ShardedScannerChain:
         single = functools.partial(fn, params=params)
         return jax.vmap(single)(state, iq)
 
-    def _step_one_stream_fused(self, state: ScannerState, iq: jax.Array,
-                               params: RuntimeParams):
-        """The FLAGSHIP fused engine, time-sharded.
+    def _duo_front_pfb(self, state, iq, ax, d, ntime, K_local, ns,
+                       fmt, fe, FH, last_frame_output):
+        """Front end + PFB for the sharded DUO engine (one kernel, band
+        never in HBM): a READ-ONLY pre-pass (fused_halo.front_zero_summary)
+        plus compose_dc_chain recover each shard's TRUE incoming DC state,
+        and the outgoing halos (resampler tail, PFB band row, last-frame
+        candidate) are rebuilt from a short corrected DC tail pushed
+        through the XLA resampler — so the UNMODIFIED duo kernel runs with
+        exact state and needs no post-correction at all."""
+        t_local = self._t_local
+        tail_len = 2560                    # covers 512 hist + 416-band span
+        if fmt == "cf32":
+            xr = jnp.real(iq).astype(jnp.float32)
+            xi = jnp.imag(iq).astype(jnp.float32)
+        else:
+            xr, xi = decode_op.decode_planes(iq.reshape(-1), fmt)
+        y00, y_pre, x_pre, xlast, tail_x = FH.front_zero_summary(
+            xr, xi, tail_len)
+        dcx_in, dcx_carry = halo.shard_scalar_prev(state.dc_x,
+                                                   xlast[None], ax)
+        from sdr_pmr446_tpu.parallel.fused_halo import _zero_summary_consts
+        zc = _zero_summary_consts(t_local, tail_len)
+        y_in, delta, dcy_carry, _ = FH.compose_dc_chain(
+            y00, xlast, state.dc_y, state.dc_x, zc["p_t1"], FH._G, ax)
+        dc_tail = FH.dc_tail_exact(tail_x, y_pre, x_pre, delta, t_local)
 
-        Per shard: the unmodified fused kernels run with ZERO incoming
-        one-pole state; the exact incoming state is recovered by a tiny
-        gathered fold and applied as affine post-corrections (band ramp +
-        history block for the IQ blocker, geometric-phasor tone-sum terms
-        for the CTCSS-branch blocker) — parallel/fused_halo.py.  FIR-class
-        carries (resampler history, PFB group row, discriminator previous
-        frame, audio look-behind) move as plain halos of materialized
-        kernel outputs.  The FSM schedule and detection chains run
-        replicated on all-gathered [K, 16] RSSI / [K, 38] tone sums,
-        exactly like the round-1 sharded path."""
-        from sdr_pmr446_tpu.parallel import fused_halo as FH
-        from sdr_pmr446_tpu.kernels.pfb_demod import last_frame_output
-        from sdr_pmr446_tpu.scanner.fsm import (fsm_phase_a,
-                                                raw_sums_to_ctcss,
-                                                fsm_phase_c)
-        ax = TIME_AXIS
-        ntime = self.n_time
-        d = jax.lax.axis_index(ax)
-        K = self.block.subchunks_per_step
-        K_local = K // ntime
-        ns = C.SUBCHUNK_AUDIO
-        fmt = self.input_format
-        fe = self.pallas_front
-        fc = self._fe_consts
+        # outgoing halos from the corrected tail (all pre-kernel)
+        tail_true = dc_tail[-fe.hist_len:]
+        hist_in, rh_carry = FH.shard_pass_right(state.resamp_hist,
+                                                tail_true, ax)
+        res = self.resampler
+        _, band_tail = res.apply(dc_tail[384 - res.hist_len:384],
+                                 dc_tail[384:])
+        row_out = band_tail[-400:]
+        pfb_hist_in, ph_carry = FH.shard_pass_right(state.pfb_hist,
+                                                    row_out, ax)
+        g_local = t_local // 2048
+        f_local = 25 * g_local
+        parity_d = (state.frame_parity + d * f_local) % 2
+        lsign = (1.0 - 2.0 * ((parity_d + f_local - 1) % 2)
+                 ).astype(jnp.float32)
+        cand = last_frame_output(
+            jnp.real(band_tail[-416:]).astype(jnp.float32),
+            jnp.imag(band_tail[-416:]).astype(jnp.float32), lsign)
+        fm_prev, fm_carry = halo.shard_scalar_prev(state.demod_prev,
+                                                   cand[:, None], ax)
 
+        # the duo kernel with EXACT incoming state (its returned carries
+        # equal the pre-pass values; the halo'd ones are kept)
+        (_, _, _, demod3, mag_sums, _, _, _) = self.pallas_duo.apply(
+            dcx_in, y_in, hist_in, pfb_hist_in, parity_d, fm_prev, iq, ns)
+        new_parity = (state.frame_parity + ntime * f_local) % 2
+        rssi_local = 20.0 * jnp.log10(
+            jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
+        demod = demod3.reshape(C.NUM_CHANNELS, K_local * ns)
+        return (dcx_carry, dcy_carry, rh_carry, ph_carry, fm_carry,
+                new_parity, rssi_local, demod, None, None)
+
+    def _fused_front_pfb(self, state, iq, ax, d, ntime, K_local, ns,
+                         fmt, fe, fc, FH, last_frame_output):
+        """Front end + PFB for the sharded fused TRIO: zero-init
+        kernel runs + affine band correction (see class docstring).
+        Returns (dcx_carry, dcy_carry, rh_carry, ph_carry, fm_carry,
+        new_parity, rssi_local, demod, band_r, band_i)."""
         # 0. the DC blocker's x[-1] is exact via a 1-sample halo (the
         # last raw sample decodes in a few scalar XLA ops per format)
         if fmt == "cf32":
@@ -325,6 +372,50 @@ class ShardedScannerChain:
         rssi_local = 20.0 * jnp.log10(
             jnp.maximum(mag_sums * (1.0 / ns), 1e-30))     # [K_local, 16]
         demod = demod3.reshape(C.NUM_CHANNELS, K_local * ns)
+        return (dcx_carry, dcy_carry, rh_carry, ph_carry, fm_carry,
+                new_parity, rssi_local, demod, band_r, band_i)
+
+    def _step_one_stream_fused(self, state: ScannerState, iq: jax.Array,
+                               params: RuntimeParams):
+        """The FLAGSHIP fused engine, time-sharded.
+
+        Per shard: the unmodified fused kernels run with ZERO incoming
+        one-pole state; the exact incoming state is recovered by a tiny
+        gathered fold and applied as affine post-corrections (band ramp +
+        history block for the IQ blocker, geometric-phasor tone-sum terms
+        for the CTCSS-branch blocker) — parallel/fused_halo.py.  FIR-class
+        carries (resampler history, PFB group row, discriminator previous
+        frame, audio look-behind) move as plain halos of materialized
+        kernel outputs.  The FSM schedule and detection chains run
+        replicated on all-gathered [K, 16] RSSI / [K, 38] tone sums,
+        exactly like the round-1 sharded path."""
+        from sdr_pmr446_tpu.parallel import fused_halo as FH
+        from sdr_pmr446_tpu.kernels.pfb_demod import last_frame_output
+        from sdr_pmr446_tpu.scanner.fsm import (fsm_phase_a,
+                                                raw_sums_to_ctcss,
+                                                fsm_phase_c)
+        ax = TIME_AXIS
+        ntime = self.n_time
+        d = jax.lax.axis_index(ax)
+        K = self.block.subchunks_per_step
+        K_local = K // ntime
+        ns = C.SUBCHUNK_AUDIO
+        fmt = self.input_format
+        fe = self.pallas_front
+        fc = self._fe_consts
+
+        if self.fused_duo:
+            (dcx_carry, dcy_carry, rh_carry, ph_carry, fm_carry,
+             new_parity, rssi_local, demod, band_r, band_i) = \
+                self._duo_front_pfb(state, iq, ax, d, ntime, K_local,
+                                    ns, fmt, fe, FH,
+                                    last_frame_output)
+        else:
+            (dcx_carry, dcy_carry, rh_carry, ph_carry, fm_carry,
+             new_parity, rssi_local, demod, band_r, band_i) = \
+                self._fused_front_pfb(state, iq, ax, d, ntime,
+                                      K_local, ns, fmt, fe, fc, FH,
+                                      last_frame_output)
 
         # 6b. waterfall rows on the corrected local band PLANES (the _p
         # asgram variants never materialize a complex band; the halo moves

@@ -89,7 +89,7 @@ class ScannerChain:
                  input_format: str = "cf32", fuse_dc: bool = True,
                  fuse_lp_dc: bool = True, fuse_rssi: bool = True,
                  fuse_group: bool = True, fuse_ctcss: bool = True,
-                 pfb_packed: bool = True, fuse_band: bool = False):
+                 pfb_packed: bool = True, fuse_band: bool = True):
         # tile defaults tuned in-process at K=480 on the dev chip
         # (resampler frames, PFB frames, audio rows); larger tiles OOM the
         # remote compiler, smaller ones add grid-step overhead.  pfb_tile
@@ -143,8 +143,9 @@ class ScannerChain:
         # DUO: front end + PFB in ONE kernel (kernels/duo.py) — the band
         # group rows never leave VMEM (saves their 3.1 B/sample HBM round
         # trip).  Needs the all-fused group path and NO waterfall (the
-        # spgram tap reads the band).  Off by default until the sharded
-        # path runs it too (the recorded engine must stay shardable).
+        # spgram tap reads the band).  Default ON: the sharded chain runs
+        # it too (exact-state pre-pass, parallel/fused_halo.py), so the
+        # recorded engine stays shardable.
         self.fuse_band = bool(fuse_band and self.fuse_group
                               and self.fuse_ctcss and waterfall <= 0)
         if use_pallas:

@@ -37,7 +37,8 @@ def chain_traffic(input_format: str = "cf32w",
                   fuse_lp_dc: bool = False,
                   fuse_rssi: bool = False,
                   fuse_ctcss: bool = False,
-                  waterfall: bool = False) -> dict:
+                  waterfall: bool = False,
+                  fuse_band: bool = False) -> dict:
     """Bytes of HBM traffic per input sample, per stage boundary.
 
     The returned ``total`` is a LOWER bound on what the configured engine
@@ -70,11 +71,18 @@ def chain_traffic(input_format: str = "cf32w",
     """
     wire = WIRE_BYTES[input_format]
     if not use_pallas:
-        fuse_dc = fuse_lp_dc = fuse_rssi = fuse_ctcss = False
+        fuse_dc = fuse_lp_dc = fuse_rssi = fuse_ctcss = fuse_band = False
     if fuse_ctcss:
         fuse_lp_dc = True
+    if fuse_band and (not fuse_dc or waterfall):
+        fuse_band = False
     t: dict[str, float] = {}
-    if fuse_dc:
+    if fuse_band:
+        # DUO kernel (kernels/duo.py): front end + PFB in one launch —
+        # the band never reaches HBM; wire read in, demod plane out
+        pre = 16.0 if input_format == "cf32" else 0.0
+        t["duo"] = pre + wire + 4 * CH
+    elif fuse_dc:
         # cf32 complex64 input pays one XLA interleave pass (read 8 +
         # write 8) before the kernel's 8 B wire read (apply_iq)
         pre = 16.0 if input_format == "cf32" else 0.0
@@ -91,8 +99,9 @@ def chain_traffic(input_format: str = "cf32w",
         t["dc_blocker"] = 8 + 8
         # resampler kernel: planes in, band planes out
         t["resampler"] = 8 + 2 * 4 * BAND
-    # pfb+demod kernel: band planes in; demod out (f32)
-    t["pfb_demod"] = 2 * 4 * BAND + 4 * CH
+    if not fuse_band:
+        # pfb+demod kernel: band planes in; demod out (f32)
+        t["pfb_demod"] = 2 * 4 * BAND + 4 * CH
     if fuse_rssi:
         # per-tile segment-sum outputs are negligible; the per-frame
         # [*, 2] f32 boundary-selector input is not: 8 B per PFB frame
@@ -132,8 +141,9 @@ def min_traffic_b_per_sample(input_format: str = "cf32w",
                              fuse_lp_dc: bool = False,
                              fuse_rssi: bool = False,
                              fuse_ctcss: bool = False,
-                             waterfall: bool = False) -> float:
+                             waterfall: bool = False,
+                             fuse_band: bool = False) -> float:
     """The bench cap denominator for the configured engine."""
     return chain_traffic(input_format, use_pallas, fuse_dc,
                          fuse_lp_dc, fuse_rssi, fuse_ctcss,
-                         waterfall)["total"]
+                         waterfall, fuse_band)["total"]

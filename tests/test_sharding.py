@@ -445,7 +445,8 @@ def _iq_to_wire(sig, fmt, shape):
     return decode_op.pack_iq(np.asarray(sig), fmt).reshape(shape)
 
 
-def _run_fused_pair(fmt, K, nt, n_steps=2, waterfall=0):
+def _run_fused_pair(fmt, K, nt, n_steps=2, waterfall=0,
+                    fuse_band=True):
     """(refs, outs): single-chip flagship vs fused sharded, same wire."""
     step_len = K * C.SUBCHUNK_IN
     iq = synth.make_scanner_iq(n_steps * step_len, channel=5, ctcss_code=12)
@@ -456,8 +457,9 @@ def _run_fused_pair(fmt, K, nt, n_steps=2, waterfall=0):
 
     ref_chain = ScannerChain(C.BlockConfig(K), use_pallas=True,
                              pallas_interpret=True, input_format=fmt,
-                             waterfall=waterfall)
+                             waterfall=waterfall, fuse_band=fuse_band)
     assert ref_chain.fuse_group and ref_chain.fuse_ctcss
+    assert ref_chain.fuse_band == (fuse_band and waterfall <= 0)
     wl = ref_chain.step_arg_len
     st1 = ref_chain.init_state()
     refs = []
@@ -473,8 +475,9 @@ def _run_fused_pair(fmt, K, nt, n_steps=2, waterfall=0):
     mesh = make_mesh(1, nt)
     chain = ShardedScannerChain(mesh, C.BlockConfig(K), use_pallas=True,
                                 pallas_interpret=True, input_format=fmt,
-                                waterfall=waterfall)
+                                waterfall=waterfall, fuse_band=fuse_band)
     assert chain.fused, "flagship fused sharded path must engage"
+    assert chain.fused_duo == (fuse_band and waterfall <= 0)
     st2 = chain.init_state(1)
     outs = []
     for i in range(n_steps):
@@ -511,12 +514,21 @@ def _assert_fused_equal(refs, outs):
 
 
 def test_sharded_fused_flagship_equals_unsharded():
-    """The RECORDED engine (cf32w fused-group chain) time-sharded over 2
-    devices == the single-chip flagship, across two streaming steps (so
-    every cross-shard carry — IQ DC affine, resampler history, PFB group
-    row, discriminator frame, audio look-behind, lp-DC affine, CTCSS
+    """The RECORDED engine (cf32w DUO chain — front+PFB one kernel, band
+    never in HBM) time-sharded over 2 devices == the single-chip
+    flagship, across two streaming steps (so every cross-shard carry —
+    IQ DC exact-state pre-pass, resampler history, PFB group row,
+    discriminator frame, audio look-behind, lp-DC affine, CTCSS
     phase/carry — survives a step boundary)."""
     refs, outs = _run_fused_pair("cf32w", K=16, nt=2)
+    _assert_fused_equal(refs, outs)
+
+
+def test_sharded_fused_trio_equals_unsharded():
+    """The two-kernel (trio) fused path — zero-init front kernel + band
+    affine correction — stays covered with fuse_band=False."""
+    refs, outs = _run_fused_pair("cf32w", K=16, nt=2, n_steps=1,
+                                 fuse_band=False)
     _assert_fused_equal(refs, outs)
 
 
