@@ -28,8 +28,15 @@ def main() -> int:
                    help="model the audio-DC-fused audio bank")
     p.add_argument("--fuse-rssi", action="store_true",
                    help="model the RSSI-fused PFB kernel")
+    p.add_argument("--fuse-ctcss", action="store_true",
+                   help="model the in-kernel CTCSS DFT (lp plane never "
+                        "in HBM)")
+    p.add_argument("--fuse-band", action="store_true",
+                   help="model the DUO engine (front+PFB one kernel — "
+                        "the band never in HBM; kernels/duo.py)")
     a = p.parse_args()
-    fused = dict(fuse_lp_dc=a.fuse_lp_dc, fuse_rssi=a.fuse_rssi)
+    fused = dict(fuse_lp_dc=a.fuse_lp_dc, fuse_rssi=a.fuse_rssi,
+                 fuse_ctcss=a.fuse_ctcss, fuse_band=a.fuse_band)
     configs = {
         "xla_cf32": dict(input_format="cf32", use_pallas=False),
         "pallas_cf32w": dict(input_format="cf32w", **fused),
