@@ -545,3 +545,42 @@ def test_sharded_fused_waterfall_four_shards():
     refs, outs = _run_fused_pair("cf32w", K=32, nt=4, n_steps=1,
                                  waterfall=64)
     _assert_fused_equal(refs, outs)
+
+
+def test_sharded_dsd_mono_equals_unsharded():
+    """The MONO dsd engine (whole chain in one kernel) time-sharded ==
+    the single-chip mono chain: the exact-state pre-pass rebuilds every
+    tail halo (front history, band rows, discriminator sample, demod
+    history) from a corrected DC tail, so the unmodified kernel runs
+    per shard.  PCM within 1 LSB / >60 dB across streaming steps."""
+    from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
+    from sdr_pmr446_tpu.parallel.dsd_sharded import ShardedDsdInChain
+
+    K = 16
+    n = K * C.SUBCHUNK_IN
+    fs = C.SDR_SAMPLERATE
+    t = np.arange(2 * n) / fs
+    msg = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    iq = np.exp(1j * 2 * np.pi * (2000.0 * np.cumsum(msg)
+                                  + 300.0 * np.arange(2 * n)) / fs)
+
+    ref = DsdInChain(K, use_pallas=True, pallas_interpret=True)
+    st1 = ref.init_state()
+    refs = []
+    for i in range(2):
+        st1, o = ref.step(st1, jnp.asarray(iq[i * n:(i + 1) * n],
+                                           jnp.complex64))
+        refs.append(np.asarray(o.pcm, np.float64))
+
+    mesh = make_mesh(1, 2)
+    ch = ShardedDsdInChain(mesh, K, use_pallas=True, pallas_interpret=True)
+    assert ch.mono
+    st2 = ch.init_state(1)
+    for i in range(2):
+        st2, o = ch.step(st2, jnp.asarray(iq[None, i * n:(i + 1) * n],
+                                          jnp.complex64))
+        p = np.asarray(o.pcm[0], np.float64)
+        err = p - refs[i]
+        snr = 10 * np.log10(max(np.mean(refs[i] ** 2), 1e-30)
+                            / max(np.mean(err ** 2), 1e-30))
+        assert snr > 60.0 and np.abs(err).max() <= 2.0, (i, snr)
