@@ -52,12 +52,14 @@ run() {
 
 run timing_verifier python tools/timing_verifier.py
 run probe_precision python tools/probe_precision.py
+run value_verify    python tools/value_verify_kernel.py
 run bw_check        python tools/bw_check.py
 run envelope_probe  python bench.py --envelope-probe-only
 run verified_bench  python tools/verified_bench.py --pallas --k 40
 run ab_bench_k160   python tools/ab_bench.py --subchunks-per-step 160
 run ab_group_k160   python tools/ab_bench.py --mode group --subchunks-per-step 160
 run ab_mxu_k160     python tools/ab_bench.py --mode precision --subchunks-per-step 160
+run ab_band_k160    python tools/ab_bench.py --mode band --subchunks-per-step 160
 run tpu_smoke       python tools/tpu_smoke.py
 run bench_scaling   python bench_scaling.py
 run bench_scanner   python bench.py --config scanner
