@@ -105,6 +105,17 @@ def main():
             (jnp.ones((), jnp.complex64),) if mode == "single" else ())
         ok &= probe(f"chan_tail_{mode}", tl.apply, args)
 
+    # DUO scanner kernel: front end + packed PFB in ONE launch
+    from sdr_pmr446_tpu.kernels.duo import PallasScannerDuo
+    for fmt in ("cf32w", "cs16", "cu8"):
+        duo = PallasScannerDuo(fmt)
+        st = duo.init_state()
+        rows = (8 * C.SUBCHUNK_IN // 256 if fmt in ("cu8", "cs8")
+                else 8 * C.SUBCHUNK_IN // 128)
+        xwidth = 256 if fmt == "cf32w" else 128
+        wire = jnp.zeros((rows, xwidth), jnp.float32)
+        ok &= probe(f"duo_{fmt}", duo.apply, (*st, wire))
+
     # MONO chains: front end + tail in ONE kernel (band never in HBM)
     for mode, fmt, kw in (("dsd", "cf32w", {}), ("dsd", "cs16", {}),
                           ("dsd", "cu8", {}),
