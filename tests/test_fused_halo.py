@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 
 from sdr_pmr446_tpu import config as C
-from sdr_pmr446_tpu.ops import iir
 from sdr_pmr446_tpu.parallel import fused_halo as FH
 
 
