@@ -16,8 +16,11 @@ kernels/front_end.py, the consumer refactored into a VALUES-consuming
 core, scratch carries across the sequential grid, carried state in/out
 as tiny whole-block refs.
 
-The waterfall tap needs the band in HBM, so the chain only engages this
-kernel when the waterfall is off (scanner/chain.py fuse_band gating).
+The waterfall tap needs the band in HBM: ``band_out=True`` turns the
+band scratch into grid-block OUTPUTS (same refs, different pallas slots)
+so the spgram tap reads the kernel's own emission — the waterfall config
+runs the duo too, paying only the band WRITE (the trio also paid the
+PFB's read-back).
 """
 
 from __future__ import annotations
@@ -50,6 +53,26 @@ def _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
         PD._pfb_packed_init(h_ref, prev_ref, bprev, prevp)
 
 
+def _duo_unpack(rest, band_out: bool):
+    """Split the positional tail into (pfb consts, outputs incl. the
+    optional band planes, scratches): with ``band_out`` the band planes
+    are grid-block OUTPUTS (the waterfall tap reads them), otherwise
+    VMEM scratch — same refs either way, different pallas slots."""
+    consts = rest[:18]
+    if band_out:
+        (demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+         bwr_sc, bwi_sc,
+         yh_r, yh_i, xwrow, ysc, gw, win_g,
+         bprev, prevp, bext_r, bext_i, winc) = rest[18:]
+    else:
+        (demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+         yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
+         bprev, prevp, bext_r, bext_i, winc) = rest[18:]
+    return (consts, demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+            yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
+            bprev, prevp, bext_r, bext_i, winc)
+
+
 def _pfb_tail(bwr_sc, bwi_sc, pfb_refs, demod_out, seg_out, prev_out,
               obr, bprev, prevp, bext_r, bext_i, winc):
     (k4_ref, k1_ref, altc_ref, sel_ref, swap_ref, sh32_ref, sel96_ref,
@@ -68,13 +91,10 @@ def _duo_body_ilv(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                   prev_ref,
                   wcr_ref, wci_ref, u0_ref, pj_ref, tt_ref, pvec_ref,
                   k2_ref, el_ref, ewr_ref, ewi_ref,
-                  *rest):
-    (k4_ref, k1_ref, altc_ref, sel_ref, swap_ref, sh32_ref, sel96_ref,
-     fa_ref, fb_ref, fold4_ref, sre_ref, sim_ref, ep0_ref, ep1_ref,
-     ep2_ref, ep3_ref, srow_ref, ones_ref,
-     demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+                  *rest, band_out: bool):
+    (consts, demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
-     bprev, prevp, bext_r, bext_i, winc) = rest
+     bprev, prevp, bext_r, bext_i, winc) = _duo_unpack(rest, band_out)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -100,7 +120,7 @@ def _duo_body_ilv(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
     xwrow[0:1, :] = xw[tile - 1:tile, :]
     FE._store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi,
                       ocy)
-    _pfb_tail(bwr_sc, bwi_sc, rest[:18], demod_out, seg_out, prev_out,
+    _pfb_tail(bwr_sc, bwi_sc, consts, demod_out, seg_out, prev_out,
               obr, bprev, prevp, bext_r, bext_i, winc)
 
 
@@ -108,13 +128,10 @@ def _duo_body_cs16(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                    prev_ref,
                    w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
                    el_ref,
-                   *rest):
-    (k4_ref, k1_ref, altc_ref, sel_ref, swap_ref, sh32_ref, sel96_ref,
-     fa_ref, fb_ref, fold4_ref, sre_ref, sim_ref, ep0_ref, ep1_ref,
-     ep2_ref, ep3_ref, srow_ref, ones_ref,
-     demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+                   *rest, band_out: bool):
+    (consts, demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
-     bprev, prevp, bext_r, bext_i, winc) = rest
+     bprev, prevp, bext_r, bext_i, winc) = _duo_unpack(rest, band_out)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -140,7 +157,7 @@ def _duo_body_cs16(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
     xwrow[1:2, :] = xi[tile - 1:tile, :]
     FE._store_carries(y_r, y_i, yl_r, yl_i, yh_r, yh_i, ysc, ohr, ohi,
                       ocy)
-    _pfb_tail(bwr_sc, bwi_sc, rest[:18], demod_out, seg_out, prev_out,
+    _pfb_tail(bwr_sc, bwi_sc, consts, demod_out, seg_out, prev_out,
               obr, bprev, prevp, bext_r, bext_i, winc)
 
 
@@ -148,13 +165,10 @@ def _duo_body_pk2(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                   prev_ref,
                   w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
                   el_ref, g0_ref, g1_ref,
-                  *rest, signed: bool):
-    (k4_ref, k1_ref, altc_ref, sel_ref, swap_ref, sh32_ref, sel96_ref,
-     fa_ref, fb_ref, fold4_ref, sre_ref, sim_ref, ep0_ref, ep1_ref,
-     ep2_ref, ep3_ref, srow_ref, ones_ref,
-     demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+                  *rest, signed: bool, band_out: bool):
+    (consts, demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
-     bprev, prevp, bext_r, bext_i, winc) = rest
+     bprev, prevp, bext_r, bext_i, winc) = _duo_unpack(rest, band_out)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -189,7 +203,7 @@ def _duo_body_pk2(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
     ohr[:, :] = yh_r[:, :]
     ohi[:, :] = yh_i[:, :]
     ocy[:, :] = ysc[:, :]
-    _pfb_tail(bwr_sc, bwi_sc, rest[:18], demod_out, seg_out, prev_out,
+    _pfb_tail(bwr_sc, bwi_sc, consts, demod_out, seg_out, prev_out,
               obr, bprev, prevp, bext_r, bext_i, winc)
 
 
@@ -229,7 +243,7 @@ class PallasScannerDuo:
                 jnp.zeros((NCH,), jnp.complex64))
 
     def apply(self, dc_x, dc_y, front_hist, pfb_hist, parity, prev,
-              wire, ns: int = C.SUBCHUNK_AUDIO):
+              wire, ns: int = C.SUBCHUNK_AUDIO, band_out: bool = False):
         from sdr_pmr446_tpu.ops.decode import decode_planes
         fmt = self.fmt
         cn = self.fcn
@@ -243,7 +257,7 @@ class PallasScannerDuo:
             fmt = "cf32w"
         if fmt == "cf32w":
             rows, width, x_width = wire.shape[0], m, 2 * m
-            body = _duo_body_ilv
+            body = functools.partial(_duo_body_ilv, band_out=band_out)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((2, 2 * m), np.float32)
@@ -254,7 +268,7 @@ class PallasScannerDuo:
             fcon_tail = (cn["ew_r"], cn["ew_i"])
         elif fmt == "cs16":
             rows, width, x_width = wire.shape[0], m, m
-            body = _duo_body_cs16
+            body = functools.partial(_duo_body_cs16, band_out=band_out)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((1, m), np.float32)
@@ -264,7 +278,8 @@ class PallasScannerDuo:
             fcon_tail = ()
         else:
             rows, width, x_width = wire.shape[0], FE.W2, m
-            body = functools.partial(_duo_body_pk2, signed=fmt == "cs8")
+            body = functools.partial(_duo_body_pk2, signed=fmt == "cs8",
+                                     band_out=band_out)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((1, FE.W2), np.float32)
@@ -305,7 +320,14 @@ class PallasScannerDuo:
         whole = lambda shape: pl.BlockSpec(
             shape, lambda s: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
-        (demod3, segs, oprev, obr, ohr, ohi, ocy) = pl.pallas_call(
+        band_specs = ([pl.BlockSpec((gt, GL), lambda s: (s, 0),
+                                    memory_space=pltpu.VMEM)] * 2
+                      if band_out else [])
+        band_shapes = ([jax.ShapeDtypeStruct((g_total, GL), jnp.float32)] * 2
+                       if band_out else [])
+        band_scratch = ([] if band_out
+                        else [pltpu.VMEM((gt, GL), jnp.float32)] * 2)
+        outs = pl.pallas_call(
             body,
             grid=(n_tiles,),
             in_specs=[
@@ -328,7 +350,7 @@ class PallasScannerDuo:
                 whole((2, GL)),
                 whole((hist_rows, width)), whole((hist_rows, width)),
                 whole((2, m)),
-            ],
+            ] + band_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((NCH, g_total, 25), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles, n_seg, NCH), jnp.float32),
@@ -337,7 +359,7 @@ class PallasScannerDuo:
                 jax.ShapeDtypeStruct((hist_rows, width), jnp.float32),
                 jax.ShapeDtypeStruct((hist_rows, width), jnp.float32),
                 jax.ShapeDtypeStruct((2, m), jnp.float32),
-            ],
+            ] + band_shapes,
             scratch_shapes=[
                 pltpu.VMEM((hist_rows, width), jnp.float32),   # yh_r
                 pltpu.VMEM((hist_rows, width), jnp.float32),   # yh_i
@@ -345,8 +367,7 @@ class PallasScannerDuo:
                 pltpu.VMEM((2, m), jnp.float32),               # ysc
                 pltpu.VMEM((1, 16 * m), jnp.float32),          # gw
                 pltpu.VMEM((gt, FE.W_PAD), jnp.float32),       # win_g
-                pltpu.VMEM((gt, GL), jnp.float32),             # bwr_sc
-                pltpu.VMEM((gt, GL), jnp.float32),             # bwi_sc
+            ] + band_scratch + [
                 pltpu.VMEM((2, GL), jnp.float32),              # bprev
                 pltpu.VMEM((1, 128), jnp.float32),             # prevp
                 pltpu.VMEM((gt + 1, GL), jnp.float32),         # bext_r
@@ -370,6 +391,9 @@ class PallasScannerDuo:
           jnp.asarray(pc["ep"][2]), jnp.asarray(pc["ep"][3]),
           jnp.asarray(pc["srow"]), jnp.asarray(pc["ones_row"]))
 
+        (demod3, segs, oprev, obr, ohr, ohi, ocy) = outs[:7]
+        bw_r = outs[7] if band_out else None
+        bw_i = outs[8] if band_out else None
         mag_sums = jnp.einsum("tsc,tsk->kc", segs, jnp.asarray(scatter_np),
                               precision=jax.lax.Precision.HIGHEST)
         new_dc_y = jax.lax.complex(ocy[0, 0], ocy[1, 0])
@@ -387,5 +411,6 @@ class PallasScannerDuo:
         else:
             xr_l, xi_l = decode_planes(wire[rows - 1, m - 1:m], self.fmt)
             new_dc_x = jax.lax.complex(xr_l[1], xi_l[1])
-        return (new_dc_x, new_dc_y, new_fh, demod3, mag_sums, new_hist,
-                new_parity, new_prev)
+        out = (new_dc_x, new_dc_y, new_fh, demod3, mag_sums, new_hist,
+               new_parity, new_prev)
+        return out + ((bw_r, bw_i),) if band_out else out

@@ -100,9 +100,10 @@ class ShardedScannerChain:
         # DUO variant: front+PFB one-kernel (kernels/duo.py) per shard,
         # with an exact-state READ-ONLY pre-pass instead of the zero-init
         # + band-correction recipe (the duo never materializes a band to
-        # correct) — parallel/fused_halo.py front_zero_summary.  Needs
-        # the fused path and no waterfall (the spgram tap reads the band).
-        self.fused_duo = bool(self.fused and fuse_band and waterfall <= 0)
+        # correct) — parallel/fused_halo.py front_zero_summary.  With the
+        # waterfall on, the kernel emits the band once (band_out) for the
+        # spgram tap.
+        self.fused_duo = bool(self.fused and fuse_band)
         self.fuse_band = self.fused_duo
         if self.fused:
             from sdr_pmr446_tpu.kernels.front_end import PallasFrontEnd
@@ -292,14 +293,21 @@ class ShardedScannerChain:
 
         # the duo kernel with EXACT incoming state (its returned carries
         # equal the pre-pass values; the halo'd ones are kept)
-        (_, _, _, demod3, mag_sums, _, _, _) = self.pallas_duo.apply(
-            dcx_in, y_in, hist_in, pfb_hist_in, parity_d, fm_prev, iq, ns)
+        duo_out = self.pallas_duo.apply(
+            dcx_in, y_in, hist_in, pfb_hist_in, parity_d, fm_prev, iq, ns,
+            band_out=self.waterfall > 0)
+        demod3, mag_sums = duo_out[3], duo_out[4]
+        if self.waterfall > 0:
+            wf_r = duo_out[8][0].reshape(-1)
+            wf_i = duo_out[8][1].reshape(-1)
+        else:
+            wf_r = wf_i = None
         new_parity = (state.frame_parity + ntime * f_local) % 2
         rssi_local = 20.0 * jnp.log10(
             jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
         demod = demod3.reshape(C.NUM_CHANNELS, K_local * ns)
         return (dcx_carry, dcy_carry, rh_carry, ph_carry, fm_carry,
-                new_parity, rssi_local, demod, None, None)
+                new_parity, rssi_local, demod, wf_r, wf_i)
 
     def _fused_front_pfb(self, state, iq, ax, d, ntime, K_local, ns,
                          fmt, fe, fc, FH, last_frame_output):

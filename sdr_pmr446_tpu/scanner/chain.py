@@ -142,12 +142,14 @@ class ScannerChain:
         self.pfb_packed = pfb_packed
         # DUO: front end + PFB in ONE kernel (kernels/duo.py) — the band
         # group rows never leave VMEM (saves their 3.1 B/sample HBM round
-        # trip).  Needs the all-fused group path and NO waterfall (the
-        # spgram tap reads the band).  Default ON: the sharded chain runs
-        # it too (exact-state pre-pass, parallel/fused_halo.py), so the
-        # recorded engine stays shardable.
+        # trip); with the waterfall on, the kernel emits the band once as
+        # an OUTPUT for the spgram tap (band_out — still one launch, and
+        # the trio's band read-back is gone).  Needs the all-fused group
+        # path.  Default ON: the sharded chain runs it too (exact-state
+        # pre-pass, parallel/fused_halo.py), so the recorded engine stays
+        # shardable.
         self.fuse_band = bool(fuse_band and self.fuse_group
-                              and self.fuse_ctcss and waterfall <= 0)
+                              and self.fuse_ctcss)
         if use_pallas:
             from sdr_pmr446_tpu.kernels.pfb_demod import PallasPfbDemod
             from sdr_pmr446_tpu.kernels.resample_kernel import PallasResampler
@@ -272,14 +274,19 @@ class ScannerChain:
             # (VERDICT r1 #1).
             if self.fuse_band:
                 # 1-5 in ONE kernel: DC + wire decode + resampler + PFB +
-                # discriminator (kernels/duo.py) — the band group rows
-                # never leave VMEM, removing their 3.1 B/sample handoff
-                # (waterfall is off on this path by construction)
-                (dc_x, dc_y, resamp_hist, demod3, mag_sums, pfb_hist,
-                 parity, demod_prev) = self.pallas_duo.apply(
+                # discriminator (kernels/duo.py) — the band never reaches
+                # HBM (waterfall off) or is emitted once as the spgram
+                # tap's input (band_out; the trio's read-back is gone)
+                duo_out = self.pallas_duo.apply(
                     state.dc_x, state.dc_y, state.resamp_hist,
                     state.pfb_hist, state.frame_parity,
-                    state.demod_prev, iq, ns)
+                    state.demod_prev, iq, ns,
+                    band_out=self.waterfall > 0)
+                (dc_x, dc_y, resamp_hist, demod3, mag_sums, pfb_hist,
+                 parity, demod_prev) = duo_out[:8]
+                if self.waterfall > 0:
+                    wf_br = duo_out[8][0].reshape(-1)
+                    wf_bi = duo_out[8][1].reshape(-1)
             elif self.fuse_dc and self.input_format == "cf32w":
                 # 1+2. fused IQ DC blocker + 25/128 polyphase resampler,
                 # consuming the cf32 WIRE bytes in place: the (re,im)
@@ -418,10 +425,11 @@ class ScannerChain:
             deemph_hist = state.deemph_hist
             audio_lp_hist = state.audio_lp_hist
             band = None
-            if self.waterfall > 0:
+            if self.waterfall > 0 and not self.fuse_band:
                 # the asgram consumes the kernel's band PLANES in place
                 # (ops/spectrogram _p variants): no complex band is ever
-                # materialized for the waterfall tap
+                # materialized for the waterfall tap (the duo path set
+                # wf_br/wf_bi from its own band_out emission above)
                 wf_br = br.reshape(-1)
                 wf_bi = bi.reshape(-1)
         else:

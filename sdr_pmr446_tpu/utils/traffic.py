@@ -74,14 +74,17 @@ def chain_traffic(input_format: str = "cf32w",
         fuse_dc = fuse_lp_dc = fuse_rssi = fuse_ctcss = fuse_band = False
     if fuse_ctcss:
         fuse_lp_dc = True
-    if fuse_band and (not fuse_dc or waterfall):
+    if fuse_band and not fuse_dc:
         fuse_band = False
     t: dict[str, float] = {}
     if fuse_band:
         # DUO kernel (kernels/duo.py): front end + PFB in one launch —
-        # the band never reaches HBM; wire read in, demod plane out
+        # the band never reaches HBM (with the waterfall on it is
+        # emitted ONCE as the spgram tap's input: band_out); wire read
+        # in, demod plane out
         pre = 16.0 if input_format == "cf32" else 0.0
-        t["duo"] = pre + wire + 4 * CH
+        t["duo"] = pre + wire + 4 * CH + (
+            2 * 4 * BAND if waterfall else 0.0)
     elif fuse_dc:
         # cf32 complex64 input pays one XLA interleave pass (read 8 +
         # write 8) before the kernel's 8 B wire read (apply_iq)

@@ -459,7 +459,7 @@ def _run_fused_pair(fmt, K, nt, n_steps=2, waterfall=0,
                              pallas_interpret=True, input_format=fmt,
                              waterfall=waterfall, fuse_band=fuse_band)
     assert ref_chain.fuse_group and ref_chain.fuse_ctcss
-    assert ref_chain.fuse_band == (fuse_band and waterfall <= 0)
+    assert ref_chain.fuse_band == fuse_band
     wl = ref_chain.step_arg_len
     st1 = ref_chain.init_state()
     refs = []
@@ -477,7 +477,7 @@ def _run_fused_pair(fmt, K, nt, n_steps=2, waterfall=0,
                                 pallas_interpret=True, input_format=fmt,
                                 waterfall=waterfall, fuse_band=fuse_band)
     assert chain.fused, "flagship fused sharded path must engage"
-    assert chain.fused_duo == (fuse_band and waterfall <= 0)
+    assert chain.fused_duo == fuse_band
     st2 = chain.init_state(1)
     outs = []
     for i in range(n_steps):
