@@ -249,10 +249,15 @@ def front_zero_summary(xr: jax.Array, xi: jax.Array, tail_len: int):
     t = xr.shape[-1]
     cc = _zero_summary_consts(t, tail_len)
     rows = cc["rows"]
-    xp = jnp.stack([xr, xi]).reshape(2, rows, 128)
-    w = jnp.matmul(xp, jnp.asarray(cc["v"])[:, None],
-                   precision=jax.lax.Precision.HIGHEST)[..., 0]  # [2, R]
-    xl_col = xp[..., 127]                                        # [2, R]
+    v = jnp.asarray(cc["v"])[:, None]
+    hi = jax.lax.Precision.HIGHEST
+    # per-plane reductions on free [rows, 128] views — no [2, T] stack is
+    # ever materialized (this pre-pass must stay a single read of x)
+    xr2 = xr.reshape(rows, 128)
+    xi2 = xi.reshape(rows, 128)
+    w = jnp.stack([jnp.matmul(xr2, v, precision=hi)[..., 0],
+                   jnp.matmul(xi2, v, precision=hi)[..., 0]])    # [2, R]
+    xl_col = jnp.stack([xr2[:, 127], xi2[:, 127]])               # [2, R]
     prev_last = jnp.concatenate(
         [jnp.zeros((2, 1), xl_col.dtype), xl_col[:, :-1]], axis=1)
     t_r = w - cc["gp127"] * prev_last
@@ -264,8 +269,7 @@ def front_zero_summary(xr: jax.Array, xi: jax.Array, tail_len: int):
     x_pre = jax.lax.complex(xl_col[0, rows - tr - 1],
                             xl_col[1, rows - tr - 1])
     xlast = jax.lax.complex(xl_col[0, rows - 1], xl_col[1, rows - 1])
-    tail_x = jax.lax.complex(
-        xp[0, rows - tr:].reshape(-1), xp[1, rows - tr:].reshape(-1))
+    tail_x = jax.lax.complex(xr[t - tail_len:], xi[t - tail_len:])
     return y00, y_pre, x_pre, xlast, tail_x
 
 
