@@ -53,24 +53,78 @@ def _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
         PD._pfb_packed_init(h_ref, prev_ref, bprev, prevp)
 
 
-def _duo_unpack(rest, band_out: bool):
-    """Split the positional tail into (pfb consts, outputs incl. the
-    optional band planes, scratches): with ``band_out`` the band planes
-    are grid-block OUTPUTS (the waterfall tap reads them), otherwise
-    VMEM scratch — same refs either way, different pallas slots."""
+def _duo_unpack(rest, band_out: bool, wf_w: int):
+    """Split the positional tail into (pfb consts, wf consts, outputs
+    incl. the optional band planes / waterfall segments, scratches):
+    with ``band_out`` the band planes are grid-block OUTPUTS (the XLA
+    waterfall tap reads them); with ``wf_w`` the hop-PSD epilogue runs
+    IN KERNEL instead (extra consts kwf/wffold, a wf segment output and
+    a window scratch) and no band ever leaves."""
     consts = rest[:18]
-    if band_out:
-        (demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
-         bwr_sc, bwi_sc,
-         yh_r, yh_i, xwrow, ysc, gw, win_g,
-         bprev, prevp, bext_r, bext_i, winc) = rest[18:]
+    rest = rest[18:]
+    if wf_w:
+        kwf_ref, wffold_ref = rest[:2]
+        rest = rest[2:]
     else:
-        (demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
-         yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
-         bprev, prevp, bext_r, bext_i, winc) = rest[18:]
-    return (consts, demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+        kwf_ref = wffold_ref = None
+    (demod_out, seg_out, prev_out, obr, ohr, ohi, ocy) = rest[:7]
+    rest = rest[7:]
+    if wf_w:
+        wfseg_out = rest[0]
+        rest = rest[1:]
+    else:
+        wfseg_out = None
+    if band_out:
+        bwr_sc, bwi_sc = rest[:2]
+        rest = rest[2:]
+        (yh_r, yh_i, xwrow, ysc, gw, win_g) = rest[:6]
+        rest = rest[6:]
+    else:
+        (yh_r, yh_i, xwrow, ysc, gw, win_g) = rest[:6]
+        bwr_sc, bwi_sc = rest[6:8]
+        rest = rest[8:]
+    (bprev, prevp, bext_r, bext_i, winc) = rest[:5]
+    winw = rest[5] if wf_w else None
+    return (consts, kwf_ref, wffold_ref, demod_out, seg_out, prev_out,
+            obr, ohr, ohi, ocy, wfseg_out,
             yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
-            bprev, prevp, bext_r, bext_i, winc)
+            bprev, prevp, bext_r, bext_i, winc, winw)
+
+
+def _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref, sel_ref,
+                 wfseg_out, w: int):
+    """In-kernel hop-PSD waterfall: per group row 1600/w hops, each a
+    [wl]-window at stride w/4 (liquid spgram semantics, same window+DFT
+    matrix as ops/spectrogram._dft_win_packed); |S|^2 summed per hop via
+    a fold matmul (lane-offset value slices don't relayout) and per-row
+    sums segment-reduced with the PFB's own group-aligned selector.  The
+    hop ending at band[400g + 16h + w/4] belongs to group row g, and 49
+    rows = one sub-chunk, so the segments line up with seg_out's.
+
+    One hop at a time through a single [gt, w] scratch window (stores at
+    offset 0, dot, accumulate): batching all 1600 window lanes per row
+    OOM'd scoped VMEM by 200 KiB at the bench geometry K=40 (the audit
+    caught it; K=8 compiled) — the per-hop form needs w lanes only and
+    serializes nothing the MXU wasn't already serializing."""
+    gt = bext_r.shape[0] - 1
+    wl = w // 2
+    delay = w // 4
+    hops = GL // delay                             # 1600 / w
+    acc = None
+    for h in range(hops):
+        a = h * delay - delay                      # window start lane
+        if a < 0:
+            winw[:, 0:-a] = bext_r[0:gt, GL + a:]
+            winw[:, -a:wl] = bext_r[1:gt + 1, 0:wl + a]
+            winw[:, wl:wl - a] = bext_i[0:gt, GL + a:]
+            winw[:, wl - a:2 * wl] = bext_i[1:gt + 1, 0:wl + a]
+        else:
+            winw[:, 0:wl] = bext_r[1:gt + 1, a:a + wl]
+            winw[:, wl:2 * wl] = bext_i[1:gt + 1, a:a + wl]
+        sp = FE._dot(winw[:, :], kwf_ref[:])
+        p = FE._dot(sp * sp, wffold_ref[:])        # [gt, w] |S|^2
+        acc = p if acc is None else acc + p
+    wfseg_out[:, :] = FE._dot(sel_ref[:], acc)
 
 
 def _pfb_tail(bwr_sc, bwi_sc, pfb_refs, demod_out, seg_out, prev_out,
@@ -91,10 +145,12 @@ def _duo_body_ilv(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                   prev_ref,
                   wcr_ref, wci_ref, u0_ref, pj_ref, tt_ref, pvec_ref,
                   k2_ref, el_ref, ewr_ref, ewi_ref,
-                  *rest, band_out: bool):
-    (consts, demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+                  *rest, band_out: bool, wf_w: int):
+    (consts, kwf_ref, wffold_ref, demod_out, seg_out, prev_out,
+     obr, ohr, ohi, ocy, wfseg_out,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
-     bprev, prevp, bext_r, bext_i, winc) = _duo_unpack(rest, band_out)
+     bprev, prevp, bext_r, bext_i, winc, winw) = _duo_unpack(
+        rest, band_out, wf_w)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -122,16 +178,22 @@ def _duo_body_ilv(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                       ocy)
     _pfb_tail(bwr_sc, bwi_sc, consts, demod_out, seg_out, prev_out,
               obr, bprev, prevp, bext_r, bext_i, winc)
+    if wf_w:
+        # sel_ref is consts[3] (the group-aligned segment selector)
+        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref,
+                     consts[3], wfseg_out, wf_w)
 
 
 def _duo_body_cs16(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                    prev_ref,
                    w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
                    el_ref,
-                   *rest, band_out: bool):
-    (consts, demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+                   *rest, band_out: bool, wf_w: int):
+    (consts, kwf_ref, wffold_ref, demod_out, seg_out, prev_out,
+     obr, ohr, ohi, ocy, wfseg_out,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
-     bprev, prevp, bext_r, bext_i, winc) = _duo_unpack(rest, band_out)
+     bprev, prevp, bext_r, bext_i, winc, winw) = _duo_unpack(
+        rest, band_out, wf_w)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -159,16 +221,22 @@ def _duo_body_cs16(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                       ocy)
     _pfb_tail(bwr_sc, bwi_sc, consts, demod_out, seg_out, prev_out,
               obr, bprev, prevp, bext_r, bext_i, winc)
+    if wf_w:
+        # sel_ref is consts[3] (the group-aligned segment selector)
+        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref,
+                     consts[3], wfseg_out, wf_w)
 
 
 def _duo_body_pk2(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                   prev_ref,
                   w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
                   el_ref, g0_ref, g1_ref,
-                  *rest, signed: bool, band_out: bool):
-    (consts, demod_out, seg_out, prev_out, obr, ohr, ohi, ocy,
+                  *rest, signed: bool, band_out: bool, wf_w: int):
+    (consts, kwf_ref, wffold_ref, demod_out, seg_out, prev_out,
+     obr, ohr, ohi, ocy, wfseg_out,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
-     bprev, prevp, bext_r, bext_i, winc) = _duo_unpack(rest, band_out)
+     bprev, prevp, bext_r, bext_i, winc, winw) = _duo_unpack(
+        rest, band_out, wf_w)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -205,6 +273,10 @@ def _duo_body_pk2(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
     ocy[:, :] = ysc[:, :]
     _pfb_tail(bwr_sc, bwi_sc, consts, demod_out, seg_out, prev_out,
               obr, bprev, prevp, bext_r, bext_i, winc)
+    if wf_w:
+        # sel_ref is consts[3] (the group-aligned segment selector)
+        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref,
+                     consts[3], wfseg_out, wf_w)
 
 
 class PallasScannerDuo:
@@ -242,8 +314,16 @@ class PallasScannerDuo:
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((NCH,), jnp.complex64))
 
+    @staticmethod
+    def waterfall_supported(w: int) -> bool:
+        """In-kernel hop-PSD needs whole hops per group row (w | 1600)
+        on top of the chain's fast-path gate; other widths fall back to
+        band_out + the XLA asgram."""
+        return w > 0 and w % 4 == 0 and 1600 % w == 0 and GL % (w // 4) == 0
+
     def apply(self, dc_x, dc_y, front_hist, pfb_hist, parity, prev,
-              wire, ns: int = C.SUBCHUNK_AUDIO, band_out: bool = False):
+              wire, ns: int = C.SUBCHUNK_AUDIO, band_out: bool = False,
+              waterfall_w: int = 0):
         from sdr_pmr446_tpu.ops.decode import decode_planes
         fmt = self.fmt
         cn = self.fcn
@@ -255,9 +335,14 @@ class PallasScannerDuo:
                            axis=-1).reshape(-1).astype(jnp.float32)
             wire = xw.reshape(wire.shape[-1] // m, 2 * m)
             fmt = "cf32w"
+        wf_w = waterfall_w
+        if wf_w:
+            assert self.waterfall_supported(wf_w), wf_w
+            assert not band_out, "waterfall_w replaces band_out"
         if fmt == "cf32w":
             rows, width, x_width = wire.shape[0], m, 2 * m
-            body = functools.partial(_duo_body_ilv, band_out=band_out)
+            body = functools.partial(_duo_body_ilv, band_out=band_out,
+                                     wf_w=wf_w)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((2, 2 * m), np.float32)
@@ -268,7 +353,8 @@ class PallasScannerDuo:
             fcon_tail = (cn["ew_r"], cn["ew_i"])
         elif fmt == "cs16":
             rows, width, x_width = wire.shape[0], m, m
-            body = functools.partial(_duo_body_cs16, band_out=band_out)
+            body = functools.partial(_duo_body_cs16, band_out=band_out,
+                                     wf_w=wf_w)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((1, m), np.float32)
@@ -279,7 +365,7 @@ class PallasScannerDuo:
         else:
             rows, width, x_width = wire.shape[0], FE.W2, m
             body = functools.partial(_duo_body_pk2, signed=fmt == "cs8",
-                                     band_out=band_out)
+                                     band_out=band_out, wf_w=wf_w)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((1, FE.W2), np.float32)
@@ -327,6 +413,25 @@ class PallasScannerDuo:
                        if band_out else [])
         band_scratch = ([] if band_out
                         else [pltpu.VMEM((gt, GL), jnp.float32)] * 2)
+        if wf_w:
+            from sdr_pmr446_tpu.ops.spectrogram import _dft_win_packed
+            kwf = _dft_win_packed(wf_w)                # [w, 2w]
+            wff = np.zeros((2 * wf_w, wf_w), np.float32)
+            wff[np.arange(wf_w), np.arange(wf_w)] = 1.0
+            wff[wf_w + np.arange(wf_w), np.arange(wf_w)] = 1.0
+            wf_in = [jnp.asarray(kwf), jnp.asarray(wff)]
+            wf_in_specs = [vmem(), vmem()]
+            wf_out_specs = [pl.BlockSpec((None, n_seg, wf_w),
+                                         lambda s: (s, 0, 0),
+                                         memory_space=pltpu.VMEM)]
+            wf_out_shapes = [jax.ShapeDtypeStruct(
+                (n_tiles, n_seg, wf_w), jnp.float32)]
+            # ONE hop's packed window [wr | wi]: w lanes, reused per hop
+            # (a full 1600-lane window batch OOM'd scoped VMEM at K=40)
+            wf_scratch = [pltpu.VMEM((gt, wf_w), jnp.float32)]
+        else:
+            wf_in, wf_in_specs = [], []
+            wf_out_specs, wf_out_shapes, wf_scratch = [], [], []
         outs = pl.pallas_call(
             body,
             grid=(n_tiles,),
@@ -340,7 +445,7 @@ class PallasScannerDuo:
                 vmem(), vmem(), vmem(),            # k4, k1, altc
                 pl.BlockSpec((None, n_seg, gt), lambda s: (s, 0, 0),
                              memory_space=pltpu.VMEM),   # seg selector
-            ] + [vmem()] * 14,                     # packed consts
+            ] + [vmem()] * 14 + wf_in_specs,       # packed consts (+ wf)
             out_specs=[
                 pl.BlockSpec((NCH, gt, 25), lambda s: (0, s, 0),
                              memory_space=pltpu.VMEM),
@@ -350,7 +455,7 @@ class PallasScannerDuo:
                 whole((2, GL)),
                 whole((hist_rows, width)), whole((hist_rows, width)),
                 whole((2, m)),
-            ] + band_specs,
+            ] + wf_out_specs + band_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((NCH, g_total, 25), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles, n_seg, NCH), jnp.float32),
@@ -359,7 +464,7 @@ class PallasScannerDuo:
                 jax.ShapeDtypeStruct((hist_rows, width), jnp.float32),
                 jax.ShapeDtypeStruct((hist_rows, width), jnp.float32),
                 jax.ShapeDtypeStruct((2, m), jnp.float32),
-            ] + band_shapes,
+            ] + wf_out_shapes + band_shapes,
             scratch_shapes=[
                 pltpu.VMEM((hist_rows, width), jnp.float32),   # yh_r
                 pltpu.VMEM((hist_rows, width), jnp.float32),   # yh_i
@@ -373,7 +478,7 @@ class PallasScannerDuo:
                 pltpu.VMEM((gt + 1, GL), jnp.float32),         # bext_r
                 pltpu.VMEM((gt + 1, GL), jnp.float32),         # bext_i
                 pltpu.VMEM((gt, 2 * W4), jnp.float32),         # winc
-            ],
+            ] + wf_scratch,
             interpret=self.interpret,
         )(wire, fhr, fhi, cx_row, cy, hist_ri, prev_ri,
           *(jnp.asarray(c) for c in fcon),
@@ -389,9 +494,10 @@ class PallasScannerDuo:
           jnp.asarray(pc["sre"]), jnp.asarray(pc["sim"]),
           jnp.asarray(pc["ep"][0]), jnp.asarray(pc["ep"][1]),
           jnp.asarray(pc["ep"][2]), jnp.asarray(pc["ep"][3]),
-          jnp.asarray(pc["srow"]), jnp.asarray(pc["ones_row"]))
+          jnp.asarray(pc["srow"]), jnp.asarray(pc["ones_row"]), *wf_in)
 
         (demod3, segs, oprev, obr, ohr, ohi, ocy) = outs[:7]
+        wf_segs = outs[7] if wf_w else None
         bw_r = outs[7] if band_out else None
         bw_i = outs[8] if band_out else None
         mag_sums = jnp.einsum("tsc,tsk->kc", segs, jnp.asarray(scatter_np),
@@ -413,4 +519,10 @@ class PallasScannerDuo:
             new_dc_x = jax.lax.complex(xr_l[1], xi_l[1])
         out = (new_dc_x, new_dc_y, new_fh, demod3, mag_sums, new_hist,
                new_parity, new_prev)
+        if wf_w:
+            # per-sub-chunk |S|^2 sums [K, w]: same scatter as mag_sums
+            wf_sums = jnp.einsum("tsw,tsk->kw", wf_segs,
+                                 jnp.asarray(scatter_np),
+                                 precision=jax.lax.Precision.HIGHEST)
+            return out + (wf_sums,)
         return out + ((bw_r, bw_i),) if band_out else out

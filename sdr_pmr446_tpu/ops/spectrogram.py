@@ -142,6 +142,25 @@ def _hop_spectra(xr: jax.Array, xi: jax.Array, w: int, frames: int):
                       precision=jax.lax.Precision.HIGHEST)   # [n, 2w]
 
 
+def rows_from_psd_sums(sums: jax.Array, w: int,
+                       subchunk: int = C.SUBCHUNK_RESAMP):
+    """dB rows from per-sub-chunk |S|^2 SUMS (the in-kernel hop-PSD
+    epilogue of kernels/duo.py): same average + fftshift as
+    asgram_rows_p, the sums having been reduced in VMEM."""
+    n_seg = subchunk // (w // 4)
+    p_avg = sums * (1.0 / n_seg)
+    rows = 10.0 * jnp.log10(jnp.maximum(p_avg, 1e-30)).astype(jnp.float32)
+    return jnp.fft.fftshift(rows, axes=-1)
+
+
+def kernel_wf_supported(w: int, subchunk: int = C.SUBCHUNK_RESAMP) -> bool:
+    """True when the duo kernel's in-kernel hop-PSD can serve width w:
+    the fast path applies (hop divides the sub-chunk) AND whole hops fit
+    a 400-sample group row (w | 1600)."""
+    return (uses_fast_path(w, subchunk) and w % 4 == 0
+            and 1600 % w == 0 and 400 % (w // 4) == 0)
+
+
 def asgram_rows(hist: jax.Array, band: jax.Array, k: int, w: int,
                 subchunk: int = C.SUBCHUNK_RESAMP):
     """hist [w//2] c64, band [k*subchunk] c64 -> (new_hist, rows [k, w] f32).

@@ -293,21 +293,28 @@ class ShardedScannerChain:
 
         # the duo kernel with EXACT incoming state (its returned carries
         # equal the pre-pass values; the halo'd ones are kept)
+        wf_in_kernel = (self.waterfall > 0 and
+                        spectrogram.kernel_wf_supported(self.waterfall))
         duo_out = self.pallas_duo.apply(
             dcx_in, y_in, hist_in, pfb_hist_in, parity_d, fm_prev, iq, ns,
-            band_out=self.waterfall > 0)
+            band_out=self.waterfall > 0 and not wf_in_kernel,
+            waterfall_w=self.waterfall if wf_in_kernel else 0)
         demod3, mag_sums = duo_out[3], duo_out[4]
-        if self.waterfall > 0:
+        wf_r = wf_i = wf_rows_k = None
+        if wf_in_kernel:
+            # local [K_local, w] rows; the sliding-window history is the
+            # PFB band-row halo itself (pfb_hist_in), already exact
+            wf_rows_k = spectrogram.rows_from_psd_sums(duo_out[8],
+                                                       self.waterfall)
+        elif self.waterfall > 0:
             wf_r = duo_out[8][0].reshape(-1)
             wf_i = duo_out[8][1].reshape(-1)
-        else:
-            wf_r = wf_i = None
         new_parity = (state.frame_parity + ntime * f_local) % 2
         rssi_local = 20.0 * jnp.log10(
             jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
         demod = demod3.reshape(C.NUM_CHANNELS, K_local * ns)
         return (dcx_carry, dcy_carry, rh_carry, ph_carry, fm_carry,
-                new_parity, rssi_local, demod, wf_r, wf_i)
+                new_parity, rssi_local, demod, wf_r, wf_i, wf_rows_k)
 
     def _fused_front_pfb(self, state, iq, ax, d, ntime, K_local, ns,
                          fmt, fe, fc, FH, last_frame_output):
@@ -412,9 +419,11 @@ class ShardedScannerChain:
         fe = self.pallas_front
         fc = self._fe_consts
 
+        wf_rows_k = None
         if self.fused_duo:
             (dcx_carry, dcy_carry, rh_carry, ph_carry, fm_carry,
-             new_parity, rssi_local, demod, band_r, band_i) = \
+             new_parity, rssi_local, demod, band_r, band_i,
+             wf_rows_k) = \
                 self._duo_front_pfb(state, iq, ax, d, ntime, K_local,
                                     ns, fmt, fe, FH,
                                     last_frame_output)
@@ -429,7 +438,10 @@ class ShardedScannerChain:
         # asgram variants never materialize a complex band; the halo moves
         # per-plane tails and only the tiny [w/2] history goes complex)
         wf_cnt = state.wf_cnt
-        if self.waterfall > 0:
+        if wf_rows_k is not None:
+            wf_rows = wf_rows_k
+            wf_carry = state.wf_hist
+        elif self.waterfall > 0:
             wl2 = spectrogram.hist_len(self.waterfall)
             whr, wcr = halo.shard_hist(
                 jnp.real(state.wf_hist).astype(jnp.float32), band_r,

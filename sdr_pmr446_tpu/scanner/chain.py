@@ -277,14 +277,21 @@ class ScannerChain:
                 # discriminator (kernels/duo.py) — the band never reaches
                 # HBM (waterfall off) or is emitted once as the spgram
                 # tap's input (band_out; the trio's read-back is gone)
+                wf_in_kernel = (self.waterfall > 0 and
+                                spectrogram.kernel_wf_supported(
+                                    self.waterfall))
                 duo_out = self.pallas_duo.apply(
                     state.dc_x, state.dc_y, state.resamp_hist,
                     state.pfb_hist, state.frame_parity,
                     state.demod_prev, iq, ns,
-                    band_out=self.waterfall > 0)
+                    band_out=self.waterfall > 0 and not wf_in_kernel,
+                    waterfall_w=self.waterfall if wf_in_kernel else 0)
                 (dc_x, dc_y, resamp_hist, demod3, mag_sums, pfb_hist,
                  parity, demod_prev) = duo_out[:8]
-                if self.waterfall > 0:
+                wf_psd_sums = None
+                if wf_in_kernel:
+                    wf_psd_sums = duo_out[8]          # [K, w] |S|^2 sums
+                elif self.waterfall > 0:
                     wf_br = duo_out[8][0].reshape(-1)
                     wf_bi = duo_out[8][1].reshape(-1)
             elif self.fuse_dc and self.input_format == "cf32w":
@@ -509,7 +516,14 @@ class ScannerChain:
         # any other multiple of 4 carries the hop counter (wf_cnt)
         wf_cnt = state.wf_cnt
         if self.waterfall > 0:
-            if band is None:                  # pallas: planes in place
+            if self.fuse_band and wf_psd_sums is not None:
+                # the duo's in-kernel hop-PSD: only [K, w] sums left HBM;
+                # the sliding-window history is the PFB's own band-row
+                # carry, so wf_hist stays untouched (empty state)
+                wf = spectrogram.rows_from_psd_sums(wf_psd_sums,
+                                                    self.waterfall)
+                wf_hist = state.wf_hist
+            elif band is None:                # pallas: planes in place
                 wf_args = (state.wf_hist, wf_br, wf_bi, K, self.waterfall)
                 if spectrogram.uses_fast_path(self.waterfall):
                     wf_hist, wf = spectrogram.asgram_rows_p(*wf_args)

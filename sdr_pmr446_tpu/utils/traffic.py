@@ -79,12 +79,13 @@ def chain_traffic(input_format: str = "cf32w",
     t: dict[str, float] = {}
     if fuse_band:
         # DUO kernel (kernels/duo.py): front end + PFB in one launch —
-        # the band never reaches HBM (with the waterfall on it is
-        # emitted ONCE as the spgram tap's input: band_out); wire read
-        # in, demod plane out
+        # the band never reaches HBM; at the bench waterfall width the
+        # hop-PSD epilogue runs IN KERNEL too (only [K, w] sums leave:
+        # crumbs), so the waterfall adds no modeled traffic here.  (The
+        # band_out + XLA-tap fallback for unsupported widths would add
+        # the band write + spgram terms — not the bench configuration.)
         pre = 16.0 if input_format == "cf32" else 0.0
-        t["duo"] = pre + wire + 4 * CH + (
-            2 * 4 * BAND if waterfall else 0.0)
+        t["duo"] = pre + wire + 4 * CH
     elif fuse_dc:
         # cf32 complex64 input pays one XLA interleave pass (read 8 +
         # write 8) before the kernel's 8 B wire read (apply_iq)
@@ -127,7 +128,7 @@ def chain_traffic(input_format: str = "cf32w",
     # active-channel select: same row gather on audio_all + the selected
     # [K, ns] write (no channel-minor copy is materialized)
     t["select"] = 4 * AUDIO + 4 * AUDIO
-    if waterfall:
+    if waterfall and not fuse_band:
         # spgram tap (round-4 plane pipeline, ops/spectrogram.py): band
         # planes re-read + the packed hop-window matrix [n, w] and packed
         # spectra [n, 2w] writes (n = band/(w/4) hops) — w=80 is the

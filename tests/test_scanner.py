@@ -335,3 +335,40 @@ def test_fuse_band_duo_chain_equality():
     np.testing.assert_allclose(a["rssi_db"], b["rssi_db"], rtol=0,
                                atol=5e-3)
     assert np.max(np.abs(a["audio"] - b["audio"])) < 1e-4
+
+
+@pytest.mark.parametrize("w", [64, 80])
+def test_duo_in_kernel_waterfall_matches_asgram(w):
+    """The duo kernel's in-kernel hop-PSD waterfall epilogue (only the
+    [K, w] |S|^2 sums ever leave VMEM) vs the trio path's band_out + XLA
+    asgram tap: same dB rows across streaming steps (the cross-step hop
+    window rides the PFB's own band-row history carry)."""
+    from sdr_pmr446_tpu.ops import spectrogram
+    assert spectrogram.kernel_wf_supported(w)
+    iq = synth.make_scanner_iq(16 * C.SUBCHUNK_IN, channel=5,
+                               ctcss_code=12)
+    res = {}
+    for name, fb in [("trio", False), ("duo", True)]:
+        _, outs, ch = run_chain(iq, subchunks_per_step=8, use_pallas=True,
+                                pallas_interpret=True, fuse_band=fb,
+                                waterfall=w)
+        assert ch.fuse_band == fb
+        res[name] = outs["waterfall"]
+    np.testing.assert_allclose(res["duo"], res["trio"], rtol=0, atol=2e-3)
+
+
+def test_duo_waterfall_unsupported_width_falls_back():
+    """w=120 (hop 30 does not divide the sub-chunk): the duo runs
+    band_out + the XLA asgram-any tap, rows equal to the trio path's."""
+    from sdr_pmr446_tpu.ops import spectrogram
+    w = 120
+    assert not spectrogram.kernel_wf_supported(w)
+    iq = synth.make_scanner_iq(8 * C.SUBCHUNK_IN, channel=5,
+                               ctcss_code=12)
+    res = {}
+    for name, fb in [("trio", False), ("duo", True)]:
+        _, outs, _ = run_chain(iq, subchunks_per_step=8, use_pallas=True,
+                               pallas_interpret=True, fuse_band=fb,
+                               waterfall=w)
+        res[name] = outs["waterfall"]
+    np.testing.assert_allclose(res["duo"], res["trio"], rtol=0, atol=2e-3)

@@ -115,6 +115,17 @@ def main():
         xwidth = 256 if fmt == "cf32w" else 128
         wire = jnp.zeros((rows, xwidth), jnp.float32)
         ok &= probe(f"duo_{fmt}", duo.apply, (*st, wire))
+    # waterfall variants: band planes as grid outputs (XLA tap) and the
+    # in-kernel hop-PSD epilogue (only [K, w] sums leave VMEM)
+    duo = PallasScannerDuo("cf32w")
+    st = duo.init_state()
+    wire = jnp.zeros((8 * C.SUBCHUNK_IN // 128, 256), jnp.float32)
+    ok &= probe("duo_cf32w_band",
+                lambda *a: duo.apply(*a, band_out=True), (*st, wire))
+    for w in (64, 80):
+        ok &= probe(f"duo_cf32w_wf{w}",
+                    lambda *a, _w=w: duo.apply(*a, waterfall_w=_w),
+                    (*st, wire))
 
     # MONO chains: front end + tail in ONE kernel (band never in HBM)
     for mode, fmt, kw in (("dsd", "cf32w", {}), ("dsd", "cs16", {}),
