@@ -214,26 +214,57 @@ def correct_band(bw, y_in_plane, hist_plane, consts):
 # XLA resampler (a ~2.5k-sample computation per shard).
 
 @functools.lru_cache(maxsize=None)
+def dc_row_weights() -> np.ndarray:
+    """[128] f32: end-of-row zero-state DC response to in-row samples,
+    G-scaled —   sum_j' p^(127-j') g (x[j'] - x[j'-1])  as weights on
+    x[j].  Shared by the XLA pre-pass reduction below and the wire-direct
+    summary kernel (kernels/summary.py)."""
+    p = np.float64(_P)
+    j = np.arange(128, dtype=np.float64)
+    v = np.where(j < 127, p ** (127.0 - j) - p ** (126.0 - j), 1.0)
+    return (np.float64(_G) * v).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _zero_summary_consts(t_local: int, tail_len: int) -> dict:
     """Host-float64 constants for front_zero_summary."""
     p = np.float64(_P)
-    j = np.arange(128, dtype=np.float64)
-    # end-of-row zero-state response to in-row samples:
-    #   sum_j' p^(127-j') g (x[j'] - x[j'-1])  ->  weights on x[j]
-    v = np.where(j < 127, p ** (127.0 - j) - p ** (126.0 - j), 1.0)
     rows = t_local // 128
     r = np.arange(rows, dtype=np.float64)
     pr_last = (p ** (128.0 * (rows - 1 - r)))          # fold to final y
     tail_rows = tail_len // 128
     # correction ramp at the tail positions: p^n, n = T - tail_len + j
     n_tail = np.arange(tail_len, dtype=np.float64) + (t_local - tail_len)
-    return dict(v=(_G * v).astype(np.float32),
+    return dict(v=dc_row_weights(),
                 gp127=np.float32(_G * p ** 127.0),
                 p128=float(p ** 128.0),
                 pr_last=pr_last.astype(np.float32),
                 rows=rows, tail_rows=tail_rows,
                 tail_ramp=(p ** n_tail).astype(np.float32),
                 p_t1=float(p ** (t_local - 1.0)))
+
+
+def fold_row_summaries(w: jax.Array, xl_col: jax.Array, t_local: int,
+                       tail_len: int):
+    """The [rows]-level first-order fold shared by the pre-pass variants:
+    w [2, R] = per-row G-weighted zero-state responses (dc_row_weights),
+    xl_col [2, R] = each row's last sample.  Returns
+    (y00, y_pre, x_pre, xlast) — see front_zero_summary."""
+    from sdr_pmr446_tpu.ops import iir
+    cc = _zero_summary_consts(t_local, tail_len)
+    rows = cc["rows"]
+    prev_last = jnp.concatenate(
+        [jnp.zeros((2, 1), xl_col.dtype), xl_col[:, :-1]], axis=1)
+    t_r = w - cc["gp127"] * prev_last
+    b = iir.first_order_scan(t_r, cc["p128"],
+                             jnp.zeros((2,), t_r.dtype))         # [2, R]
+    y00 = jax.lax.complex(b[0, rows - 1], b[1, rows - 1])
+    tr = cc["tail_rows"]
+    y_pre = jax.lax.complex(b[0, rows - tr - 1], b[1, rows - tr - 1])
+    x_pre = jax.lax.complex(xl_col[0, rows - tr - 1],
+                            xl_col[1, rows - tr - 1])
+    xlast = jax.lax.complex(xl_col[0, rows - 1], xl_col[1, rows - 1])
+    return y00, y_pre, x_pre, xlast
 
 
 def front_zero_summary(xr: jax.Array, xi: jax.Array, tail_len: int):
@@ -245,7 +276,6 @@ def front_zero_summary(xr: jax.Array, xi: jax.Array, tail_len: int):
     x[T - tail_len - 1], xlast = x[T - 1], tail_x [tail_len] c64 = the
     RAW input tail (for the subsequent short DC scan).  One read pass;
     nothing [T]-sized is written."""
-    from sdr_pmr446_tpu.ops import iir
     t = xr.shape[-1]
     cc = _zero_summary_consts(t, tail_len)
     rows = cc["rows"]
@@ -258,18 +288,31 @@ def front_zero_summary(xr: jax.Array, xi: jax.Array, tail_len: int):
     w = jnp.stack([jnp.matmul(xr2, v, precision=hi)[..., 0],
                    jnp.matmul(xi2, v, precision=hi)[..., 0]])    # [2, R]
     xl_col = jnp.stack([xr2[:, 127], xi2[:, 127]])               # [2, R]
-    prev_last = jnp.concatenate(
-        [jnp.zeros((2, 1), xl_col.dtype), xl_col[:, :-1]], axis=1)
-    t_r = w - cc["gp127"] * prev_last
-    b = iir.first_order_scan(t_r, cc["p128"],
-                             jnp.zeros((2,), t_r.dtype))         # [2, R]
-    y00 = jax.lax.complex(b[0, rows - 1], b[1, rows - 1])
-    tr = cc["tail_rows"]
-    y_pre = jax.lax.complex(b[0, rows - tr - 1], b[1, rows - tr - 1])
-    x_pre = jax.lax.complex(xl_col[0, rows - tr - 1],
-                            xl_col[1, rows - tr - 1])
-    xlast = jax.lax.complex(xl_col[0, rows - 1], xl_col[1, rows - 1])
+    y00, y_pre, x_pre, xlast = fold_row_summaries(w, xl_col, t, tail_len)
     tail_x = jax.lax.complex(xr[t - tail_len:], xi[t - tail_len:])
+    return y00, y_pre, x_pre, xlast, tail_x
+
+
+def front_zero_summary_wire(wire: jax.Array, fmt: str, t_local: int,
+                            tail_len: int, interpret: bool = False):
+    """Wire-direct front_zero_summary: the sharded pre-pass WITHOUT ever
+    materializing the decoded [T] planes.  ``wire`` is the shard's packed
+    transport rows (the same 2-D layout the duo kernel consumes); a tiny
+    read-only Pallas kernel (kernels/summary.py) decodes in VMEM and
+    emits only the [rows, 4|8] summary columns, and the RAW tail is
+    decoded separately from the wire's last rows (tail_len samples —
+    [T]-independent).  Saves the decode's plane write + re-read
+    (~16 B/sample of sharded-only HBM traffic for packed formats)."""
+    from sdr_pmr446_tpu.kernels.summary import zero_summary_wire
+    from sdr_pmr446_tpu.ops import decode as decode_op
+    w, xl_col = zero_summary_wire(wire, fmt, interpret=interpret)
+    y00, y_pre, x_pre, xlast = fold_row_summaries(w, xl_col, t_local,
+                                                  tail_len)
+    spw = {"cf32w": 128, "cs16": 128, "cu8": 256, "cs8": 256}[fmt]
+    tail_rows = tail_len // spw
+    xr_t, xi_t = decode_op.decode_planes(
+        wire[wire.shape[0] - tail_rows:].reshape(-1), fmt)
+    tail_x = jax.lax.complex(xr_t, xi_t)
     return y00, y_pre, x_pre, xlast, tail_x
 
 

@@ -121,6 +121,7 @@ class ShardedScannerChain:
             from sdr_pmr446_tpu.kernels.duo import PallasScannerDuo
             self.pallas_duo = PallasScannerDuo(
                 input_format, interpret=pallas_interpret)
+            self._pallas_interpret = pallas_interpret
         # halo transport for the two front-end FIR histories: ppermute
         # collectives (default) or the Pallas remote-DMA ring shift
         # (kernels/halo_dma.py; interpret-simulated off-TPU)
@@ -258,10 +259,15 @@ class ShardedScannerChain:
         if fmt == "cf32":
             xr = jnp.real(iq).astype(jnp.float32)
             xi = jnp.imag(iq).astype(jnp.float32)
+            y00, y_pre, x_pre, xlast, tail_x = FH.front_zero_summary(
+                xr, xi, tail_len)
         else:
-            xr, xi = decode_op.decode_planes(iq.reshape(-1), fmt)
-        y00, y_pre, x_pre, xlast, tail_x = FH.front_zero_summary(
-            xr, xi, tail_len)
+            # wire-direct pre-pass: a read-only Pallas kernel decodes in
+            # VMEM and emits only the row summaries — the decoded [T]
+            # planes never exist in HBM (kernels/summary.py)
+            y00, y_pre, x_pre, xlast, tail_x = FH.front_zero_summary_wire(
+                iq, fmt, t_local, tail_len,
+                interpret=self._pallas_interpret)
         dcx_in, dcx_carry = halo.shard_scalar_prev(state.dc_x,
                                                    xlast[None], ax)
         from sdr_pmr446_tpu.parallel.fused_halo import _zero_summary_consts

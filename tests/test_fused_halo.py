@@ -3,6 +3,7 @@ engines (parallel/fused_halo.py) — the e2e sharded==unsharded gates live
 in tests/test_sharding.py; these pin the pre-pass algebra directly."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -130,3 +131,35 @@ def test_compose_dc_chain_two_shards_fold():
         y_cur, x_cur = y_out, xl[d]
     np.testing.assert_allclose(y_ins[1], y0_true[-1], atol=3e-5)
     np.testing.assert_allclose(y_cur, y1_true[-1], atol=3e-5)
+
+
+@pytest.mark.parametrize("fmt", ["cf32w", "cs16", "cu8", "cs8"])
+def test_zero_summary_wire_matches_plane_path(fmt):
+    """The wire-direct summary kernel (kernels/summary.py — in-VMEM
+    decode, only [rows, 4|8] columns leave) == decode_planes +
+    front_zero_summary on the same wire bytes: y00/y_pre to f32 matmul
+    reordering, x samples and the raw tail EXACT."""
+    from sdr_pmr446_tpu.ops import decode as decode_op
+    rng = np.random.default_rng(7)
+    t = 8 * 2048
+    tail = 2560
+    x = (rng.standard_normal(t) + 1j * rng.standard_normal(t)) * 0.2
+    if fmt == "cf32w":
+        w = np.empty(2 * t, np.float32)
+        w[0::2] = x.real
+        w[1::2] = x.imag
+        wire = jnp.asarray(w.reshape(t // 128, 256))
+    else:
+        packed = decode_op.pack_iq(x, fmt)
+        spw = 128 if fmt == "cs16" else 256
+        wire = jnp.asarray(packed.reshape(t // spw, -1))
+    xr, xi = decode_op.decode_planes(wire.reshape(-1), fmt)
+    ref = FH.front_zero_summary(xr, xi, tail)
+    out = FH.front_zero_summary_wire(wire, fmt, t, tail, interpret=True)
+    np.testing.assert_allclose(complex(out[0]), complex(ref[0]),
+                               rtol=0, atol=1e-6)          # y00
+    np.testing.assert_allclose(complex(out[1]), complex(ref[1]),
+                               rtol=0, atol=1e-6)          # y_pre
+    assert complex(out[2]) == complex(ref[2])              # x_pre
+    assert complex(out[3]) == complex(ref[3])              # xlast
+    np.testing.assert_array_equal(np.asarray(out[4]), np.asarray(ref[4]))

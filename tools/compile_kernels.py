@@ -115,6 +115,15 @@ def main():
         xwidth = 256 if fmt == "cf32w" else 128
         wire = jnp.zeros((rows, xwidth), jnp.float32)
         ok &= probe(f"duo_{fmt}", duo.apply, (*st, wire))
+    # wire-direct sharded pre-pass summaries (kernels/summary.py)
+    from sdr_pmr446_tpu.kernels.summary import zero_summary_wire
+    tsum = 8 * C.SUBCHUNK_IN
+    for sfmt, swidth, spw in (("cf32w", 256, 128), ("cs16", 128, 128),
+                              ("cu8", 128, 256), ("cs8", 128, 256)):
+        swire = jnp.zeros((tsum // spw, swidth), jnp.float32)
+        ok &= probe(f"summary_{sfmt}",
+                    lambda w, _f=sfmt: zero_summary_wire(w, _f), (swire,))
+
     # waterfall variants: band planes as grid outputs (XLA tap) and the
     # in-kernel hop-PSD epilogue (only [K, w] sums leave VMEM)
     duo = PallasScannerDuo("cf32w")
