@@ -39,6 +39,11 @@ class ShardedDsdInChain:
     band rows, discriminator sample, demod history) is rebuilt from a
     short corrected DC tail pushed through the XLA resamplers — the
     unmodified kernel then needs no correction at all.
+
+    ``input_format`` "cf32w"/"cs16"/"cu8"/"cs8" feeds raw wire words
+    (time-sharded; words hold whole samples): the mono path decodes
+    in-kernel with the wire-direct pre-pass (kernels/summary.py), the
+    XLA path in one decode pass per shard.
     """
 
     #: DC tail length: covers the 384-sample front history plus the
@@ -46,7 +51,9 @@ class ShardedDsdInChain:
     TAIL = 7040
 
     def __init__(self, mesh: Mesh, subchunks_per_step: int = 10,
-                 use_pallas: bool = False, pallas_interpret: bool = False):
+                 use_pallas: bool = False, pallas_interpret: bool = False,
+                 input_format: str = "cf32"):
+        from sdr_pmr446_tpu.ops import decode as decode_op
         self.mesh = mesh
         self.n_time = mesh.shape[TIME_AXIS]
         self.input_len = subchunks_per_step * C.SUBCHUNK_IN
@@ -54,9 +61,18 @@ class ShardedDsdInChain:
         k_local = subchunks_per_step // self.n_time
         self.mono = bool(use_pallas and k_local % 8 == 0)
         self._t_local = self.input_len // self.n_time
+        # "cs16"/"cu8"/"cs8"/"cf32w": raw wire words, decoded per
+        # time-shard — in-kernel on the mono path (with the wire-direct
+        # pre-pass, kernels/summary.py), one XLA pass otherwise.  Word
+        # shards hold whole samples, so time sharding needs no re-split.
+        if input_format != "cf32" and \
+                input_format not in decode_op.PACKED_FORMATS:
+            raise ValueError(f"unsupported input_format: {input_format!r}")
+        self.input_format = input_format
+        self._pallas_interpret = pallas_interpret
         if self.mono:
             from sdr_pmr446_tpu.kernels.chan_tail import PallasMonoChain
-            self.mono_k = PallasMonoChain("dsd", "cf32",
+            self.mono_k = PallasMonoChain("dsd", input_format,
                                           interpret=pallas_interpret)
         self.res1 = PolyResampler(D.resampler_taps(), C.RESAMP_L, C.RESAMP_M)
         self.res2 = PolyResampler(np.asarray(stage2_taps()), 1, 16)
@@ -115,10 +131,22 @@ class ShardedDsdInChain:
         ax = TIME_AXIS
         t_local = self._t_local
         tail_len = self.TAIL
-        xr = jnp.real(iq).astype(jnp.float32)
-        xi = jnp.imag(iq).astype(jnp.float32)
-        y00, y_pre, x_pre, xlast, tail_x = FH.front_zero_summary(
-            xr, xi, tail_len)
+        fmt = self.input_format
+        if fmt == "cf32":
+            xr = jnp.real(iq).astype(jnp.float32)
+            xi = jnp.imag(iq).astype(jnp.float32)
+            y00, y_pre, x_pre, xlast, tail_x = FH.front_zero_summary(
+                xr, xi, tail_len)
+        else:
+            # the mono kernel's 2-D wire rows; wire-direct pre-pass
+            # (kernels/summary.py — decoded planes never reach HBM)
+            if fmt == "cf32w":
+                iq = iq.reshape(t_local // 128, 256)
+            else:
+                iq = iq.reshape(-1, 128)
+            y00, y_pre, x_pre, xlast, tail_x = FH.front_zero_summary_wire(
+                iq, fmt, t_local, tail_len,
+                interpret=self._pallas_interpret)
         dcx_in, dcx_carry = halo.shard_scalar_prev(state.dc_x,
                                                    xlast[None], ax)
         zc = _zero_summary_consts(t_local, tail_len)
@@ -152,7 +180,10 @@ class ShardedDsdInChain:
         return new_state, DsdOutputs(pcm=pcm)
 
     def _step_one(self, state: DsdState, iq: jax.Array):
+        from sdr_pmr446_tpu.ops import decode as decode_op
         ax = TIME_AXIS
+        if self.input_format != "cf32":
+            iq = decode_op.decode_complex(iq, self.input_format)
         (dc_x, dc_y), x = halo.shard_dc_blocker(
             (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA, ax)
         h1, c1 = halo.shard_hist(state.res1_hist, x, self.res1.hist_len, ax)

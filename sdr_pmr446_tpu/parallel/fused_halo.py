@@ -309,10 +309,10 @@ def front_zero_summary_wire(wire: jax.Array, fmt: str, t_local: int,
     y00, y_pre, x_pre, xlast = fold_row_summaries(w, xl_col, t_local,
                                                   tail_len)
     spw = {"cf32w": 128, "cs16": 128, "cu8": 256, "cs8": 256}[fmt]
-    tail_rows = tail_len // spw
-    xr_t, xi_t = decode_op.decode_planes(
+    tail_rows = -(-tail_len // spw)            # ceil: dsd's 7040-sample
+    xr_t, xi_t = decode_op.decode_planes(      # tail is 27.5 wide rows
         wire[wire.shape[0] - tail_rows:].reshape(-1), fmt)
-    tail_x = jax.lax.complex(xr_t, xi_t)
+    tail_x = jax.lax.complex(xr_t[-tail_len:], xi_t[-tail_len:])
     return y00, y_pre, x_pre, xlast, tail_x
 
 

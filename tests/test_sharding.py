@@ -584,3 +584,46 @@ def test_sharded_dsd_mono_equals_unsharded():
         snr = 10 * np.log10(max(np.mean(refs[i] ** 2), 1e-30)
                             / max(np.mean(err ** 2), 1e-30))
         assert snr > 60.0 and np.abs(err).max() <= 2.0, (i, snr)
+
+
+@pytest.mark.parametrize("fmt", ["cs16", "cu8", "cf32w"])
+def test_sharded_dsd_mono_packed_wire(fmt):
+    """Packed-wire sharded dsd MONO: raw wire words time-sharded, the
+    wire-direct pre-pass (kernels/summary.py) + in-kernel decode — same
+    PCM as the single-chip mono chain on the same bytes."""
+    from sdr_pmr446_tpu.ops import decode as decode_op
+    from sdr_pmr446_tpu.scanner.dsd_in import DsdInChain
+    from sdr_pmr446_tpu.parallel.dsd_sharded import ShardedDsdInChain
+
+    K = 16
+    n = K * C.SUBCHUNK_IN
+    fs = C.SDR_SAMPLERATE
+    t = np.arange(2 * n) / fs
+    msg = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    iq = np.exp(1j * 2 * np.pi * (2000.0 * np.cumsum(msg)
+                                  + 300.0 * np.arange(2 * n)) / fs)
+    wire = decode_op.pack_iq(iq, fmt)
+    wl = wire.shape[0] // 2
+
+    ref = DsdInChain(K, use_pallas=True, pallas_interpret=True,
+                     input_format=fmt)
+    st1 = ref.init_state()
+    refs = []
+    for i in range(2):
+        w = wire[i * wl:(i + 1) * wl].reshape(ref.step_arg_shape)
+        st1, o = ref.step(st1, jnp.asarray(w))
+        refs.append(np.asarray(o.pcm, np.float64))
+
+    mesh = make_mesh(1, 2)
+    ch = ShardedDsdInChain(mesh, K, use_pallas=True, pallas_interpret=True,
+                           input_format=fmt)
+    assert ch.mono
+    st2 = ch.init_state(1)
+    for i in range(2):
+        w = wire[i * wl:(i + 1) * wl]
+        st2, o = ch.step(st2, jnp.asarray(w)[None])
+        p = np.asarray(o.pcm[0], np.float64)
+        err = p - refs[i]
+        snr = 10 * np.log10(max(np.mean(refs[i] ** 2), 1e-30)
+                            / max(np.mean(err ** 2), 1e-30))
+        assert snr > 60.0 and np.abs(err).max() <= 2.0, (i, snr)
