@@ -34,6 +34,8 @@ if _REPO_ROOT not in sys.path:
 
 NPZ = "/tmp/value_verify_front_end.npz"
 NPZ_DUO = "/tmp/value_verify_duo.npz"
+NPZ_WF = "/tmp/value_verify_duo_wf.npz"
+NPZ_MONO = "/tmp/value_verify_mono.npz"
 T = 8 * 2048                  # 128 rows: one 8-row tile x 16, tiny
 GATE = 5e-5                   # f32-contract rounding; bf16 would be ~1e-3
 GATE_DUO = 2e-3               # demod goes through atan2: a driven channel
@@ -153,6 +155,115 @@ def main_device_duo() -> None:
           "kernel computes correctly on this backend", flush=True)
 
 
+def _run_duo_wf(interpret: bool):
+    """DUO kernel with the in-kernel hop-PSD waterfall epilogue (w=80):
+    returns the [K, 80] |S|^2 sums — all-f32, matmul-only math (no
+    atan2 conditioning caveat), so the front-end GATE applies."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu import config as C
+    from sdr_pmr446_tpu.io import synth
+    from sdr_pmr446_tpu.kernels.duo import PallasScannerDuo
+
+    sig = synth.make_scanner_iq(8 * C.SUBCHUNK_IN, channel=5,
+                                ctcss_code=12, seed=3)
+    w = np.empty(2 * sig.shape[0], np.float32)
+    w[0::2] = sig.real
+    w[1::2] = sig.imag
+    wire = w.reshape(-1, 256)
+    duo = PallasScannerDuo("cf32w", interpret=interpret)
+
+    def wf_only(wire):
+        st = duo.init_state()
+        out = duo.apply(st[0], st[1], st[2], st[3], st[4], st[5], wire,
+                        waterfall_w=80)
+        return out[8]                          # [K, 80] f32 PSD sums
+
+    return jax.jit(wf_only)(jnp.asarray(wire))
+
+
+def main_expected_wf() -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    np.savez(NPZ_WF, y=np.asarray(_run_duo_wf(True)))
+    print(f"expected: wrote {NPZ_WF}", flush=True)
+
+
+def main_device_wf() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import numpy as np
+    exp = np.load(NPZ_WF)["y"]
+    got = np.asarray(jax.device_get(_run_duo_wf(False)))
+    scale = np.max(np.abs(exp)) + 1e-30
+    rel = np.max(np.abs(got - exp)) / scale
+    verdict = "PASS" if rel < GATE else "FAIL"
+    print(f"value_verify duo wf80 PSD sums: max rel err {rel:.2e} "
+          f"(gate {GATE:g}) -> {verdict}", flush=True)
+    if verdict == "FAIL":
+        sys.exit(1)
+    print("value_verify wf: PASS — the in-kernel hop-PSD waterfall "
+          "computes correctly on this backend", flush=True)
+
+
+def _run_mono(interpret: bool):
+    """MONO dsd chain (whole chain, ONE kernel) on a strong in-band FM
+    signal: returns the 48 kHz PCM as f32 (pre-int16 cast) — all-f32
+    fetch.  The discriminator is inside, but the signal keeps the phase
+    well-conditioned (the dsd gate class)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu import config as C
+    from sdr_pmr446_tpu.kernels.chan_tail import PallasMonoChain
+
+    n = 8 * C.SUBCHUNK_IN
+    fs = C.SDR_SAMPLERATE
+    t = np.arange(n) / fs
+    msg = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    sig = np.exp(1j * 2 * np.pi * (2000.0 * np.cumsum(msg)
+                                   + 300.0 * np.arange(n)) / fs)
+    w = np.empty(2 * n, np.float32)
+    w[0::2] = sig.real
+    w[1::2] = sig.imag
+    wire = w.reshape(-1, 256)
+    mc = PallasMonoChain("dsd", "cf32w", interpret=interpret)
+
+    def pcm_only(wire):
+        st = mc.init_state()
+        out = mc.apply(*st, wire)
+        return out[6].reshape(1, -1)           # [1, out48] f32
+
+    return jax.jit(pcm_only)(jnp.asarray(wire))
+
+
+def main_expected_mono() -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    np.savez(NPZ_MONO, y=np.asarray(_run_mono(True)))
+    print(f"expected: wrote {NPZ_MONO}", flush=True)
+
+
+def main_device_mono() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import numpy as np
+    exp = np.load(NPZ_MONO)["y"]
+    got = np.asarray(jax.device_get(_run_mono(False)))
+    scale = np.max(np.abs(exp)) + 1e-30
+    rel = np.max(np.abs(got - exp)) / scale
+    verdict = "PASS" if rel < GATE_DUO else "FAIL"
+    print(f"value_verify mono dsd PCM: max rel err {rel:.2e} "
+          f"(gate {GATE_DUO:g}) -> {verdict}", flush=True)
+    if verdict == "FAIL":
+        sys.exit(1)
+    print("value_verify mono: PASS — the one-kernel dsd chain computes "
+          "correctly on this backend", flush=True)
+
+
 def main() -> None:
     if "--expected" in sys.argv:
         return main_expected()
@@ -162,10 +273,19 @@ def main() -> None:
         return main_expected_duo()
     if "--device-duo" in sys.argv:
         return main_device_duo()
+    if "--expected-wf" in sys.argv:
+        return main_expected_wf()
+    if "--device-wf" in sys.argv:
+        return main_device_wf()
+    if "--expected-mono" in sys.argv:
+        return main_expected_mono()
+    if "--device-mono" in sys.argv:
+        return main_device_mono()
     me = os.path.abspath(__file__)
     flags = (("--expected", "--device") if "--front" in sys.argv
              else ("--expected", "--device", "--expected-duo",
-                   "--device-duo"))
+                   "--device-duo", "--expected-wf", "--device-wf",
+                   "--expected-mono", "--device-mono"))
     for flag in flags:
         r = subprocess.run([sys.executable, me, flag], timeout=2400)
         if r.returncode != 0:
