@@ -451,7 +451,7 @@ def _run_fused_pair(fmt, K, nt, n_steps=2, waterfall=0,
     step_len = K * C.SUBCHUNK_IN
     iq = synth.make_scanner_iq(n_steps * step_len, channel=5, ctcss_code=12)
     params = make_runtime_params(C.ScannerArgs())
-    if fmt in ("cs16", "cu8"):
+    if fmt in ("cs16", "cu8", "cs8"):
         from sdr_pmr446_tpu.ops import decode as decode_op
         raw = decode_op.pack_iq(np.asarray(iq), fmt)
 
@@ -532,9 +532,9 @@ def test_sharded_fused_trio_equals_unsharded():
     _assert_fused_equal(refs, outs)
 
 
-@pytest.mark.parametrize("fmt", ["cs16", "cu8"])
+@pytest.mark.parametrize("fmt", ["cs16", "cu8", "cs8"])
 def test_sharded_fused_packed_formats(fmt):
-    """In-kernel wire decode (cs16 narrow / cu8 wide-row) under time
+    """In-kernel wire decode (cs16 narrow / cu8+cs8 wide-row) under time
     sharding: same wire bytes, same decisions, audio to the group gate."""
     refs, outs = _run_fused_pair(fmt, K=16, nt=2, n_steps=1)
     _assert_fused_equal(refs, outs)
