@@ -557,6 +557,25 @@ class PallasAudioBank:
         [K, 38] c64) where raw_* are global-phase DFT sums; apply
         fsm.raw_sums_to_ctcss to get (s_pre, s_suf).
         """
+        (new_hist, new_dc_x, new_dc_y, audio, pre_re, pre_im, mem_re,
+         mem_im) = self.apply_dc_ctcss_f32(hist, dc_x, dc_y, demod, gain,
+                                           b_arr, sel, out_len, ns)
+        raw_pre = jax.lax.complex(pre_re, pre_im)
+        raw_mem = jax.lax.complex(mem_re, mem_im)
+        return new_hist, new_dc_x, new_dc_y, audio, raw_pre, raw_mem
+
+    def apply_dc_ctcss_f32(self, hist: jax.Array, dc_x: jax.Array,
+                           dc_y: jax.Array, demod: jax.Array,
+                           gain: jax.Array, b_arr: jax.Array,
+                           sel: jax.Array, out_len: int,
+                           ns: int = C.SUBCHUNK_AUDIO):
+        """apply_dc_ctcss with the DFT sums left as f32 plane pairs
+        (pre_re, pre_im, mem_re, mem_im — each [K, 38]) instead of the
+        complex combine.  An ALL-f32 traced program: the value-verify
+        tool needs this (complex ops in an executed program poison the
+        tunnel's later device→host fetches — CLAUDE.md), and callers that
+        immediately split the complex sums back apart can skip the
+        round trip."""
         assert hist.shape[-1] == self.hist
         assert out_len % ns == 0
         k_sub = out_len // ns
@@ -668,9 +687,9 @@ class PallasAudioBank:
         new_dc_y = dcy[:, 0, (f - 1) % LANES]
         new_dc_x = jnp.matmul(new_hist, jnp.asarray(self._lp_last_col),
                               precision=jax.lax.Precision.HIGHEST)
-        raw_pre = jax.lax.complex(pre_re[:k_sub, :38], pre_im[:k_sub, :38])
-        raw_mem = jax.lax.complex(mem_re[:k_sub, :38], mem_im[:k_sub, :38])
-        return new_hist, new_dc_x, new_dc_y, audio, raw_pre, raw_mem
+        return (new_hist, new_dc_x, new_dc_y, audio,
+                pre_re[:k_sub, :38], pre_im[:k_sub, :38],
+                mem_re[:k_sub, :38], mem_im[:k_sub, :38])
 
 
 def reference_impl(hist, demod, gain, lowpass=False, fir_deemph=False):

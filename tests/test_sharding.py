@@ -627,3 +627,56 @@ def test_sharded_dsd_mono_packed_wire(fmt):
         snr = 10 * np.log10(max(np.mean(refs[i] ** 2), 1e-30)
                             / max(np.mean(err ** 2), 1e-30))
         assert snr > 60.0 and np.abs(err).max() <= 2.0, (i, snr)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2)])
+def test_sharded_single_equals_unsharded(mesh_shape):
+    """Time-sharded single-channel monitor == sequential chain: with
+    this every signal chain (scanner, dsd_in, single) has a sharded
+    gate.  The mixer's per-shard global phase base (n0 + i*t_band_local
+    mod 32) must reproduce the unsharded closed-form ramp exactly."""
+    from sdr_pmr446_tpu.scanner.single import SingleChannelChain
+    from sdr_pmr446_tpu.parallel.single_sharded import ShardedSingleChain
+
+    n_stream, n_time = mesh_shape
+    if n_stream * n_time > len(jax.devices()):
+        pytest.skip("not enough devices")
+    sub = 4
+    chan = 7
+    chain1 = SingleChannelChain(channel=chan, subchunks_per_step=sub)
+    n = 2 * chain1.input_len
+    iqs = [synth.make_scanner_iq(n, channel=chan, ctcss_code=3 + s,
+                                 seed=11 + s) for s in range(n_stream)]
+
+    refs = []
+    for iq in iqs:
+        st1 = chain1.init_state()
+        parts = []
+        for i in range(2):
+            st1, a = chain1.step(st1, jnp.asarray(
+                iq[i * chain1.input_len:(i + 1) * chain1.input_len]))
+            parts.append(np.asarray(a))
+        refs.append(np.concatenate(parts))
+
+    mesh = make_mesh(n_stream, n_time)
+    chain2 = ShardedSingleChain(mesh, channel=chan, subchunks_per_step=sub)
+    st2 = chain2.init_state(n_stream)
+    got = [[] for _ in range(n_stream)]
+    for i in range(2):
+        blk = np.stack([iq[i * chain2.input_len:(i + 1) * chain2.input_len]
+                        for iq in iqs])
+        st2, a = chain2.step(st2, jnp.asarray(blk, jnp.complex64))
+        a = np.asarray(a)
+        for s in range(n_stream):
+            got[s].append(a[s])
+    # mixer phase state must advance replicated, exactly as unsharded
+    assert int(np.asarray(st2.n0)[0]) == (2 * chain2.input_len * 25 // 128) \
+        % 32
+    for s in range(n_stream):
+        g = np.concatenate(got[s])
+        r = refs[s]
+        assert g.shape == r.shape
+        sig_p = np.mean(r.astype(np.float64) ** 2)
+        err_p = np.mean((g - r).astype(np.float64) ** 2)
+        snr = 10.0 * np.log10(sig_p / max(err_p, 1e-30))
+        assert snr > 90.0, snr

@@ -36,6 +36,7 @@ NPZ = "/tmp/value_verify_front_end.npz"
 NPZ_DUO = "/tmp/value_verify_duo.npz"
 NPZ_WF = "/tmp/value_verify_duo_wf.npz"
 NPZ_MONO = "/tmp/value_verify_mono.npz"
+NPZ_AUDIO = "/tmp/value_verify_audio.npz"
 T = 8 * 2048                  # 128 rows: one 8-row tile x 16, tiny
 GATE = 5e-5                   # f32-contract rounding; bf16 would be ~1e-3
 GATE_DUO = 2e-3               # demod goes through atan2: a driven channel
@@ -264,6 +265,79 @@ def main_device_mono() -> None:
           "correctly on this backend", flush=True)
 
 
+def _run_audio(interpret: bool):
+    """Audio-bank kernel (composed 640-tap FIRs + in-kernel DC blocker +
+    CTCSS windowed DFT, apply_dc_ctcss_f32) on a seeded random demod
+    plane, K=8: returns ONE [48, 128] f32 pack — 16 rows of strided
+    audio samples (all tiles covered) + the 4 [8, 38] DFT sum planes.
+    All-f32 program end to end (the f32 variant exists for exactly this
+    fetch-safety reason), so the front-end GATE class applies to the
+    audio rows; the DFT sums accumulate ~1.5k-term windows so they get
+    a 10x-relaxed gate."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sdr_pmr446_tpu import config as C
+    from sdr_pmr446_tpu.kernels.audio_bank import PallasAudioBank
+
+    k_sub = 8
+    ns = C.SUBCHUNK_AUDIO
+    out_len = k_sub * ns
+    rng = np.random.default_rng(20260820)
+    demod = rng.standard_normal((16, out_len)).astype(np.float32) * 0.5
+    bank = PallasAudioBank(interpret=interpret)
+    hist = rng.standard_normal((16, bank.hist)).astype(np.float32) * 0.5
+    dc_x = rng.standard_normal(16).astype(np.float32) * 0.01
+    dc_y = rng.standard_normal(16).astype(np.float32) * 0.01
+    b_arr = rng.integers(0, ns, k_sub).astype(np.int32)
+    sel = rng.integers(0, 16, k_sub).astype(np.int32)
+
+    def pack(hist, dc_x, dc_y, demod, b_arr, sel):
+        (_, _, _, audio, pre_re, pre_im, mem_re,
+         mem_im) = bank.apply_dc_ctcss_f32(
+            hist, dc_x, dc_y, demod, jnp.float32(0.15), b_arr, sel,
+            out_len=out_len, ns=ns)
+        a = audio[:, :out_len][:, ::76][:, :128]          # [16, 128]
+        sums = jnp.concatenate([pre_re, pre_im, mem_re, mem_im], axis=0)
+        sums = jnp.pad(sums, ((0, 0), (0, 128 - sums.shape[1])))
+        return jnp.concatenate([a, sums], axis=0)         # [48, 128] f32
+
+    return jax.jit(pack)(jnp.asarray(hist), jnp.asarray(dc_x),
+                         jnp.asarray(dc_y), jnp.asarray(demod),
+                         jnp.asarray(b_arr), jnp.asarray(sel))
+
+
+def main_expected_audio() -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    np.savez(NPZ_AUDIO, y=np.asarray(_run_audio(True)))
+    print(f"expected: wrote {NPZ_AUDIO}", flush=True)
+
+
+def main_device_audio() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import numpy as np
+    exp = np.load(NPZ_AUDIO)["y"]
+    got = np.asarray(jax.device_get(_run_audio(False)))
+    # audio rows: FIR outputs, front-end gate; sum rows: ~1.5k-term DFT
+    # windows accumulate rounding, 10x headroom
+    sa = np.max(np.abs(exp[:16])) + 1e-30
+    ra = np.max(np.abs(got[:16] - exp[:16])) / sa
+    ss = np.max(np.abs(exp[16:])) + 1e-30
+    rs = np.max(np.abs(got[16:] - exp[16:])) / ss
+    ok = ra < GATE and rs < 10 * GATE
+    print(f"value_verify audio: audio max rel {ra:.2e} (gate {GATE:g}), "
+          f"ctcss sums max rel {rs:.2e} (gate {10 * GATE:g}) -> "
+          f"{'PASS' if ok else 'FAIL'}", flush=True)
+    if not ok:
+        sys.exit(1)
+    print("value_verify audio: PASS — the audio-bank kernel (composed "
+          "FIRs + DC + CTCSS DFT) computes correctly on this backend",
+          flush=True)
+
+
 def main() -> None:
     if "--expected" in sys.argv:
         return main_expected()
@@ -281,11 +355,24 @@ def main() -> None:
         return main_expected_mono()
     if "--device-mono" in sys.argv:
         return main_device_mono()
+    if "--expected-audio" in sys.argv:
+        return main_expected_audio()
+    if "--device-audio" in sys.argv:
+        return main_device_audio()
+    if "--audio" in sys.argv:
+        for flag in ("--expected-audio", "--device-audio"):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag],
+                timeout=2400)
+            if r.returncode != 0:
+                sys.exit(r.returncode)
+        return
     me = os.path.abspath(__file__)
     flags = (("--expected", "--device") if "--front" in sys.argv
              else ("--expected", "--device", "--expected-duo",
                    "--device-duo", "--expected-wf", "--device-wf",
-                   "--expected-mono", "--device-mono"))
+                   "--expected-mono", "--device-mono",
+                   "--expected-audio", "--device-audio"))
     for flag in flags:
         r = subprocess.run([sys.executable, me, flag], timeout=2400)
         if r.returncode != 0:
