@@ -680,3 +680,30 @@ def test_sharded_single_equals_unsharded(mesh_shape):
         err_p = np.mean((g - r).astype(np.float64) ** 2)
         snr = 10.0 * np.log10(sig_p / max(err_p, 1e-30))
         assert snr > 90.0, snr
+
+
+def test_sharded_single_multi_step():
+    """fused_sharded_steps on the single monitor: 2 stacked blocks in one
+    dispatch == 2 step() calls (f32 rounding)."""
+    from sdr_pmr446_tpu.parallel.single_sharded import ShardedSingleChain
+
+    mesh = make_mesh(1, 4)
+    chain = ShardedSingleChain(mesh, channel=5, subchunks_per_step=4)
+    iq = synth.make_scanner_iq(2 * chain.input_len, channel=5,
+                               ctcss_code=8, seed=2)
+    st = chain.init_state(1)
+    ref = []
+    for i in range(2):
+        st, a = chain.step(st, jnp.asarray(
+            iq[None, i * chain.input_len:(i + 1) * chain.input_len],
+            jnp.complex64))
+        ref.append(np.asarray(a)[0])
+    ref = np.concatenate(ref)
+
+    st2 = chain.init_state(1)
+    blocks = jnp.asarray(
+        np.stack([iq[None, :chain.input_len],
+                  iq[None, chain.input_len:]]), jnp.complex64)
+    st2, fused = chain.multi_step(st2, blocks)
+    np.testing.assert_allclose(np.asarray(fused)[0], ref, rtol=0,
+                               atol=5e-6)
