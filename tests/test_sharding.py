@@ -707,3 +707,88 @@ def test_sharded_single_multi_step():
     st2, fused = chain.multi_step(st2, blocks)
     np.testing.assert_allclose(np.asarray(fused)[0], ref, rtol=0,
                                atol=5e-6)
+
+
+def test_sharded_single_mono_equals_unsharded():
+    """The MONO single-channel engine (whole chain in one kernel)
+    time-sharded == the single-chip mono chain: the exact-state
+    pre-pass rebuilds the band/sig/demod halos through the XLA
+    resampler + mixer + channel filter; every shard shares one global
+    rot (t_band_local % 32 == 0 at K_local % 8 == 0).  Audio > 60 dB
+    across streaming steps."""
+    from sdr_pmr446_tpu.scanner.single import SingleChannelChain
+    from sdr_pmr446_tpu.parallel.single_sharded import ShardedSingleChain
+
+    K = 16
+    chan = 7
+    n = K * C.SUBCHUNK_IN
+    iq = synth.make_scanner_iq(2 * n, channel=chan, ctcss_code=6, seed=4)
+
+    ref = SingleChannelChain(channel=chan, subchunks_per_step=K,
+                             use_pallas=True, pallas_interpret=True)
+    assert ref.mono
+    st1 = ref.init_state()
+    refs = []
+    for i in range(2):
+        st1, a = ref.step(st1, jnp.asarray(iq[i * n:(i + 1) * n],
+                                           jnp.complex64))
+        refs.append(np.asarray(a, np.float64))
+
+    mesh = make_mesh(1, 2)
+    ch = ShardedSingleChain(mesh, channel=chan, subchunks_per_step=K,
+                            use_pallas=True, pallas_interpret=True)
+    assert ch.mono
+    st2 = ch.init_state(1)
+    for i in range(2):
+        st2, a = ch.step(st2, jnp.asarray(iq[None, i * n:(i + 1) * n],
+                                          jnp.complex64))
+        g = np.asarray(a[0], np.float64)
+        err = g - refs[i]
+        snr = 10 * np.log10(max(np.mean(refs[i] ** 2), 1e-30)
+                            / max(np.mean(err ** 2), 1e-30))
+        assert snr > 60.0, (i, snr)
+    # the replicated mixer phase must advance exactly as unsharded
+    assert int(np.asarray(st2.n0)[0]) == int(np.asarray(st1.n0))
+
+
+@pytest.mark.parametrize("fmt", ["cf32w", "cs16"])
+def test_sharded_single_mono_packed_wire(fmt):
+    """Packed-wire sharded single MONO: raw wire words time-sharded,
+    wire-direct pre-pass + in-kernel decode — same audio as the
+    single-chip mono chain on the same bytes."""
+    from sdr_pmr446_tpu.ops import decode as decode_op
+    from sdr_pmr446_tpu.scanner.single import SingleChannelChain
+    from sdr_pmr446_tpu.parallel.single_sharded import ShardedSingleChain
+
+    K = 16
+    chan = 7
+    n = K * C.SUBCHUNK_IN
+    iq = synth.make_scanner_iq(2 * n, channel=chan, ctcss_code=6, seed=4)
+    wire = decode_op.pack_iq(iq, fmt)
+    wl = wire.shape[0] // 2
+
+    ref = SingleChannelChain(channel=chan, subchunks_per_step=K,
+                             use_pallas=True, pallas_interpret=True,
+                             input_format=fmt)
+    assert ref.mono
+    st1 = ref.init_state()
+    refs = []
+    for i in range(2):
+        w = wire[i * wl:(i + 1) * wl].reshape(ref.step_arg_shape)
+        st1, a = ref.step(st1, jnp.asarray(w))
+        refs.append(np.asarray(a, np.float64))
+
+    mesh = make_mesh(1, 2)
+    ch = ShardedSingleChain(mesh, channel=chan, subchunks_per_step=K,
+                            use_pallas=True, pallas_interpret=True,
+                            input_format=fmt)
+    assert ch.mono
+    st2 = ch.init_state(1)
+    for i in range(2):
+        w = wire[i * wl:(i + 1) * wl]
+        st2, a = ch.step(st2, jnp.asarray(w)[None])
+        g = np.asarray(a[0], np.float64)
+        err = g - refs[i]
+        snr = 10 * np.log10(max(np.mean(refs[i] ** 2), 1e-30)
+                            / max(np.mean(err ** 2), 1e-30))
+        assert snr > 60.0, (i, snr)
