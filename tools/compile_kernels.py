@@ -150,6 +150,23 @@ def main():
         args = (*st, wire) + ((jnp.ones((), jnp.complex64),)
                               if mode == "single" else ())
         ok &= probe(f"mono_{mode}_{fmt}", mc.apply, args)
+
+    # the sharded mono single STEP ((1,1) mesh): the exact-state
+    # pre-pass + mixer-table halo rebuild + unmodified kernel as one
+    # compiled program (first probed PASS 2026-08-20)
+    from sdr_pmr446_tpu.parallel.single_sharded import ShardedSingleChain
+    from sdr_pmr446_tpu.parallel.scanner_sharded import make_mesh
+    mesh = make_mesh(1, 1)
+    for sfmt in ("cf32", "cf32w"):
+        chs = ShardedSingleChain(mesh, channel=5, subchunks_per_step=8,
+                                 use_pallas=True, input_format=sfmt)
+        assert chs.mono
+        sts = chs.init_state(1)
+        arg = (jnp.zeros((1, chs.input_len), jnp.complex64)
+               if sfmt == "cf32"
+               else jnp.zeros((1, 2 * chs.input_len), jnp.float32))
+        ok &= probe(f"sharded_single_mono_{sfmt}",
+                    lambda s, a, _c=chs: _c._step(s, a), (sts, arg))
     return 0 if ok else 1
 
 
