@@ -66,13 +66,29 @@ class ShardedSingleChain:
         self.audio_gain = audio_gain
         self.n_time = mesh.shape[TIME_AXIS]
         self.input_len = subchunks_per_step * C.SUBCHUNK_IN
+        if subchunks_per_step % self.n_time != 0:
+            raise ValueError(
+                f"subchunks_per_step={subchunks_per_step} must divide "
+                f"evenly over the {self.n_time}-way time mesh")
         assert (self.input_len // self.n_time) % C.INPUT_GRANULE == 0
         k_local = subchunks_per_step // self.n_time
-        self.mono = bool(use_pallas and k_local % 8 == 0)
+        if use_pallas and k_local % 8 != 0:
+            # match the unsharded chain's ValueError rather than a
+            # silent XLA fallback a caller could mistake for the engine
+            raise ValueError(
+                "the sharded mono engine needs subchunks_per_step / "
+                f"n_time % 8 == 0 (got K_local={k_local})")
+        self.mono = bool(use_pallas)
         self._t_local = self.input_len // self.n_time
         if input_format != "cf32" and \
                 input_format not in decode_op.PACKED_FORMATS:
             raise ValueError(f"unsupported input_format: {input_format!r}")
+        if input_format != "cf32" and not self.mono:
+            # the XLA halo path has no wire-decode equality gate; keep
+            # wire formats on the tested mono pre-pass (matches the
+            # unsharded SingleChannelChain's restriction)
+            raise ValueError("wire input formats need the mono engine "
+                             "(use_pallas=True)")
         self.input_format = input_format
         self._pallas_interpret = pallas_interpret
         if self.mono:
@@ -145,10 +161,7 @@ class ShardedSingleChain:
         return jax.vmap(fn)(state, iq)
 
     def _step_one(self, state: SingleState, iq: jax.Array):
-        from sdr_pmr446_tpu.ops import decode as decode_op
         ax = TIME_AXIS
-        if self.input_format != "cf32":
-            iq = decode_op.decode_complex(iq, self.input_format)
         (dc_x, dc_y), x = halo.shard_dc_blocker(
             (state.dc_x, state.dc_y), iq, C.DC_BLOCK_ALPHA, ax)
         h1, c1 = halo.shard_hist(state.res_hist, x, self.res.hist_len, ax)

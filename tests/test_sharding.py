@@ -792,3 +792,20 @@ def test_sharded_single_mono_packed_wire(fmt):
         snr = 10 * np.log10(max(np.mean(refs[i] ** 2), 1e-30)
                             / max(np.mean(err ** 2), 1e-30))
         assert snr > 60.0, (i, snr)
+
+
+def test_sharded_single_rejects_invalid_geometry():
+    """ADVICE r4: the sharded single chain must raise (not silently
+    degrade) on a non-dividing time mesh, on use_pallas with
+    K_local % 8 != 0, and on wire formats without the mono engine."""
+    from sdr_pmr446_tpu.parallel.single_sharded import ShardedSingleChain
+
+    mesh = make_mesh(1, 4)
+    with pytest.raises(ValueError, match="divide"):
+        ShardedSingleChain(mesh, channel=5, subchunks_per_step=6)
+    with pytest.raises(ValueError, match="mono engine needs"):
+        ShardedSingleChain(mesh, channel=5, subchunks_per_step=16,
+                           use_pallas=True)   # K_local = 4
+    with pytest.raises(ValueError, match="wire input formats"):
+        ShardedSingleChain(mesh, channel=5, subchunks_per_step=4,
+                           input_format="cs16")
