@@ -213,9 +213,13 @@ def _min_traffic(chain=None, input_format: str = "cf32",
     actually ran — NOT the input format alone: the XLA fallback engine
     (use_pallas=False) and the unfused-DC pallas path move strictly more
     bytes than the fused kernels, and the cap must reflect the engine it
-    bounds (ADVICE r2).  Chains without these flags (single/dsd/batch8
-    streams) use the conservative unfused-front-end floor: input read +
-    the DC-blocker's plane write + read-back (8+8 B)."""
+    bounds (ADVICE r2).  Counted in PHYSICAL (tile-padded) bytes — the
+    demod plane is 5.12x lane-padded in HBM and the DMA moves the
+    padding, so a logical-byte floor would overstate the rate bound
+    (VERDICT r4 #1; factors audited via tools/hlo_audit.py --physical).
+    Chains without these flags (single/dsd/batch8 streams) use the
+    conservative unfused-front-end floor: input read + the DC-blocker's
+    plane write + read-back (8+8 B)."""
     from sdr_pmr446_tpu.utils.traffic import (WIRE_BYTES,
                                               min_traffic_b_per_sample)
     if chain is None:
@@ -228,7 +232,8 @@ def _min_traffic(chain=None, input_format: str = "cf32",
         fuse_rssi=getattr(chain, "fuse_rssi", False),
         fuse_ctcss=getattr(chain, "fuse_ctcss", False),
         waterfall=waterfall,
-        fuse_band=getattr(chain, "fuse_band", False))
+        fuse_band=getattr(chain, "fuse_band", False),
+        physical=True)
 
 
 def _envelope_probe_main(mb=512, iters=300) -> int:
@@ -349,14 +354,19 @@ def main() -> int:
                    help="timed regions; the best rate is recorded (envelope-capped)")
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--secs", type=float, default=20.0)
-    p.add_argument("--input-format", default="cf32w",
+    p.add_argument("--input-format", default="cu8",
                    choices=["cf32", "cf32w", "cs16", "cu8", "cs8"],
                    help="scanner configs: feed complex64 (cf32), the same "
                         "capture's wire bytes as interleaved f32 consumed "
-                        "in place by the fused front end (cf32w, the "
-                        "default — byte-identical input, zero host "
-                        "conversion), or packed cs16/cu8/cs8 wire bytes "
-                        "decoded on device (ops/decode.py)")
+                        "in place by the fused front end (cf32w — "
+                        "byte-identical input, zero host conversion), or "
+                        "packed cs16/cu8/cs8 wire bytes decoded on device "
+                        "(ops/decode.py).  Default cu8: the RTL-SDR's "
+                        "actual wire (src/shared.c:54 converts to CF32 "
+                        "only because liquid wants it), so the recorded "
+                        "row measures the deployment input path; the "
+                        "rung ladder falls back to cf32w if the cu8 "
+                        "decode rung fails to compile")
     p.add_argument("--no-envelope-cap", action="store_true",
                    help="skip the value-verified HBM-envelope probe and "
                         "report the raw loop rate even when it exceeds "
@@ -413,16 +423,17 @@ def main() -> int:
         # tools/traffic_model.py); on this dev tunnel larger K reports
         # rates above the physical input-read bound (ready signals are not
         # completion — see _measure), so they are not recorded.  Fall
-        # through on compile failure so one flaky remote compile can't
-        # zero out the recorded benchmark.
-        if args.config == "scanner":
-            attempts = ([(k, True), (k, False)] if k else
-                        [(40, True), (40, False)])
-        elif args.config == "scanner-pallas":
-            attempts = [(k or 40, True)]
+        # through on compile failure (including to the cf32w wire if the
+        # default cu8 decode rung won't compile) so one flaky remote
+        # compile can't zero out the recorded benchmark.
+        fmt0 = args.input_format
+        fmt_rungs = [fmt0] + (["cf32w"]
+                              if fmt0 not in ("cf32", "cf32w") else [])
+        if args.config == "scanner-pallas":
+            attempts = [(k or 40, True, f) for f in fmt_rungs]
         else:
-            attempts = ([(k, True), (k, False)] if k else
-                        [(40, True), (40, False)])
+            attempts = ([(k or 40, True, f) for f in fmt_rungs]
+                        + [(k or 40, False, fmt0), (k or 40, False, "cf32")])
         chain = state = None
         last_err = None
         def _stage(sig, ch):
@@ -430,19 +441,19 @@ def main() -> int:
             the decode running on device (--input-format cs16/cu8), in the
             chain's preferred row layout (step_arg_shape — a flat 1-D arg
             costs a whole-block relayout pass before the fused kernel)."""
-            if args.input_format == "cf32":
+            if ch.input_format == "cf32":
                 return jnp.asarray(sig, jnp.complex64)
             from sdr_pmr446_tpu.ops import decode
-            w = decode.pack_iq(sig, args.input_format)
+            w = decode.pack_iq(sig, ch.input_format)
             return jnp.asarray(w.reshape(ch.step_arg_shape))
 
-        for k_try, use_pallas in attempts:
+        for k_try, use_pallas, fmt_try in attempts:
             try:
                 chain = ScannerChain(
                     C.BlockConfig(k_try),
                     waterfall=80 if args.config == "waterfall" else 0,
                     use_pallas=use_pallas,
-                    input_format=args.input_format)
+                    input_format=fmt_try)
                 state = chain.init_state()
                 n = chain.block.input_len
                 iq = _stage(synth.make_scanner_iq(n, channel=5,
@@ -455,7 +466,8 @@ def main() -> int:
             except Exception as e:          # compile/OOM: try the next rung
                 last_err = e
                 print(f"bench: config rung (K={k_try}, "
-                      f"pallas={use_pallas}) failed: {e}", file=sys.stderr)
+                      f"pallas={use_pallas}, {fmt_try}) failed: {e}",
+                      file=sys.stderr)
                 chain = None
         if chain is None:
             raise last_err
@@ -478,6 +490,10 @@ def main() -> int:
             "waterfall":
                 "scanner+waterfall chain input throughput per chip",
         }[args.config]
+        if chain.input_format != "cf32":
+            # name the wire that actually fed the engine (cu8 is the
+            # RTL-SDR's native wire; cf32w is byte-identical to cf32)
+            metric += f", {chain.input_format} wire"
     elif args.config == "single":
         from sdr_pmr446_tpu.scanner.single import SingleChannelChain
         # fused-engine rung first (K=16: the smallest %8 geometry above
@@ -609,7 +625,7 @@ def main() -> int:
         # chains are always fed complex64, so their minimum traffic is
         # the cf32 unfused floor regardless of the flag
         if args.config in ("scanner", "scanner-pallas", "waterfall"):
-            min_b = _min_traffic(chain, args.input_format,
+            min_b = _min_traffic(chain, chain.input_format,
                                  waterfall=args.config == "waterfall")
         elif args.config == "batch8":
             min_b = _min_traffic(chain, chain.input_format)
@@ -625,6 +641,10 @@ def main() -> int:
         else:
             min_b = _min_traffic(None, "cf32")
         bound = envelope_gbps * 1e9 / min_b / 1e6
+        print(f"bench: cap floor {min_b:.2f} B/sample (PHYSICAL tile-"
+              f"padded bytes where audited, engine-keyed) -> SOL bound "
+              f"{bound:.0f} Msamples/s at {envelope_gbps:.0f} GB/s",
+              file=sys.stderr)
         if msps > bound:
             print(f"bench: loop rate {msps:.0f} exceeds the minimum-"
                   f"traffic SOL bound {bound:.0f} Msamples/s "

@@ -30,6 +30,20 @@ AUDIO = BAND / 16.0
 WIRE_BYTES = {"cf32": 8.0, "cf32w": 8.0, "cs16": 4.0,
               "cu8": 2.0, "cs8": 2.0}
 
+# --- physical (tile-padded) byte factors, VERDICT r4 #1 -------------------
+# TPU HBM buffers are stored in (8, 128) f32 tiles: the minor dim pads to a
+# multiple of 128 lanes, the second-minor to 8 sublanes, and the DMA moves
+# the padding.  A cap keyed on LOGICAL bytes therefore understates the
+# engine's real minimum traffic and overstates the rate bound.  The factors
+# below are read off the optimized-HLO layouts of the compiled flagship
+# step (tools/hlo_audit.py --physical; layouts are geometry-stable):
+#   demod plane   f32[16, F/25*K, 25]{2,1,0:T(8,128)}  -> minor 25 -> 128
+#   audio rows    f32[.., 80, 128] per subchunk (1225 -> 1280 lanes)
+#   RSSI selector f32[49K, 2, 16]{2,1,0:T(2,128)}      -> minor 16 -> 128
+DEMOD_PAD = 128.0 / 25.0       # 5.12x, the dominant padded plane
+AUDIO_PAD = 1280.0 / 1225.0    # 1.0449x
+SEL_PAD = 128.0 / 16.0         # 8x (tiny logical term)
+
 
 def chain_traffic(input_format: str = "cf32w",
                   use_pallas: bool = True,
@@ -38,12 +52,19 @@ def chain_traffic(input_format: str = "cf32w",
                   fuse_rssi: bool = False,
                   fuse_ctcss: bool = False,
                   waterfall: bool = False,
-                  fuse_band: bool = False) -> dict:
+                  fuse_band: bool = False,
+                  physical: bool = False) -> dict:
     """Bytes of HBM traffic per input sample, per stage boundary.
 
     The returned ``total`` is a LOWER bound on what the configured engine
     demonstrably moves (boundary traffic only; intra-op passes ignored),
     so envelope/total is an upper bound on its achievable input rate.
+
+    physical=True counts TILE-PADDED bytes for the planes whose compiled
+    layouts are known from the optimized-HLO audit (DEMOD_PAD/AUDIO_PAD/
+    SEL_PAD above) — the bytes the DMA engines actually move.  Terms
+    whose layouts have not been audited stay logical, keeping the total
+    a defensible lower bound in both modes.
 
     use_pallas=False: the XLA op chain (scanner/chain.py else-branch) —
     fuse flags are ignored; its front end always splits planes and
@@ -76,6 +97,10 @@ def chain_traffic(input_format: str = "cf32w",
         fuse_lp_dc = True
     if fuse_band and not fuse_dc:
         fuse_band = False
+    # tile-padding multipliers (1.0 in logical mode)
+    dp = DEMOD_PAD if physical else 1.0
+    ap = AUDIO_PAD if physical else 1.0
+    sp = SEL_PAD if physical else 1.0
     t: dict[str, float] = {}
     if fuse_band:
         # DUO kernel (kernels/duo.py): front end + PFB in one launch —
@@ -85,7 +110,7 @@ def chain_traffic(input_format: str = "cf32w",
         # band_out + XLA-tap fallback for unsupported widths would add
         # the band write + spgram terms — not the bench configuration.)
         pre = 16.0 if input_format == "cf32" else 0.0
-        t["duo"] = pre + wire + 4 * CH
+        t["duo"] = pre + wire + 4 * CH * dp
     elif fuse_dc:
         # cf32 complex64 input pays one XLA interleave pass (read 8 +
         # write 8) before the kernel's 8 B wire read (apply_iq)
@@ -105,21 +130,23 @@ def chain_traffic(input_format: str = "cf32w",
         t["resampler"] = 8 + 2 * 4 * BAND
     if not fuse_band:
         # pfb+demod kernel: band planes in; demod out (f32)
-        t["pfb_demod"] = 2 * 4 * BAND + 4 * CH
+        t["pfb_demod"] = 2 * 4 * BAND + 4 * CH * dp
     if fuse_rssi:
         # per-tile segment-sum outputs are negligible; the per-frame
         # [*, 2] f32 boundary-selector input is not: 8 B per PFB frame
-        t["rssi"] = 8.0 * CH / 16.0
+        # (physically f32[49K, 2, 16]{T(2,128)} -> 16 lanes pad to 128)
+        t["rssi"] = 8.0 * CH / 16.0 * sp
     else:
         # |y| written by the kernel, read back by the XLA reduction
         t["pfb_mag"] = 4 * CH
         t["rssi"] = 4 * CH
-    # audio bank kernel: demod in, audio out (+ the lp branch plane
-    # unless the CTCSS DFT consumed it in VMEM)
-    t["audio_bank"] = 4 * CH + (4 * CH if fuse_ctcss else 2 * 4 * CH)
+    # audio bank kernel: demod in (padded plane), audio out (+ the lp
+    # branch plane unless the CTCSS DFT consumed it in VMEM)
+    t["audio_bank"] = 4 * CH * dp + (4 * CH * ap if fuse_ctcss
+                                     else 2 * 4 * CH * ap)
     if not fuse_lp_dc:
         # audio-branch dc blocker: lp in/out (XLA scan between kernels)
-        t["lp_dc"] = 4 * CH + 4 * CH
+        t["lp_dc"] = 4 * CH * ap + 4 * CH * ap
     if not fuse_ctcss:
         # ctcss windowed dft: the FSM's phase B gathers the ACTIVE
         # channel's lp_dcb rows channel-major (scanner/chain.py step 7)
@@ -127,7 +154,7 @@ def chain_traffic(input_format: str = "cf32w",
         t["ctcss"] = 4 * AUDIO
     # active-channel select: same row gather on audio_all + the selected
     # [K, ns] write (no channel-minor copy is materialized)
-    t["select"] = 4 * AUDIO + 4 * AUDIO
+    t["select"] = 4 * AUDIO + 4 * AUDIO * ap
     if waterfall and not fuse_band:
         # spgram tap (round-4 plane pipeline, ops/spectrogram.py): band
         # planes re-read + the packed hop-window matrix [n, w] and packed
@@ -146,8 +173,14 @@ def min_traffic_b_per_sample(input_format: str = "cf32w",
                              fuse_rssi: bool = False,
                              fuse_ctcss: bool = False,
                              waterfall: bool = False,
-                             fuse_band: bool = False) -> float:
-    """The bench cap denominator for the configured engine."""
+                             fuse_band: bool = False,
+                             physical: bool = False) -> float:
+    """The bench cap denominator for the configured engine.
+
+    bench.py passes physical=True (VERDICT r4 #1): the cap must bound the
+    rate at which the hardware can move the engine's buffers, and those
+    are tile-padded in HBM.
+    """
     return chain_traffic(input_format, use_pallas, fuse_dc,
                          fuse_lp_dc, fuse_rssi, fuse_ctcss,
-                         waterfall, fuse_band)["total"]
+                         waterfall, fuse_band, physical)["total"]

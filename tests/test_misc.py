@@ -224,3 +224,52 @@ def test_channel_center_frequencies():
     assert channel_center_hz(1) == 446_006_250.0
     assert channel_center_hz(16) == 446_193_750.0
     assert channel_center_hz(9) - channel_center_hz(8) == 12_500.0
+
+
+def test_physical_shape_bytes():
+    """tools/hlo_audit.py tile-padded sizing (VERDICT r4 #1): the padded
+    physical bytes of laid-out TPU HLO shapes, checked against layouts
+    read off the compiled flagship step."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from hlo_audit import shape_bytes, shape_physical_bytes
+
+    cases = [
+        # the 5.12x lane-padded demod plane (RESULTS.md hlo_audit note)
+        ("f32[16,392,25]{2,1,0:T(8,128)S(1)}", 16 * 392 * 128 * 4),
+        ("f32[16,80,128]{2,1,0:T(8,128)S(1)}", 16 * 80 * 128 * 4),
+        ("f32[16,9800]{1,0:T(8,128)S(1)}", 16 * 9856 * 4),
+        ("s32[9800]{0:T(1024)S(1)}", 10240 * 4),
+        # RSSI boundary selector: minor 16 lanes pad to 128
+        ("f32[49,2,16]{2,1,0:T(2,128)S(1)}", 49 * 2 * 128 * 4),
+        # non-trivial permutation: phys order [1, 8, 1225] -> [1, 8, 1280]
+        ("s32[8,1225,1]{1,0,2:T(8,128)S(1)}", 8 * 1280 * 4),
+        # bf16 sub-tile (2,1): sublanes pad to 16, lanes to 128
+        ("bf16[100,300]{1,0:T(8,128)(2,1)}", 112 * 384 * 2),
+        ("f32[16,512]{1,0:T(8,128)}", 16 * 512 * 4),
+        ("f32[100]", 400),
+    ]
+    for shape, want in cases:
+        assert shape_physical_bytes(shape) == want, shape
+        assert shape_physical_bytes(shape) >= shape_bytes(shape)
+
+
+def test_physical_traffic_floor():
+    """The physical (tile-padded) floor dominates the logical one for
+    every engine/format, and bench.py's flagship floors match the
+    audited factors."""
+    from sdr_pmr446_tpu.utils.traffic import chain_traffic
+
+    for fmt in ("cf32", "cf32w", "cs16", "cu8"):
+        for kw in (dict(fuse_band=True, fuse_rssi=True, fuse_ctcss=True),
+                   dict(fuse_dc=True), dict(use_pallas=False)):
+            logical = chain_traffic(fmt, **kw)["total"]
+            phys = chain_traffic(fmt, physical=True, **kw)["total"]
+            assert phys >= logical, (fmt, kw)
+    duo = dict(fuse_band=True, fuse_rssi=True, fuse_ctcss=True)
+    assert chain_traffic("cu8", **duo)["total"] == 4.54
+    assert abs(chain_traffic("cu8", physical=True, **duo)["total"]
+               - 11.7) < 0.01

@@ -11,8 +11,10 @@ no device execution, safe on any tunnel.
 
     python tools/hlo_audit.py [--k 8] [--format cf32w] [--engine pallas]
                               [--no-fuse-ctcss] [--no-fuse-group] [--top 40]
+                              [--physical]
 
-Prints per-buffer lines (bytes, op, name hint) plus a total in
+Prints per-buffer lines (bytes, op, name hint) plus LOGICAL and PHYSICAL
+(tile-padded — what the DMA actually moves, VERDICT r4 #1) totals in
 B/input-sample to compare against tools/traffic_model.py.
 """
 
@@ -52,6 +54,60 @@ def shape_bytes(shape_str: str) -> int:
     return n * _DTYPE_BYTES.get(dt, 4)
 
 
+def shape_physical_bytes(shape_str: str) -> int:
+    """TILE-PADDED bytes of one laid-out HLO shape (VERDICT r4 #1).
+
+    TPU layouts annotate every buffer with a minor-to-major permutation
+    and a tiling, e.g. 'f32[16,392,25]{2,1,0:T(8,128)S(1)}': the array is
+    permuted to physical order, then each of the k minor-most physical
+    dims is padded up to a multiple of the k-dim tile — (8 sublanes, 128
+    lanes) for f32 — and the padding occupies HBM and rides every DMA.
+    [16,392,25] is physically 16*392*128 elements: 5.12x its logical
+    size.  Sub-tiles like the (2,1) of bf16's T(8,128)(2,1) pack p
+    sublanes per 32-bit word, padding the second-minor dim to a multiple
+    of 8*p.  Shapes without a tiled layout return their logical bytes.
+    """
+    m = re.match(r"([a-z0-9]+)\[([0-9,]*)\](?:\{([^}]*)\})?", shape_str)
+    if not m:
+        return 0
+    dt, dims_s, layout = m.groups()
+    eb = _DTYPE_BYTES.get(dt, 4)
+    dims = [int(d) for d in dims_s.split(",") if d]
+    if not dims:
+        return eb
+    if not layout or ":" not in layout:
+        n = 1
+        for d in dims:
+            n *= d
+        return n * eb
+    perm_s, rest = layout.split(":", 1)
+    try:
+        perm = [int(p) for p in perm_s.split(",")]
+        assert sorted(perm) == list(range(len(dims)))
+    except Exception:
+        return shape_bytes(shape_str)
+    phys = [dims[p] for p in reversed(perm)]       # major -> minor order
+    tm = re.match(r"T((?:\([0-9,]+\))+)", rest)
+    if tm:
+        tiles = [tuple(int(v) for v in g.split(","))
+                 for g in re.findall(r"\(([0-9,]+)\)", tm.group(1))]
+        t0 = tiles[0]
+        k = min(len(t0), len(phys))
+        for i in range(k):
+            d_i = len(phys) - k + i
+            t_i = t0[len(t0) - k + i]
+            phys[d_i] = -(-phys[d_i] // t_i) * t_i
+        for st in tiles[1:]:
+            # sub-tile (p, 1): p sublanes packed per word
+            if len(st) == 2 and st[1] == 1 and len(phys) >= 2:
+                step = t0[0] * st[0]
+                phys[-2] = -(-phys[-2] // step) * step
+    n = 1
+    for d in phys:
+        n *= d
+    return n * eb
+
+
 def audit_text(hlo: str, min_bytes: int):
     """Yield (bytes, line) for every materialized ENTRY buffer."""
     in_entry = False
@@ -73,8 +129,9 @@ def audit_text(hlo: str, min_bytes: int):
                   "bitcast"):
             continue
         b = shape_bytes(shape)
-        if b >= min_bytes:
-            yield b, op, name, shape
+        pb = shape_physical_bytes(shape)
+        if max(b, pb) >= min_bytes:
+            yield b, pb, op, name, shape
 
 
 def main():
@@ -88,6 +145,9 @@ def main():
     ap.add_argument("--waterfall", type=int, default=0)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--min-kib", type=int, default=64)
+    ap.add_argument("--physical", action="store_true",
+                    help="sort by tile-padded physical bytes (both "
+                         "totals are always printed)")
     args = ap.parse_args()
 
     chain = ScannerChain(
@@ -105,16 +165,21 @@ def main():
     compiled = jax.jit(chain._step_impl).lower(state, iq, params).compile()
     hlo = compiled.as_text()
 
-    rows = sorted(audit_text(hlo, args.min_kib * 1024), reverse=True)
+    key = (lambda r: r[1]) if args.physical else (lambda r: r[0])
+    rows = sorted(audit_text(hlo, args.min_kib * 1024), key=key,
+                  reverse=True)
     n_in = chain.input_len
     total = sum(r[0] for r in rows)
+    ptotal = sum(r[1] for r in rows)
     print(f"# engine={args.engine} fmt={args.format} K={args.k} "
           f"fuse_ctcss={chain.fuse_ctcss} fuse_group={chain.fuse_group}")
     print(f"# {len(rows)} materialized ENTRY buffers >= {args.min_kib} KiB"
-          f"; write total {total / n_in:.2f} B/input-sample")
-    for b, op, name, shape in rows[:args.top]:
-        print(f"{b / n_in:8.3f} B/smp  {b / 1024:10.0f} KiB  {op:<12} "
-              f"{name[:40]:<40} {shape[:60]}")
+          f"; write totals: logical {total / n_in:.2f}, PHYSICAL "
+          f"(tile-padded) {ptotal / n_in:.2f} B/input-sample")
+    for b, pb, op, name, shape in rows[:args.top]:
+        print(f"{b / n_in:8.3f} B/smp  phys {pb / n_in:8.3f} "
+              f"(x{pb / max(b, 1):4.2f})  {op:<12} "
+              f"{name[:36]:<36} {shape[:60]}")
     return 0
 
 

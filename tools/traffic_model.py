@@ -34,9 +34,14 @@ def main() -> int:
     p.add_argument("--fuse-band", action="store_true",
                    help="model the DUO engine (front+PFB one kernel — "
                         "the band never in HBM; kernels/duo.py)")
+    p.add_argument("--physical", action="store_true",
+                   help="count TILE-PADDED bytes for the audited planes "
+                        "(what the DMA actually moves; bench.py's cap "
+                        "uses this mode — VERDICT r4 #1)")
     a = p.parse_args()
     fused = dict(fuse_lp_dc=a.fuse_lp_dc, fuse_rssi=a.fuse_rssi,
-                 fuse_ctcss=a.fuse_ctcss, fuse_band=a.fuse_band)
+                 fuse_ctcss=a.fuse_ctcss, fuse_band=a.fuse_band,
+                 physical=a.physical)
     configs = {
         "xla_cf32": dict(input_format="cf32", use_pallas=False),
         "pallas_cf32w": dict(input_format="cf32w", **fused),
