@@ -67,6 +67,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="blocks fused into one device dispatch via lax.scan "
                         "(amortizes per-dispatch overhead; decisions "
                         "identical to 1, audio to f32 rounding)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="checkpoint path: periodically persist (blocks "
+                        "done, the full [S, ...] sharded state pytree, "
+                        "host accumulators) so a killed batch job resumes "
+                        "where it left off (VERDICT r4 #3); a SIGTERM/"
+                        "SIGINT flushes a final checkpoint before exit")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="dispatch groups between checkpoints "
+                        "(with --checkpoint)")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"],
+                   default="orbax",
+                   help="orbax (default): the JAX-ecosystem standard, "
+                        "saves sharded arrays; npz: dependency-free")
+    p.add_argument("--resume", action="store_true",
+                   help="restore --checkpoint and continue mid-batch; "
+                        "outputs are identical to an uninterrupted run")
+    p.add_argument("--stop-after", type=int, default=0,
+                   help="gracefully stop after N dispatch groups (the "
+                        "same path a SIGTERM takes: final checkpoint "
+                        "flush + partial outputs); 0 = run to EOF")
     p.add_argument("--device-decode", action="store_true",
                    help="all captures in ONE of cf32/cs16/cu8/cs8: ship "
                         "raw wire bytes to the mesh and decode per "
@@ -100,6 +120,12 @@ class _RawBatchReader:
                     [raw, np.full(elems - len(raw), self.fill, self.dtype)])
             rows.append(decode.pack_bytes(raw, self.fmt))
         return np.stack(rows), got
+
+    def skip_blocks(self, n_blocks, block_len):
+        """Seek past n_blocks already-processed blocks (checkpoint resume)."""
+        off = n_blocks * 2 * block_len * np.dtype(self.dtype).itemsize
+        for f in self.files:
+            f.seek(off, 0)
 
     def close(self):
         for f in self.files:
@@ -249,6 +275,106 @@ def main(argv=None) -> int:
     total_got = 0             # real samples read (longest capture)
     n_fuse = max(1, ns.steps_per_dispatch)
 
+    # ---- checkpoint/resume (VERDICT r4 #3): (blocks done, [S,...] state
+    # pytree) via runtime/state.py backends + the host accumulators in a
+    # sidecar npz, snapshotted only at drained-consistent boundaries so a
+    # resumed run's outputs equal an uninterrupted run's
+    from sdr_pmr446_tpu.runtime import state as state_mod
+
+    def _save_accum(path):
+        arrs = {"subchunk": np.int64(subchunk),
+                "total_got": np.int64(total_got)}
+        for s in range(n_streams):
+            arrs[f"audio{s}"] = (np.stack(audio[s]) if audio[s]
+                                 else np.zeros((0, 0), np.float32))
+            arrs[f"events{s}"] = np.array("\n".join(events[s]))
+            if wf_lines is not None:
+                arrs[f"wf{s}"] = np.array("\n".join(wf_lines[s]))
+        np.savez(path, **arrs)
+
+    def _save_ckpt(blocks_done):
+        if multihost:
+            from jax.experimental import multihost_utils
+            host_state = type(state)(*[
+                np.asarray(multihost_utils.process_allgather(v, tiled=True))
+                for v in state])
+        else:
+            host_state = state
+        if ns.checkpoint_backend == "orbax":
+            # orbax save is a COLLECTIVE under a multi-process runtime
+            # (it syncs all processes internally): every process calls it
+            # with the same replicated host tree; orbax elects the writer
+            state_mod.save_state_orbax(ns.checkpoint, blocks_done,
+                                       host_state)
+            if not multihost or ns.process_id == 0:
+                _save_accum(ns.checkpoint + ".accum.npz")
+        else:
+            if not multihost or ns.process_id == 0:
+                state_mod.save_state(ns.checkpoint, blocks_done, host_state)
+                _save_accum(ns.checkpoint + ".accum.npz")
+            if multihost:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("scan_batch_ckpt")
+        log.info("checkpoint at block %d -> %s", blocks_done, ns.checkpoint)
+
+    blocks_done = 0           # blocks fully processed AND drained
+    if ns.resume:
+        if not ns.checkpoint:
+            logging.error("--resume needs --checkpoint")
+            return 1
+        load = (state_mod.load_state_orbax
+                if ns.checkpoint_backend == "orbax"
+                else state_mod.load_state)
+        try:
+            blocks_done, loaded = load(ns.checkpoint)
+            acc = np.load(ns.checkpoint + ".accum.npz")
+        except Exception as e:
+            logging.error("cannot restore checkpoint '%s': %s",
+                          ns.checkpoint, e)
+            return 1
+        ref = jax.tree.map(
+            lambda a: np.broadcast_to(
+                np.asarray(a), (n_streams,) + np.asarray(a).shape),
+            chain._state_struct())
+        loaded = state_mod.adapt_state_histories(loaded, ref)
+        if multihost:
+            from jax.sharding import PartitionSpec as P
+            specs = jax.tree.map(lambda _: P(STREAM_AXIS),
+                                 chain._state_struct())
+            state = dist.globalize_pytree(
+                mesh, specs, jax.tree.map(np.asarray, loaded))
+        else:
+            state = jax.tree.map(jnp.asarray, loaded)
+        subchunk = int(acc["subchunk"])
+        total_got = int(acc["total_got"])
+        for s in range(n_streams):
+            a = acc[f"audio{s}"]
+            audio[s] = list(a) if a.size else []
+            ev = str(acc[f"events{s}"])
+            events[s] = ev.split("\n") if ev else []
+            if wf_lines is not None and f"wf{s}" in acc:
+                w = str(acc[f"wf{s}"])
+                wf_lines[s] = w.split("\n") if w else []
+        reader.skip_blocks(blocks_done, block_len)
+        log.info("resumed at block %d (%d sub-chunks done)",
+                 blocks_done, subchunk)
+
+    # SIGTERM/SIGINT: finish the in-flight dispatch, flush a final
+    # checkpoint, write partial outputs — the reference's whole-process
+    # restart story (src/sdr_pmr446.c:933-940) with actual resume
+    import signal
+    stop_req = {"flag": False}
+
+    def _stop(signum, frame):
+        stop_req["flag"] = True
+        log.info("signal %d: stopping after the current dispatch", signum)
+    prev_handlers = []
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers.append((_sig, signal.signal(_sig, _stop)))
+        except ValueError:        # non-main thread (tests)
+            pass
+
     # the fused sharded engine consumes wire words in the kernels' 2-D row
     # layout [S, rows, width] (a free host reshape of the same bytes)
     extra_dims = len(chain.step_arg_shape) - 1
@@ -312,14 +438,18 @@ def main(argv=None) -> int:
     # only after dispatching i+1, so host-side fetch/render overlaps the
     # device compute of the next megastep
     group = []                # blocks awaiting one fused dispatch
+    group_got = 0             # real samples in the undispatched group
     pending = None
+    pending_blocks = 0
+    groups_done = 0
     eof = False
-    while not eof:
+    while not eof and not stop_req["flag"]:
         blk, got = reader.read_block(block_len)     # [S, block|words]
         if got == 0:
             eof = True
         else:
             total_got += got
+            group_got += got
             eof = got < block_len
             # multihost: keep blocks as host numpy and globalize at
             # dispatch so each process ships only its addressable shards
@@ -330,13 +460,36 @@ def main(argv=None) -> int:
         if not group or (len(group) < n_fuse and not eof):
             continue
         out = _dispatch(group)
+        nblk = len(group)
         group = []
+        group_got = 0
         if pending is not None:
             _drain(pending)
-        pending = out
+            blocks_done += pending_blocks
+        pending, pending_blocks = out, nblk
+        groups_done += 1
+        if ns.stop_after and groups_done >= ns.stop_after:
+            stop_req["flag"] = True
+        if (ns.checkpoint and ns.checkpoint_every > 0
+                and groups_done % ns.checkpoint_every == 0):
+            # checkpoint boundary: drain the in-flight megastep first so
+            # the saved (state, accumulators) pair is consistent
+            _drain(pending)
+            blocks_done += pending_blocks
+            pending = None
+            _save_ckpt(blocks_done)
     if pending is not None:
         _drain(pending)
+        blocks_done += pending_blocks
     reader.close()
+    for _sig, _h in prev_handlers:    # main() is re-entrant in tests
+        signal.signal(_sig, _h)
+    if stop_req["flag"]:
+        total_got -= group_got        # read but never dispatched
+        if ns.checkpoint:
+            _save_ckpt(blocks_done)
+        log.info("stopped by signal at block %d; partial outputs follow",
+                 blocks_done)
 
     if multihost and ns.process_id != 0:
         log.info("process %d done (process 0 writes the outputs)",

@@ -320,6 +320,14 @@ class BatchReader:
             mx = max(mx, g)
         return out, mx
 
+    def skip_blocks(self, n_blocks: int, n_samples: int) -> None:
+        """Advance past n_blocks already-processed blocks (checkpoint
+        resume).  The native handle exposes no seek, so skipping is a
+        read-and-discard sweep — bounded by the capture sizes and only
+        paid once at resume."""
+        for _ in range(n_blocks):
+            self.read_block(n_samples)
+
     def close(self):
         if self._h is not None and _lib is not None:
             _lib.sdrio_batch_close(self._h)

@@ -115,13 +115,15 @@ def test_two_process_dcn_sharded_equals_unsharded(tmp_path):
 
 
 _SB_WORKER = r"""
-import sys
+import json, os, sys
 addr, pid, outdir = sys.argv[1], sys.argv[2], sys.argv[3]
 caps = sys.argv[4:]
+extra = json.loads(os.environ.get("SB_EXTRA", "[]"))
 from sdr_pmr446_tpu.apps import scan_batch
 rc = scan_batch.main(caps + [
     "--out-dir", outdir, "--mesh", "2,2", "--subchunks-per-step", "4",
-    "--coordinator", addr, "--num-processes", "2", "--process-id", pid])
+    "--coordinator", addr, "--num-processes", "2", "--process-id", pid]
+    + extra)
 sys.exit(rc)
 """
 
@@ -183,3 +185,71 @@ def test_scan_batch_two_process(tmp_path):
         assert ev_mh == ev_ref
     # non-writer process produced no files
     assert not os.path.exists(os.path.join(outdirs[1], "mcap0.wav"))
+
+
+def test_scan_batch_two_process_checkpoint_resume(tmp_path):
+    """Kill-and-resume on the 2-process DCN path (VERDICT r4 #3): both
+    workers stop gracefully after one dispatch group (process 0 flushes
+    the Orbax checkpoint + accumulators to the shared filesystem), a
+    second 2-process run resumes it, and process 0's outputs equal an
+    uninterrupted single-process run."""
+    import json
+    import numpy as np
+    from sdr_pmr446_tpu import config as C
+    from sdr_pmr446_tpu.io import iq as iq_io, synth, wav
+    from sdr_pmr446_tpu.apps import scan_batch
+
+    caps = []
+    for s, (ch, code) in enumerate([(5, 12), (9, 20)]):
+        iq = 0.8 * synth.make_scanner_iq(12 * C.SUBCHUNK_IN, channel=ch,
+                                         ctcss_code=code, seed=s)
+        pth = str(tmp_path / f"rcap{s}.cs16")
+        iq_io.write_iq(pth, iq, "cs16")
+        caps.append(pth)
+
+    ref_dir = str(tmp_path / "ref")
+    assert scan_batch.main(caps + ["--out-dir", ref_dir, "--mesh", "2,2",
+                                   "--subchunks-per-step", "4"]) == 0
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+    })
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    worker_py = tmp_path / "sbr_worker.py"
+    worker_py.write_text(_SB_WORKER)
+    ckpt = str(tmp_path / "mh.ck")
+
+    def run_pair(outdirs, extra):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        addr = f"127.0.0.1:{port}"
+        e = dict(env, SB_EXTRA=json.dumps(extra))
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker_py), addr, str(pid), outdirs[pid]]
+            + caps, env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for pid in range(2)]
+        logs = [p.communicate(timeout=540) for p in procs]
+        for pid, (p, (so, se)) in enumerate(zip(procs, logs)):
+            assert p.returncode == 0, (
+                f"worker {pid} failed:\n{se.decode()[-3000:]}")
+
+    run_pair([str(tmp_path / f"p{pid}") for pid in range(2)],
+             ["--checkpoint", ckpt, "--stop-after", "1"])
+    assert os.path.exists(ckpt) and os.path.exists(ckpt + ".accum.npz")
+
+    outdirs = [str(tmp_path / f"r{pid}") for pid in range(2)]
+    run_pair(outdirs, ["--checkpoint", ckpt, "--resume"])
+    for s in range(2):
+        a_ref, _ = wav.read_wav(os.path.join(ref_dir, f"rcap{s}.wav"))
+        a_mh, _ = wav.read_wav(os.path.join(outdirs[0], f"rcap{s}.wav"))
+        assert len(a_mh) == len(a_ref)
+        np.testing.assert_allclose(a_mh, a_ref, rtol=0, atol=2e-3)
+        ev_ref = open(os.path.join(ref_dir, f"rcap{s}.events.log")).read()
+        ev_mh = open(os.path.join(outdirs[0],
+                                  f"rcap{s}.events.log")).read()
+        assert ev_mh == ev_ref
