@@ -53,18 +53,24 @@ def _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
         PD._pfb_packed_init(h_ref, prev_ref, bprev, prevp)
 
 
-def _duo_unpack(rest, band_out: bool, wf_w: int):
+def _duo_unpack(rest, band_out: bool, wf_w: int, wf_p: int = 1):
     """Split the positional tail into (pfb consts, wf consts, outputs
     incl. the optional band planes / waterfall segments, scratches):
     with ``band_out`` the band planes are grid-block OUTPUTS (the XLA
     waterfall tap reads them); with ``wf_w`` the hop-PSD epilogue runs
-    IN KERNEL instead (extra consts kwf/wffold, a wf segment output and
-    a window scratch) and no band ever leaves."""
+    IN KERNEL instead (extra consts kwf/wffold — plus the phase-class
+    row selectors selc/selp/scat when the hop phase drifts across group
+    rows, ``wf_p > 1`` — a wf segment output and a window scratch) and
+    no band ever leaves."""
     consts = rest[:18]
     rest = rest[18:]
+    selc_ref = selp_ref = scat_ref = None
     if wf_w:
         kwf_ref, wffold_ref = rest[:2]
         rest = rest[2:]
+        if wf_p > 1:
+            selc_ref, selp_ref, scat_ref = rest[:3]
+            rest = rest[3:]
     else:
         kwf_ref = wffold_ref = None
     (demod_out, seg_out, prev_out, obr, ohr, ohi, ocy) = rest[:7]
@@ -74,6 +80,7 @@ def _duo_unpack(rest, band_out: bool, wf_w: int):
         rest = rest[1:]
     else:
         wfseg_out = None
+    wf_sel = (selc_ref, selp_ref, scat_ref)
     if band_out:
         bwr_sc, bwi_sc = rest[:2]
         rest = rest[2:]
@@ -85,14 +92,14 @@ def _duo_unpack(rest, band_out: bool, wf_w: int):
         rest = rest[8:]
     (bprev, prevp, bext_r, bext_i, winc) = rest[:5]
     winw = rest[5] if wf_w else None
-    return (consts, kwf_ref, wffold_ref, demod_out, seg_out, prev_out,
-            obr, ohr, ohi, ocy, wfseg_out,
+    return (consts, kwf_ref, wffold_ref, wf_sel, demod_out, seg_out,
+            prev_out, obr, ohr, ohi, ocy, wfseg_out,
             yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
             bprev, prevp, bext_r, bext_i, winc, winw)
 
 
-def _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref, sel_ref,
-                 wfseg_out, w: int):
+def _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref, wf_sel,
+                 sel_ref, wfseg_out, w: int):
     """In-kernel hop-PSD waterfall: per group row 1600/w hops, each a
     [wl]-window at stride w/4 (liquid spgram semantics, same window+DFT
     matrix as ops/spectrogram._dft_win_packed); |S|^2 summed per hop via
@@ -105,25 +112,66 @@ def _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref, sel_ref,
     offset 0, dot, accumulate): batching all 1600 window lanes per row
     OOM'd scoped VMEM by 200 KiB at the bench geometry K=40 (the audit
     caught it; K=8 compiled) — the per-hop form needs w lanes only and
-    serializes nothing the MXU wasn't already serializing."""
+    serializes nothing the MXU wasn't already serializing.
+
+    General widths (hop w/4 does not divide the 400-sample row, e.g. the
+    reference-legal -w 120; VERDICT r4 #4): hop offsets repeat with
+    period P = delay/gcd(400, delay) rows, so ``wf_sel`` carries one-hot
+    PHASE-CLASS row selectors (Mosaic has no strided row slicing;
+    row-space gathers are matmuls): selc picks every P-th current row,
+    selp the corresponding previous rows (for windows crossing a row
+    boundary), scat scatters each class's [gt/P, w] hop-PSD sums back to
+    row positions.  Same FLOPs as the uniform path, P-way smaller
+    matmul batches; engages only at phase-reset geometries
+    (ops/spectrogram.kernel_wf_supported(w, k=K))."""
+    import math as _math
     gt = bext_r.shape[0] - 1
     wl = w // 2
     delay = w // 4
-    hops = GL // delay                             # 1600 / w
+    selc_ref, selp_ref, scat_ref = wf_sel
+    if selc_ref is None:                           # uniform: w | 1600
+        hops = GL // delay                         # 1600 / w
+        acc = None
+        for h in range(hops):
+            a = h * delay - delay                  # window start lane
+            if a < 0:
+                winw[:, 0:-a] = bext_r[0:gt, GL + a:]
+                winw[:, -a:wl] = bext_r[1:gt + 1, 0:wl + a]
+                winw[:, wl:wl - a] = bext_i[0:gt, GL + a:]
+                winw[:, wl - a:2 * wl] = bext_i[1:gt + 1, 0:wl + a]
+            else:
+                winw[:, 0:wl] = bext_r[1:gt + 1, a:a + wl]
+                winw[:, wl:2 * wl] = bext_i[1:gt + 1, a:a + wl]
+            sp = FE._dot(winw[:, :], kwf_ref[:])
+            p = FE._dot(sp * sp, wffold_ref[:])    # [gt, w] |S|^2
+            acc = p if acc is None else acc + p
+        wfseg_out[:, :] = FE._dot(sel_ref[:], acc)
+        return
+    P = delay // _math.gcd(GL, delay)
+    gtp = gt // P
     acc = None
-    for h in range(hops):
-        a = h * delay - delay                      # window start lane
-        if a < 0:
-            winw[:, 0:-a] = bext_r[0:gt, GL + a:]
-            winw[:, -a:wl] = bext_r[1:gt + 1, 0:wl + a]
-            winw[:, wl:wl - a] = bext_i[0:gt, GL + a:]
-            winw[:, wl - a:2 * wl] = bext_i[1:gt + 1, 0:wl + a]
-        else:
-            winw[:, 0:wl] = bext_r[1:gt + 1, a:a + wl]
-            winw[:, wl:2 * wl] = bext_i[1:gt + 1, a:a + wl]
-        sp = FE._dot(winw[:, :], kwf_ref[:])
-        p = FE._dot(sp * sp, wffold_ref[:])        # [gt, w] |S|^2
-        acc = p if acc is None else acc + p
+    for c in range(P):
+        sc = selc_ref[c * gtp:(c + 1) * gtp, :]
+        sp_ = selp_ref[c * gtp:(c + 1) * gtp, :]
+        phi = (c * GL) % delay
+        e0 = (delay - phi) if phi else delay
+        accc = None
+        for e in range(e0, GL + 1, delay):         # hop END offsets
+            a = e - wl                             # window start lane
+            if a < 0:
+                winw[0:gtp, 0:-a] = FE._dot(sp_, bext_r[:, GL + a:])
+                winw[0:gtp, -a:wl] = FE._dot(sc, bext_r[:, 0:wl + a])
+                winw[0:gtp, wl:wl - a] = FE._dot(sp_, bext_i[:, GL + a:])
+                winw[0:gtp, wl - a:2 * wl] = FE._dot(sc,
+                                                     bext_i[:, 0:wl + a])
+            else:
+                winw[0:gtp, 0:wl] = FE._dot(sc, bext_r[:, a:a + wl])
+                winw[0:gtp, wl:2 * wl] = FE._dot(sc, bext_i[:, a:a + wl])
+            spv = FE._dot(winw[0:gtp, :], kwf_ref[:])
+            p = FE._dot(spv * spv, wffold_ref[:])  # [gt/P, w] |S|^2
+            accc = p if accc is None else accc + p
+        part = FE._dot(scat_ref[:, c * gtp:(c + 1) * gtp], accc)
+        acc = part if acc is None else acc + part
     wfseg_out[:, :] = FE._dot(sel_ref[:], acc)
 
 
@@ -145,12 +193,12 @@ def _duo_body_ilv(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                   prev_ref,
                   wcr_ref, wci_ref, u0_ref, pj_ref, tt_ref, pvec_ref,
                   k2_ref, el_ref, ewr_ref, ewi_ref,
-                  *rest, band_out: bool, wf_w: int):
-    (consts, kwf_ref, wffold_ref, demod_out, seg_out, prev_out,
+                  *rest, band_out: bool, wf_w: int, wf_p: int):
+    (consts, kwf_ref, wffold_ref, wf_sel, demod_out, seg_out, prev_out,
      obr, ohr, ohi, ocy, wfseg_out,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
      bprev, prevp, bext_r, bext_i, winc, winw) = _duo_unpack(
-        rest, band_out, wf_w)
+        rest, band_out, wf_w, wf_p)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -180,7 +228,7 @@ def _duo_body_ilv(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
               obr, bprev, prevp, bext_r, bext_i, winc)
     if wf_w:
         # sel_ref is consts[3] (the group-aligned segment selector)
-        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref,
+        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref, wf_sel,
                      consts[3], wfseg_out, wf_w)
 
 
@@ -188,12 +236,12 @@ def _duo_body_cs16(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                    prev_ref,
                    w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
                    el_ref,
-                   *rest, band_out: bool, wf_w: int):
-    (consts, kwf_ref, wffold_ref, demod_out, seg_out, prev_out,
+                   *rest, band_out: bool, wf_w: int, wf_p: int):
+    (consts, kwf_ref, wffold_ref, wf_sel, demod_out, seg_out, prev_out,
      obr, ohr, ohi, ocy, wfseg_out,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
      bprev, prevp, bext_r, bext_i, winc, winw) = _duo_unpack(
-        rest, band_out, wf_w)
+        rest, band_out, wf_w, wf_p)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -223,7 +271,7 @@ def _duo_body_cs16(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
               obr, bprev, prevp, bext_r, bext_i, winc)
     if wf_w:
         # sel_ref is consts[3] (the group-aligned segment selector)
-        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref,
+        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref, wf_sel,
                      consts[3], wfseg_out, wf_w)
 
 
@@ -231,12 +279,12 @@ def _duo_body_pk2(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
                   prev_ref,
                   w1_ref, u0_ref, pj_ref, tt_ref, pvec_ref, k2_ref,
                   el_ref, g0_ref, g1_ref,
-                  *rest, signed: bool, band_out: bool, wf_w: int):
-    (consts, kwf_ref, wffold_ref, demod_out, seg_out, prev_out,
+                  *rest, signed: bool, band_out: bool, wf_w: int, wf_p: int):
+    (consts, kwf_ref, wffold_ref, wf_sel, demod_out, seg_out, prev_out,
      obr, ohr, ohi, ocy, wfseg_out,
      yh_r, yh_i, xwrow, ysc, gw, win_g, bwr_sc, bwi_sc,
      bprev, prevp, bext_r, bext_i, winc, winw) = _duo_unpack(
-        rest, band_out, wf_w)
+        rest, band_out, wf_w, wf_p)
     tile = xw_ref.shape[0]
     s = pl.program_id(0)
     _duo_front_init(s, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref, prev_ref,
@@ -275,7 +323,7 @@ def _duo_body_pk2(xw_ref, fhr_ref, fhi_ref, cx_ref, cy_ref, h_ref,
               obr, bprev, prevp, bext_r, bext_i, winc)
     if wf_w:
         # sel_ref is consts[3] (the group-aligned segment selector)
-        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref,
+        _wf_epilogue(bext_r, bext_i, winw, kwf_ref, wffold_ref, wf_sel,
                      consts[3], wfseg_out, wf_w)
 
 
@@ -315,11 +363,13 @@ class PallasScannerDuo:
                 jnp.zeros((NCH,), jnp.complex64))
 
     @staticmethod
-    def waterfall_supported(w: int) -> bool:
-        """In-kernel hop-PSD needs whole hops per group row (w | 1600)
-        on top of the chain's fast-path gate; other widths fall back to
-        band_out + the XLA asgram."""
-        return w > 0 and w % 4 == 0 and 1600 % w == 0 and GL % (w // 4) == 0
+    def waterfall_supported(w: int, k: int | None = None) -> bool:
+        """In-kernel hop-PSD support: uniform path needs whole hops per
+        group row (w | 1600); general widths (e.g. -w 120) need the
+        phase-reset geometry (ops/spectrogram.kernel_wf_supported with
+        k).  Unsupported widths fall back to band_out + the XLA asgram."""
+        from sdr_pmr446_tpu.ops import spectrogram
+        return spectrogram.kernel_wf_supported(w, k=k)
 
     def apply(self, dc_x, dc_y, front_hist, pfb_hist, parity, prev,
               wire, ns: int = C.SUBCHUNK_AUDIO, band_out: bool = False,
@@ -335,14 +385,19 @@ class PallasScannerDuo:
                            axis=-1).reshape(-1).astype(jnp.float32)
             wire = xw.reshape(wire.shape[-1] // m, 2 * m)
             fmt = "cf32w"
+        import math
         wf_w = waterfall_w
+        wf_p = 1
         if wf_w:
-            assert self.waterfall_supported(wf_w), wf_w
             assert not band_out, "waterfall_w replaces band_out"
+            delay_wf = wf_w // 4
+            if not (1600 % wf_w == 0 and GL % delay_wf == 0):
+                # general width: hop phase repeats every P group rows
+                wf_p = delay_wf // math.gcd(GL, delay_wf)
         if fmt == "cf32w":
             rows, width, x_width = wire.shape[0], m, 2 * m
             body = functools.partial(_duo_body_ilv, band_out=band_out,
-                                     wf_w=wf_w)
+                                     wf_w=wf_w, wf_p=wf_p)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((2, 2 * m), np.float32)
@@ -354,7 +409,7 @@ class PallasScannerDuo:
         elif fmt == "cs16":
             rows, width, x_width = wire.shape[0], m, m
             body = functools.partial(_duo_body_cs16, band_out=band_out,
-                                     wf_w=wf_w)
+                                     wf_w=wf_w, wf_p=wf_p)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((1, m), np.float32)
@@ -365,7 +420,8 @@ class PallasScannerDuo:
         else:
             rows, width, x_width = wire.shape[0], FE.W2, m
             body = functools.partial(_duo_body_pk2, signed=fmt == "cs8",
-                                     band_out=band_out, wf_w=wf_w)
+                                     band_out=band_out, wf_w=wf_w,
+                                     wf_p=wf_p)
             cxv = jnp.stack([jnp.real(dc_x),
                              jnp.imag(dc_x)]).astype(jnp.float32)
             sel = np.zeros((1, FE.W2), np.float32)
@@ -375,7 +431,10 @@ class PallasScannerDuo:
             fcon_tail = (cn["g0"], cn["g1"])
 
         row_mult = 64 if self.wide else 128
-        tile = FE.pick_tile_group(rows, self.tile_rows, row_mult)
+        # general waterfall widths (wf_p > 1): the tile must be a
+        # multiple of row_mult * P so hop phases repeat per tile and
+        # each phase class keeps a sublane-multiple row count
+        tile = FE.pick_tile_group(rows, self.tile_rows, row_mult * wf_p)
         n_tiles = rows // tile
         gt = tile * width // (16 * m)
         g_total = rows * width // (16 * m)
@@ -385,6 +444,8 @@ class PallasScannerDuo:
         k2 = FE._row_consts()["k2"]
         nsg = ns // 25
         assert g_total % nsg == 0
+        if wf_w:
+            assert self.waterfall_supported(wf_w, k=g_total // nsg), wf_w
         sel_np, scatter_np = PD._group_selectors(gt, n_tiles, g_total, nsg)
         n_seg = sel_np.shape[1]
         altc = np.where(np.arange(gt)[:, None] % 2 == 0, 1.0,
@@ -421,6 +482,23 @@ class PallasScannerDuo:
             wff[wf_w + np.arange(wf_w), np.arange(wf_w)] = 1.0
             wf_in = [jnp.asarray(kwf), jnp.asarray(wff)]
             wf_in_specs = [vmem(), vmem()]
+            if wf_p > 1:
+                # one-hot phase-class row selectors (see _wf_epilogue):
+                # selc picks current rows of class c, selp their
+                # predecessors, scat scatters class sums back to rows
+                gtp = gt // wf_p
+                selc = np.zeros((wf_p * gtp, gt + 1), np.float32)
+                selp = np.zeros((wf_p * gtp, gt + 1), np.float32)
+                scat = np.zeros((gt, wf_p * gtp), np.float32)
+                for c in range(wf_p):
+                    for i in range(gtp):
+                        r0 = c + wf_p * i
+                        selc[c * gtp + i, 1 + r0] = 1.0
+                        selp[c * gtp + i, r0] = 1.0
+                        scat[r0, c * gtp + i] = 1.0
+                wf_in += [jnp.asarray(selc), jnp.asarray(selp),
+                          jnp.asarray(scat)]
+                wf_in_specs += [vmem()] * 3
             wf_out_specs = [pl.BlockSpec((None, n_seg, wf_w),
                                          lambda s: (s, 0, 0),
                                          memory_space=pltpu.VMEM)]

@@ -35,6 +35,7 @@ max-hop matrix.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -143,22 +144,57 @@ def _hop_spectra(xr: jax.Array, xi: jax.Array, w: int, frames: int):
 
 
 def rows_from_psd_sums(sums: jax.Array, w: int,
-                       subchunk: int = C.SUBCHUNK_RESAMP):
+                       subchunk: int = C.SUBCHUNK_RESAMP,
+                       counts: np.ndarray | None = None):
     """dB rows from per-sub-chunk |S|^2 SUMS (the in-kernel hop-PSD
     epilogue of kernels/duo.py): same average + fftshift as
-    asgram_rows_p, the sums having been reduced in VMEM."""
-    n_seg = subchunk // (w // 4)
-    p_avg = sums * (1.0 / n_seg)
+    asgram_rows_p, the sums having been reduced in VMEM.
+
+    ``counts`` (static, [k]) gives the per-sub-chunk hop counts for
+    widths whose hop does not divide the sub-chunk (wf_row_counts);
+    None means the uniform fast-path count subchunk/(w/4)."""
+    if counts is None:
+        p_avg = sums * (1.0 / (subchunk // (w // 4)))
+    else:
+        p_avg = sums / jnp.asarray(counts, jnp.float32)[:, None]
     rows = 10.0 * jnp.log10(jnp.maximum(p_avg, 1e-30)).astype(jnp.float32)
     return jnp.fft.fftshift(rows, axes=-1)
 
 
-def kernel_wf_supported(w: int, subchunk: int = C.SUBCHUNK_RESAMP) -> bool:
-    """True when the duo kernel's in-kernel hop-PSD can serve width w:
-    the fast path applies (hop divides the sub-chunk) AND whole hops fit
-    a 400-sample group row (w | 1600)."""
-    return (uses_fast_path(w, subchunk) and w % 4 == 0
-            and 1600 % w == 0 and 400 % (w // 4) == 0)
+def wf_row_counts(w: int, k: int,
+                  subchunk: int = C.SUBCHUNK_RESAMP) -> np.ndarray:
+    """Hops per sub-chunk row for a step of k sub-chunks at hop phase 0
+    (a fire at band sample u — 1-based multiples of w/4 — belongs to the
+    sub-chunk containing u, AsgramStream semantics).  Static: the
+    in-kernel general path only engages at phase-reset geometries."""
+    delay = w // 4
+    ends = np.arange(delay, k * subchunk + 1, delay)
+    return np.bincount((ends - 1) // subchunk,
+                       minlength=k).astype(np.float32)
+
+
+def kernel_wf_supported(w: int, subchunk: int = C.SUBCHUNK_RESAMP,
+                        k: int | None = None) -> bool:
+    """True when the duo kernel's in-kernel hop-PSD can serve width w.
+
+    Uniform path (k-independent): whole hops fit a 400-sample group row
+    (w | 1600; the hop then also divides the sub-chunk).  General path
+    (needs k, VERDICT r4 #4 — e.g. the reference-legal ``-w 120``): hop
+    offsets repeat with period P = delay/gcd(400, delay) group rows, so
+    the kernel enumerates hops per phase class with row-selector
+    matmuls; static iff the step resets the hop phase
+    ((k*subchunk) % delay == 0) and a tile with gt % 8P == 0 exists
+    (8P <= 40, the compile-proven max group tile; (49k) % 8P == 0)."""
+    if not (w > 0 and w % 4 == 0 and w // 2 <= 400):
+        return False
+    delay = w // 4
+    if 1600 % w == 0 and 400 % delay == 0 and subchunk % delay == 0:
+        return True
+    if k is None:
+        return False
+    P = delay // math.gcd(400, delay)
+    return ((k * subchunk) % delay == 0 and 8 * P <= 40
+            and (49 * k) % (8 * P) == 0)
 
 
 def asgram_rows(hist: jax.Array, band: jax.Array, k: int, w: int,

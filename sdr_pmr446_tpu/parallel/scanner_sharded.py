@@ -298,9 +298,13 @@ class ShardedScannerChain:
                                                    cand[:, None], ax)
 
         # the duo kernel with EXACT incoming state (its returned carries
-        # equal the pre-pass values; the halo'd ones are kept)
+        # equal the pre-pass values; the halo'd ones are kept).  General
+        # widths gate on K_local: every shard then starts at hop phase 0
+        # ((K_local*subchunk) % delay == 0), so one static geometry
+        # serves all shards
         wf_in_kernel = (self.waterfall > 0 and
-                        spectrogram.kernel_wf_supported(self.waterfall))
+                        spectrogram.kernel_wf_supported(self.waterfall,
+                                                        k=K_local))
         duo_out = self.pallas_duo.apply(
             dcx_in, y_in, hist_in, pfb_hist_in, parity_d, fm_prev, iq, ns,
             band_out=self.waterfall > 0 and not wf_in_kernel,
@@ -310,8 +314,13 @@ class ShardedScannerChain:
         if wf_in_kernel:
             # local [K_local, w] rows; the sliding-window history is the
             # PFB band-row halo itself (pfb_hist_in), already exact
+            counts = (None
+                      if spectrogram.uses_fast_path(self.waterfall)
+                      else spectrogram.wf_row_counts(self.waterfall,
+                                                     K_local))
             wf_rows_k = spectrogram.rows_from_psd_sums(duo_out[8],
-                                                       self.waterfall)
+                                                       self.waterfall,
+                                                       counts=counts)
         elif self.waterfall > 0:
             wf_r = duo_out[8][0].reshape(-1)
             wf_i = duo_out[8][1].reshape(-1)

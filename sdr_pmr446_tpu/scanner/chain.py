@@ -279,7 +279,7 @@ class ScannerChain:
                 # tap's input (band_out; the trio's read-back is gone)
                 wf_in_kernel = (self.waterfall > 0 and
                                 spectrogram.kernel_wf_supported(
-                                    self.waterfall))
+                                    self.waterfall, k=K))
                 duo_out = self.pallas_duo.apply(
                     state.dc_x, state.dc_y, state.resamp_hist,
                     state.pfb_hist, state.frame_parity,
@@ -519,9 +519,16 @@ class ScannerChain:
             if self.fuse_band and wf_psd_sums is not None:
                 # the duo's in-kernel hop-PSD: only [K, w] sums left HBM;
                 # the sliding-window history is the PFB's own band-row
-                # carry, so wf_hist stays untouched (empty state)
+                # carry, so wf_hist stays untouched (empty state).
+                # General widths carry static per-row hop counts (the
+                # in-kernel path only engages at phase-reset geometries)
+                counts = (None
+                          if spectrogram.uses_fast_path(self.waterfall)
+                          else spectrogram.wf_row_counts(self.waterfall,
+                                                         K))
                 wf = spectrogram.rows_from_psd_sums(wf_psd_sums,
-                                                    self.waterfall)
+                                                    self.waterfall,
+                                                    counts=counts)
                 wf_hist = state.wf_hist
             elif band is None:                # pallas: planes in place
                 wf_args = (state.wf_hist, wf_br, wf_bi, K, self.waterfall)

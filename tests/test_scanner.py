@@ -372,3 +372,43 @@ def test_duo_waterfall_unsupported_width_falls_back():
                                waterfall=w)
         res[name] = outs["waterfall"]
     np.testing.assert_allclose(res["duo"], res["trio"], rtol=0, atol=2e-3)
+
+
+@pytest.mark.parametrize("w,k", [(128, 16), (120, 24)])
+def test_duo_in_kernel_waterfall_general_widths(w, k):
+    """VERDICT r4 #4: widths whose hop does NOT divide the 400-sample
+    group row (w=120 is the reference README's own demo width) run
+    in-kernel via the phase-class row-selector epilogue at phase-reset
+    geometries — dB rows equal the band_out + XLA asgram-any tap across
+    streaming steps (the per-step hop phase provably returns to 0)."""
+    from sdr_pmr446_tpu.ops import spectrogram
+    assert not spectrogram.kernel_wf_supported(w)          # not uniform
+    assert spectrogram.kernel_wf_supported(w, k=k)         # general
+    iq = synth.make_scanner_iq(2 * k * C.SUBCHUNK_IN, channel=5,
+                               ctcss_code=12)
+    res = {}
+    for name, fb in [("trio", False), ("duo", True)]:
+        _, outs, ch = run_chain(iq, subchunks_per_step=k, use_pallas=True,
+                                pallas_interpret=True, fuse_band=fb,
+                                waterfall=w)
+        assert ch.fuse_band == fb
+        res[name] = outs["waterfall"]
+    np.testing.assert_allclose(res["duo"], res["trio"], rtol=0, atol=2e-3)
+
+
+def test_wf_row_counts_match_onehot_oracle():
+    """wf_row_counts (the static per-row averages of the general
+    in-kernel path) equals the one-hot fire counting of asgram_rows_any
+    at phase 0, for every legal width class."""
+    from sdr_pmr446_tpu.ops import spectrogram
+    sub = C.SUBCHUNK_RESAMP
+    for w, k in [(120, 24), (128, 16), (64, 8), (24, 24)]:
+        delay = w // 4
+        counts = spectrogram.wf_row_counts(w, k)
+        assert counts.shape == (k,)
+        assert counts.sum() == (k * sub) // delay
+        ends = np.arange(delay, k * sub + 1, delay)
+        ref = np.zeros(k)
+        for e in ends:
+            ref[(e - 1) // sub] += 1
+        np.testing.assert_array_equal(counts, ref)

@@ -809,3 +809,16 @@ def test_sharded_single_rejects_invalid_geometry():
     with pytest.raises(ValueError, match="wire input formats"):
         ShardedSingleChain(mesh, channel=5, subchunks_per_step=4,
                            input_format="cs16")
+
+
+def test_sharded_fused_waterfall_general_width():
+    """In-kernel GENERAL-width waterfall (hop not dividing the group
+    row; VERDICT r4 #4) on the fused sharded chain: w=128 engages the
+    phase-class epilogue per shard (every shard starts at hop phase 0),
+    rows equal the single-chip flagship's."""
+    from sdr_pmr446_tpu.ops import spectrogram
+    assert not spectrogram.kernel_wf_supported(128)
+    assert spectrogram.kernel_wf_supported(128, k=16)      # K_local
+    refs, outs = _run_fused_pair("cf32w", K=32, nt=2, n_steps=1,
+                                 waterfall=128)
+    _assert_fused_equal(refs, outs)

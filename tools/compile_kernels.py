@@ -135,6 +135,14 @@ def main():
         ok &= probe(f"duo_cf32w_wf{w}",
                     lambda *a, _w=w: duo.apply(*a, waterfall_w=_w),
                     (*st, wire))
+    # GENERAL widths (hop not dividing the group row): phase-class
+    # row-selector epilogue at phase-reset geometries (first probed
+    # PASS 2026-08-20: w=120 K=24 21s, w=128 K=16 12s)
+    for w, kq in ((120, 24), (128, 16)):
+        wire_g = jnp.zeros((kq * C.SUBCHUNK_IN // 128, 256), jnp.float32)
+        ok &= probe(f"duo_cf32w_wf{w}_general",
+                    lambda *a, _w=w: duo.apply(*a, waterfall_w=_w),
+                    (*st, wire_g))
 
     # MONO chains: front end + tail in ONE kernel (band never in HBM)
     for mode, fmt, kw in (("dsd", "cf32w", {}), ("dsd", "cs16", {}),
