@@ -67,5 +67,7 @@ run bench_waterfall python bench.py --config waterfall
 run bench_dsd       python bench.py --config dsd
 run bench_single    python bench.py --config single
 run bench_batch8    python bench.py --config batch8
+run latency         python tools/latency_bench.py --ks 1,4,8
+run latency_decomp  python tools/latency_bench.py --decompose
 
 echo "healthy_host: done — results appended to $OUT"
