@@ -405,10 +405,11 @@ def main() -> int:
             print(f"bench: using fallback envelope "
                   f"{envelope_gbps} GB/s (RESULTS.md)", file=sys.stderr)
 
-    if args.input_format != "cf32" and args.config not in (
+    if args.input_format != "cu8" and args.config not in (
             "scanner", "scanner-pallas", "waterfall"):
-        print("bench: --input-format only applies to the scanner configs; "
-              "this chain is fed cf32", file=sys.stderr)
+        print("bench: --input-format only applies to the scanner configs "
+              "(batch8 runs its own cu8-first rung ladder; dsd/single "
+              "are fed their engines' preferred wire)", file=sys.stderr)
     k = args.subchunks_per_step
     # distinct input realizations rotated across steps; default: one per
     # step, so no two executions ever share an input block
@@ -532,30 +533,27 @@ def main() -> int:
         n_streams = 8
         mesh = make_mesh(1, 1)
         # 8 streams move 8x the bytes per step; the flagship rung feeds
-        # the cf32w WIRE at K=8 (the fused engine's smallest group
-        # geometry — 51 MB/step, under the old K=10 cf32 feed), so
-        # multi-capture serving runs the exact engine bench records
-        # (round-4: ShardedScannerChain auto-engages it at K % 8 == 0)
-        attempts = ([(k, True, "cf32w"), (k, True, "cf32"),
+        # the cu8 WIRE at K=8 (the RTL-SDR deployment wire + the fused
+        # engine's smallest group geometry; since round 5 the (S, 1)
+        # serving mesh skips the pre-pass, so this IS the unsharded
+        # recorded engine per stream), cf32w/cf32/XLA fallback rungs
+        attempts = ([(k, True, "cu8"), (k, True, "cf32w"),
                      (k, False, "cf32")] if k else
-                    [(8, True, "cf32w"), (10, True, "cf32"),
-                     (10, False, "cf32")])
+                    [(8, True, "cu8"), (8, True, "cf32w"),
+                     (10, True, "cf32"), (10, False, "cf32")])
         chain = None
         last_err = None
 
         def _stage8(chain, r0):
+            from sdr_pmr446_tpu.ops import decode
             sigs = [synth.make_scanner_iq(chain.block.input_len,
                                           channel=2 + s, ctcss_code=3 + s,
                                           seed=r0 * 8 + s)
                     for s in range(n_streams)]
-            if chain.input_format == "cf32w":
-                ws = []
-                for sig in sigs:
-                    w = np.empty(2 * sig.shape[0], np.float32)
-                    w[0::2] = sig.real
-                    w[1::2] = sig.imag
-                    ws.append(w.reshape(chain.step_arg_shape))
-                return jnp.asarray(np.stack(ws))
+            if chain.input_format != "cf32":
+                return jnp.asarray(np.stack(
+                    [decode.pack_iq(sig, chain.input_format)
+                     .reshape(chain.step_arg_shape) for sig in sigs]))
             return jnp.asarray(np.stack(sigs), jnp.complex64)
 
         for k_try, use_pallas, fmt in attempts:
@@ -563,7 +561,7 @@ def main() -> int:
                 chain = ShardedScannerChain(mesh, C.BlockConfig(k_try),
                                             use_pallas=use_pallas,
                                             input_format=fmt)
-                if fmt == "cf32w" and not chain.fused:
+                if fmt in ("cu8", "cf32w") and not chain.fused:
                     raise RuntimeError("fused batch8 rung did not engage")
                 state = chain.init_state(n_streams)
                 n = chain.block.input_len * n_streams

@@ -85,8 +85,11 @@ def model_main(args) -> int:
                                                       t_mesh)), 3)
         # STREAM data parallelism (BASELINE config 5, scan_batch):
         # independent captures, no halos, no correction, no collectives
-        # in the signal path — the FSM is per-stream.  Modeled at 1.0
-        # minus nothing; the real-world limit is host IO, not ICI.
+        # in the signal path — the FSM is per-stream, and since round 5
+        # (S, 1) meshes skip the exact-state pre-pass entirely
+        # (scanner_sharded._duo_front_pfb), so each stream runs the
+        # EXACT unsharded engine.  Modeled at 1.0 minus nothing; the
+        # real-world limit is host IO, not ICI.
         row["stream_eff"] = 1.0
         row["collective_KB_per_shard"] = round(
             coll_bytes(k1, t_mesh) / 1e3, 2)

@@ -253,7 +253,42 @@ class ShardedScannerChain:
         and the outgoing halos (resampler tail, PFB band row, last-frame
         candidate) are rebuilt from a short corrected DC tail pushed
         through the XLA resampler — so the UNMODIFIED duo kernel runs with
-        exact state and needs no post-correction at all."""
+        exact state and needs no post-correction at all.
+
+        With ONE time shard (the stream-parallel serving configs —
+        scan_batch/batch8 run (S, 1) meshes) the carried state IS the
+        exact incoming state, so the pre-pass — whose dominant cost is a
+        second read of the whole input block — is skipped and the kernel
+        runs exactly like the unsharded chain (round 5; the sharded ==
+        unsharded gates cover (2, 1) meshes)."""
+        if ntime == 1:
+            wf_in_kernel = (self.waterfall > 0 and
+                            spectrogram.kernel_wf_supported(
+                                self.waterfall, k=K_local))
+            duo_out = self.pallas_duo.apply(
+                state.dc_x, state.dc_y, state.resamp_hist,
+                state.pfb_hist, state.frame_parity, state.demod_prev,
+                iq, ns,
+                band_out=self.waterfall > 0 and not wf_in_kernel,
+                waterfall_w=self.waterfall if wf_in_kernel else 0)
+            (dcx_c, dcy_c, rh_c, demod3, mag_sums, ph_c, new_parity,
+             fm_c) = duo_out[:8]
+            wf_r = wf_i = wf_rows_k = None
+            if wf_in_kernel:
+                counts = (None
+                          if spectrogram.uses_fast_path(self.waterfall)
+                          else spectrogram.wf_row_counts(self.waterfall,
+                                                         K_local))
+                wf_rows_k = spectrogram.rows_from_psd_sums(
+                    duo_out[8], self.waterfall, counts=counts)
+            elif self.waterfall > 0:
+                wf_r = duo_out[8][0].reshape(-1)
+                wf_i = duo_out[8][1].reshape(-1)
+            rssi_local = 20.0 * jnp.log10(
+                jnp.maximum(mag_sums * (1.0 / ns), 1e-30))
+            demod = demod3.reshape(C.NUM_CHANNELS, K_local * ns)
+            return (dcx_c, dcy_c, rh_c, ph_c, fm_c, new_parity,
+                    rssi_local, demod, wf_r, wf_i, wf_rows_k)
         t_local = self._t_local
         tail_len = 2560                    # covers 512 hist + 416-band span
         if fmt == "cf32":

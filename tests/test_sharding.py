@@ -822,3 +822,18 @@ def test_sharded_fused_waterfall_general_width():
     refs, outs = _run_fused_pair("cf32w", K=32, nt=2, n_steps=1,
                                  waterfall=128)
     _assert_fused_equal(refs, outs)
+
+
+def test_sharded_fused_one_time_shard_bypasses_prepass():
+    """(S, 1) meshes — the stream-parallel serving shape — skip the
+    exact-state pre-pass entirely (round 5): the carried state is exact,
+    so the duo kernel runs as unsharded.  Equality gate on a (1, 1)
+    mesh — streaming, with the in-kernel waterfall, and on the cu8
+    deployment wire (the batch8 bench rung)."""
+    refs, outs = _run_fused_pair("cf32w", K=8, nt=1, n_steps=2)
+    _assert_fused_equal(refs, outs)
+    refs, outs = _run_fused_pair("cf32w", K=8, nt=1, n_steps=1,
+                                 waterfall=64)
+    _assert_fused_equal(refs, outs)
+    refs, outs = _run_fused_pair("cu8", K=8, nt=1, n_steps=1)
+    _assert_fused_equal(refs, outs)
