@@ -156,10 +156,12 @@ def main_device_duo() -> None:
           "kernel computes correctly on this backend", flush=True)
 
 
-def _run_duo_wf(interpret: bool):
-    """DUO kernel with the in-kernel hop-PSD waterfall epilogue (w=80):
-    returns the [K, 80] |S|^2 sums — all-f32, matmul-only math (no
-    atan2 conditioning caveat), so the front-end GATE applies."""
+def _run_duo_wf(interpret: bool, wf_w: int = 80, k: int = 8):
+    """DUO kernel with the in-kernel hop-PSD waterfall epilogue:
+    returns the [K, w] |S|^2 sums — all-f32, matmul-only math (no
+    atan2 conditioning caveat), so the front-end GATE applies.
+    wf_w=80 is the uniform path; wf_w=120/k=24 exercises the round-5
+    GENERAL (phase-class row-selector) path on hardware."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -167,7 +169,7 @@ def _run_duo_wf(interpret: bool):
     from sdr_pmr446_tpu.io import synth
     from sdr_pmr446_tpu.kernels.duo import PallasScannerDuo
 
-    sig = synth.make_scanner_iq(8 * C.SUBCHUNK_IN, channel=5,
+    sig = synth.make_scanner_iq(k * C.SUBCHUNK_IN, channel=5,
                                 ctcss_code=12, seed=3)
     w = np.empty(2 * sig.shape[0], np.float32)
     w[0::2] = sig.real
@@ -178,35 +180,45 @@ def _run_duo_wf(interpret: bool):
     def wf_only(wire):
         st = duo.init_state()
         out = duo.apply(st[0], st[1], st[2], st[3], st[4], st[5], wire,
-                        waterfall_w=80)
-        return out[8]                          # [K, 80] f32 PSD sums
+                        waterfall_w=wf_w)
+        return out[8]                          # [K, w] f32 PSD sums
 
     return jax.jit(wf_only)(jnp.asarray(wire))
+
+
+def _wf_case() -> tuple:
+    """(w, k, npz) from argv: wf120 flags select the general path."""
+    if any("wf120" in a for a in sys.argv):
+        return 120, 24, NPZ_WF.replace(".npz", "_120.npz")
+    return 80, 8, NPZ_WF
 
 
 def main_expected_wf() -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
-    np.savez(NPZ_WF, y=np.asarray(_run_duo_wf(True)))
-    print(f"expected: wrote {NPZ_WF}", flush=True)
+    w, k, npz = _wf_case()
+    np.savez(npz, y=np.asarray(_run_duo_wf(True, w, k)))
+    print(f"expected: wrote {npz}", flush=True)
 
 
 def main_device_wf() -> None:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import numpy as np
-    exp = np.load(NPZ_WF)["y"]
-    got = np.asarray(jax.device_get(_run_duo_wf(False)))
+    w, k, npz = _wf_case()
+    exp = np.load(npz)["y"]
+    got = np.asarray(jax.device_get(_run_duo_wf(False, w, k)))
     scale = np.max(np.abs(exp)) + 1e-30
     rel = np.max(np.abs(got - exp)) / scale
     verdict = "PASS" if rel < GATE else "FAIL"
-    print(f"value_verify duo wf80 PSD sums: max rel err {rel:.2e} "
+    print(f"value_verify duo wf{w} PSD sums: max rel err {rel:.2e} "
           f"(gate {GATE:g}) -> {verdict}", flush=True)
     if verdict == "FAIL":
         sys.exit(1)
-    print("value_verify wf: PASS — the in-kernel hop-PSD waterfall "
-          "computes correctly on this backend", flush=True)
+    print(f"value_verify wf{w}: PASS — the in-kernel hop-PSD waterfall "
+          f"{'(GENERAL phase-class path) ' if w == 120 else ''}computes "
+          "correctly on this backend", flush=True)
 
 
 def _run_mono(interpret: bool):
@@ -347,9 +359,9 @@ def main() -> None:
         return main_expected_duo()
     if "--device-duo" in sys.argv:
         return main_device_duo()
-    if "--expected-wf" in sys.argv:
+    if "--expected-wf" in sys.argv or "--expected-wf120" in sys.argv:
         return main_expected_wf()
-    if "--device-wf" in sys.argv:
+    if "--device-wf" in sys.argv or "--device-wf120" in sys.argv:
         return main_device_wf()
     if "--expected-mono" in sys.argv:
         return main_expected_mono()
@@ -371,6 +383,7 @@ def main() -> None:
     flags = (("--expected", "--device") if "--front" in sys.argv
              else ("--expected", "--device", "--expected-duo",
                    "--device-duo", "--expected-wf", "--device-wf",
+                   "--expected-wf120", "--device-wf120",
                    "--expected-mono", "--device-mono",
                    "--expected-audio", "--device-audio"))
     for flag in flags:
