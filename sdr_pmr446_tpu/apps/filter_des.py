@@ -39,10 +39,23 @@ def main(argv=None) -> int:
     p.add_argument("--plot", action="store_true",
                    help="also write PNG response plots (needs matplotlib)")
     p.add_argument("--points", type=int, default=2048)
+    p.add_argument("--explore", action="store_true",
+                   help="also dump the reference's de-emphasis design "
+                        "EXPLORATION candidates (scripts/filter_des.py:"
+                        "47-69): the 250 Hz reson_lp and the 3rd-order "
+                        "5 kHz butterworth, alongside the shipped 50 us "
+                        "one-pole for comparison")
     ns = p.parse_args(argv)
     os.makedirs(ns.outdir, exist_ok=True)
 
-    for name, (b, a, fs) in _designs().items():
+    designs = _designs()
+    if ns.explore:
+        br, ar = D.deemph_reson_lp()
+        bb, ab = D.deemph_butter_lp()
+        designs["explore_deemph_reson"] = (br, ar, C.AUDIO_SAMPLERATE)
+        designs["explore_deemph_butter"] = (bb, ab, C.AUDIO_SAMPLERATE)
+    print(D.resampler_print())
+    for name, (b, a, fs) in designs.items():
         w, h = sig.freqz(b, a, worN=ns.points, fs=fs)
         db = 20 * np.log10(np.maximum(np.abs(h), 1e-12))
         csv = os.path.join(ns.outdir, f"{name}_response.csv")

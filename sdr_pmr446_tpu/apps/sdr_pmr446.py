@@ -157,6 +157,10 @@ def main(argv=None) -> int:
              "enabled" if args.lowpass else "disabled", args.channel_mask)
     log.info("audio sinks available: %s (using: %s)", ", ".join(avail_apis),
              ns.audio_api if ns.output == "live" else "wav file")
+    # the reference prints its resampler design at init
+    # (msresamp_crcf_print, src/sdr_pmr446.c:428)
+    from sdr_pmr446_tpu.taps.design import resampler_print
+    log.info("%s", resampler_print())
 
     packed_fmt = None
     if ns.device_decode:

@@ -205,3 +205,41 @@ def dc_blocker_coeffs(
     b = np.array([g, -g], dtype=np.float64)
     a = np.array([1.0, -p], dtype=np.float64)
     return b, a
+
+
+def resampler_print(L: int = C.RESAMP_L, M: int = C.RESAMP_M) -> str:
+    """One-line resampler design diagnostic (the ``msresamp_crcf_print``
+    init log of the reference, src/sdr_pmr446.c:428): rate, polyphase
+    geometry, tap count, group delay, stopband spec."""
+    h = resampler_taps(L, M)
+    n = h.shape[0]
+    delay_in = (n - 1) / 2.0 / L          # group delay in INPUT samples
+    return (f"resampler: rational {L}/{M} polyphase "
+            f"(rate {L / M:.6f}, {C.SDR_SAMPLERATE} -> "
+            f"{C.SDR_RESAMPLERATE} Hz), {n} taps "
+            f"({n // L} per phase), delay {delay_in:.1f} input samples, "
+            f">= {C.RESAMP_ATT_DB:.0f} dB stopband")
+
+
+def deemph_reson_lp(reson_freq: float = 250.0, q: float = 2.0,
+                    fs: float = float(C.AUDIO_SAMPLERATE)):
+    """Resonant-lowpass de-emphasis CANDIDATE from the reference's design
+    exploration (scripts/filter_des.py:47-60): a +4 dB resonance at
+    ``reson_freq`` bilinear-transformed to fs.  Exploration-only — the
+    shipped chain uses the 50 us bilinear one-pole (deemph_iir_coeffs);
+    kept so apps/filter_des.py --explore reproduces the study."""
+    gain = 10.0 ** (4.0 / 20.0)
+    wc = 2.0 * math.pi * reson_freq
+    b, a = sig.bilinear([0.0, 0.0, gain], [1.0, 1.0 / q, 1.0],
+                        fs=fs / wc)
+    return np.asarray(b, np.float64), np.asarray(a, np.float64)
+
+
+def deemph_butter_lp(cutoff_hz: float = 5000.0, order: int = 3,
+                     fs: float = float(C.AUDIO_SAMPLERATE)):
+    """Butterworth-lowpass de-emphasis CANDIDATE from the reference's
+    exploration (scripts/filter_des.py:66-69, the 'deemph coefs' print):
+    analog butterworth bilinear-transformed to fs.  Exploration-only."""
+    b, a = sig.butter(order, cutoff_hz, "low", analog=True)
+    b, a = sig.bilinear(b, a, fs=fs)
+    return np.asarray(b, np.float64), np.asarray(a, np.float64)

@@ -92,3 +92,39 @@ def test_channel_mask_parser():
         C.parse_channel_mask("0")
     with pytest.raises(ValueError):
         C.parse_channel_mask("65")
+
+
+def test_resampler_print_diagnostic():
+    """The msresamp_crcf_print analog (src/sdr_pmr446.c:428): rate,
+    polyphase geometry, tap count, delay, stopband in one line."""
+    from sdr_pmr446_tpu.taps.design import resampler_print, resampler_taps
+    s = resampler_print()
+    n = resampler_taps().shape[0]
+    assert "25/128" in s and f"{n} taps" in s and "60 dB" in s
+    assert f"{n // 25} per phase" in s
+
+
+def test_deemph_exploration_candidates():
+    """The reference's de-emphasis design-exploration candidates
+    (scripts/filter_des.py:47-69) are reproducible: the reson_lp peaks
+    near its resonance with ~+4 dB gain and the butterworth is a
+    monotone lowpass; both stay within a few dB of the shipped 50 us
+    one-pole across the voice band (that closeness is WHY the study
+    picked the standard curve)."""
+    import scipy.signal as sig
+    from sdr_pmr446_tpu.taps import design as D
+
+    br, ar = D.deemph_reson_lp()
+    w, h = sig.freqz(br, ar, worN=2048, fs=12500.0)
+    mag = 20 * np.log10(np.maximum(np.abs(h), 1e-12))
+    pk = w[int(np.argmax(mag))]
+    assert 150.0 < pk < 450.0            # resonance near 250 Hz
+    assert abs(mag[0] - 4.0) < 0.5       # the +4 dB base gain
+    assert 8.0 < mag.max() < 13.0        # Q=2 resonance on top
+
+    bb, ab = D.deemph_butter_lp()
+    w2, h2 = sig.freqz(bb, ab, worN=2048, fs=12500.0)
+    m2 = 20 * np.log10(np.maximum(np.abs(h2), 1e-12))
+    assert m2[0] > -1.0                  # unity passband
+    # 3rd order: ~ -18 dB/octave beyond cutoff; strictly decreasing tail
+    assert m2[-1] < -3.0
