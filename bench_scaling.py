@@ -26,7 +26,7 @@ def model_main(args) -> int:
     >=80 % scaling target cannot be measured; this mode publishes the
     ARGUMENT instead: per (1 x T) time-mesh shape, the modeled
     per-shard compute bytes (utils/traffic.py physical floor + the
-    sharding pre-pass's band-correction pass) against the collective
+    exact-state pre-pass's extra wire read) against the collective
     bytes the fused sharded step actually exchanges
     (parallel/scanner_sharded.py + halo.py + fused_halo.py):
 
@@ -42,12 +42,17 @@ def model_main(args) -> int:
     fetch-anchored envelope), ICI 45 GB/s/direction (a conservative
     v5e-class per-link figure), 1 us per collective hop.
     """
-    from sdr_pmr446_tpu.utils.traffic import min_traffic_b_per_sample
+    from sdr_pmr446_tpu.utils.traffic import (WIRE_BYTES,
+                                              min_traffic_b_per_sample)
     k1 = args.subchunks_per_step or 64
     b_phys = min_traffic_b_per_sample(
-        "cf32w", use_pallas=True, fuse_rssi=True, fuse_ctcss=True,
+        args.format, use_pallas=True, fuse_rssi=True, fuse_ctcss=True,
         fuse_band=True, physical=True)
-    corr = 3.1                                       # band-correction pass
+    # time-sharding overhead of the DUO engine: the exact-state pre-pass
+    # (fused_halo.front_zero_summary / kernels/summary.py) re-reads the
+    # wire once to emit tiny row summaries — so the cost is one extra
+    # wire read per input sample, format-dependent (cu8 2 B, cf32w 8 B)
+    corr = WIRE_BYTES[args.format]
     hbm = args.hbm_gbps * 1e9
     ici = args.ici_gbps * 1e9
     hop = args.hop_us * 1e-6
@@ -72,7 +77,7 @@ def model_main(args) -> int:
     for t_mesh in (1, 2, 4, 8):
         row = {"devices": t_mesh}
         # STRONG time-sharding: fixed K, each shard gets K/T sub-chunks
-        # (latency scaling).  The ~3.1 B/smp correction pass is a fixed
+        # (latency scaling).  The pre-pass wire re-read is a fixed
         # fraction of compute, so efficiency steps down once at T=2 and
         # then erodes slowly with the gathers.
         if k1 % (8 * t_mesh) == 0:
@@ -99,7 +104,7 @@ def model_main(args) -> int:
         print(json.dumps(row))
     summary = {
         "k": k1, "b_phys_B_per_smp": b_phys,
-        "correction_B_per_smp": corr,
+        "prepass_wire_B_per_smp": corr, "format": args.format,
         "hbm_gbps": args.hbm_gbps, "ici_gbps": args.ici_gbps,
         "weak_time_meets_80pct": all(
             r["weak_time_eff"] >= 0.8 for r in rows),
@@ -129,6 +134,9 @@ def main() -> int:
                    help="print the ANALYTIC ICI scaling-efficiency model "
                         "(no pod slice in this environment; see "
                         "model_main)")
+    p.add_argument("--format", default="cu8",
+                   help="wire format for --model (cu8 = the recorded "
+                        "serving wire)")
     p.add_argument("--hbm-gbps", type=float, default=761.0)
     p.add_argument("--ici-gbps", type=float, default=45.0)
     p.add_argument("--hop-us", type=float, default=1.0)
