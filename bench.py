@@ -632,10 +632,13 @@ def main() -> int:
             # leaves VMEM — traffic is the wire read + the tiny output
             # write (~0.1 B/sample), i.e. the input-read speed of light.
             # Two-kernel engine: + the band-plane write+read between the
-            # kernels (2 planes x f32 x 25/128 rate each way = 3.125).
+            # kernels (2 planes x f32 x 25/128 rate each way = 3.125
+            # logical; the group rows are [G, 400] and 400 lanes pad to
+            # 512, so the PHYSICAL floor is 3.125 * 1.28 = 4.0 —
+            # VERDICT r4 #1 applies here too).
             from sdr_pmr446_tpu.utils.traffic import WIRE_BYTES
             min_b = WIRE_BYTES[chain.input_format] + (
-                0.1 if getattr(chain, "mono", False) else 3.125)
+                0.1 if getattr(chain, "mono", False) else 4.0)
         else:
             min_b = _min_traffic(None, "cf32")
         bound = envelope_gbps * 1e9 / min_b / 1e6
