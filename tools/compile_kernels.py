@@ -143,6 +143,17 @@ def main():
         ok &= probe(f"duo_cf32w_wf{w}_general",
                     lambda *a, _w=w: duo.apply(*a, waterfall_w=_w),
                     (*st, wire_g))
+    # the cu8 (wide-row) duo with the in-kernel waterfall — the bench
+    # waterfall config's default wire since round 5 (first probed PASS
+    # 2026-08-20: w=80 K=40 16s, w=120 K=24 11s, full chain step)
+    duo8 = PallasScannerDuo("cu8")
+    st8 = duo8.init_state()
+    for w in (80, 120):
+        kq = 24 if w == 120 else 8
+        wire8k = jnp.zeros((kq * C.SUBCHUNK_IN // 256, 128), jnp.float32)
+        ok &= probe(f"duo_cu8_wf{w}",
+                    lambda *a, _w=w: duo8.apply(*a, waterfall_w=_w),
+                    (*st8, wire8k))
 
     # MONO chains: front end + tail in ONE kernel (band never in HBM)
     for mode, fmt, kw in (("dsd", "cf32w", {}), ("dsd", "cs16", {}),
