@@ -283,7 +283,11 @@ def main(argv=None) -> int:
 
     def _save_accum(path):
         arrs = {"subchunk": np.int64(subchunk),
-                "total_got": np.int64(total_got)}
+                "total_got": np.int64(total_got),
+                # geometry guard: a resume must run the same block shape
+                # or the block-count seek lands mid-block
+                "subchunks_per_step": np.int64(ns.subchunks_per_step),
+                "n_streams": np.int64(n_streams)}
         for s in range(n_streams):
             arrs[f"audio{s}"] = (np.stack(audio[s]) if audio[s]
                                  else np.zeros((0, 0), np.float32))
@@ -332,11 +336,27 @@ def main(argv=None) -> int:
             logging.error("cannot restore checkpoint '%s': %s",
                           ns.checkpoint, e)
             return 1
+        # geometry guard: resuming under a different block shape or
+        # capture count would seek mid-block / shape-mismatch the state
+        ck_k = int(acc["subchunks_per_step"]) \
+            if "subchunks_per_step" in acc else ns.subchunks_per_step
+        ck_s = int(acc["n_streams"]) if "n_streams" in acc else n_streams
+        if ck_k != ns.subchunks_per_step or ck_s != n_streams:
+            logging.error(
+                "checkpoint was written with --subchunks-per-step %d over "
+                "%d captures; resume invoked with %d over %d — rerun with "
+                "the checkpoint's geometry", ck_k, ck_s,
+                ns.subchunks_per_step, n_streams)
+            return 1
         ref = jax.tree.map(
             lambda a: np.broadcast_to(
                 np.asarray(a), (n_streams,) + np.asarray(a).shape),
             chain._state_struct())
-        loaded = state_mod.adapt_state_histories(loaded, ref)
+        try:
+            loaded = state_mod.adapt_state_histories(loaded, ref)
+        except ValueError as e:       # engine/config mismatch vs saved
+            logging.error("cannot adapt checkpoint state: %s", e)
+            return 1
         if multihost:
             from jax.sharding import PartitionSpec as P
             specs = jax.tree.map(lambda _: P(STREAM_AXIS),

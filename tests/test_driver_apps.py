@@ -774,3 +774,34 @@ def test_scan_batch_sigterm_resume(tmp_path):
     for st in ("cap0", "cap1"):
         np.testing.assert_array_equal(got[st][0], ref[st][0])
         assert got[st][1] == ref[st][1]
+
+
+def test_scan_batch_resume_geometry_guard(tmp_path):
+    """Resuming a scan_batch checkpoint under a different block geometry
+    or capture count is a clean error (the block-count seek would land
+    mid-block), not silent corruption."""
+    from sdr_pmr446_tpu.apps import scan_batch
+
+    caps = []
+    for s in range(2):
+        iq = 0.8 * synth.make_scanner_iq(8 * C.SUBCHUNK_IN, channel=5,
+                                         ctcss_code=12, seed=s)
+        pth = str(tmp_path / f"gcap{s}.cs16")
+        iq_io.write_iq(pth, iq, "cs16")
+        caps.append(pth)
+    ckpt = str(tmp_path / "g.npz")
+    base = caps + ["--out-dir", str(tmp_path / "o"), "--checkpoint", ckpt,
+                   "--checkpoint-backend", "npz"]
+    assert scan_batch.main(base + ["--subchunks-per-step", "4",
+                                   "--stop-after", "1"]) == 0
+    # different K
+    assert scan_batch.main(base + ["--subchunks-per-step", "8",
+                                   "--resume"]) == 1
+    # different capture count
+    assert scan_batch.main([caps[0], "--out-dir", str(tmp_path / "o"),
+                            "--checkpoint", ckpt, "--checkpoint-backend",
+                            "npz", "--subchunks-per-step", "4",
+                            "--resume"]) == 1
+    # matching geometry still resumes fine
+    assert scan_batch.main(base + ["--subchunks-per-step", "4",
+                                   "--resume"]) == 0
